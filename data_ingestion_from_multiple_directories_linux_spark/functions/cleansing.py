@@ -1,0 +1,81 @@
+"""Data-cleansing expressions (SURVEY.md §2.3 F6–F8, §2.9 C7).
+
+The reference cleanses every file in pandas before load:
+* empty/whitespace/'null' strings → NULL (file_loader.py:477-496);
+* drop rows that are entirely null (file_loader.py:629);
+* per-column date validation, collecting bad rows for quarantine
+  (file_loader.py:498-521; dsd per-value variant dsd_loader.py:625-633).
+
+Here each is a Column expression / DataFrame transform so the whole
+cleansing pass is one codegen'd projection — no row loop, no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: String sentinels the reference rewrites to NULL (file_loader.py:489-491).
+NULL_SENTINELS: tuple[str, ...] = ("", " ", "null")
+
+
+def normalize_null_sentinels(col: Column | str) -> Column:
+    """''/' '/'null' → NULL; everything else passes through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(*NULL_SENTINELS), F.lit(None)).otherwise(c)
+
+
+def normalize_nulls(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Apply :func:`normalize_null_sentinels` to every string column."""
+    string_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    targets = [c for c in (columns or df.columns) if c in string_cols]
+    return df.select(
+        *[
+            normalize_null_sentinels(c).alias(c) if c in targets else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def drop_all_null_rows(df: DataFrame) -> DataFrame:
+    """``dropna(how='all')`` (file_loader.py:629) — Spark-native."""
+    return df.na.drop(how="all")
+
+
+def try_parse_timestamp(col: Column | str) -> Column:
+    """Parse a string to timestamp, NULL on failure (never raises).
+
+    Engine validity predicate for quarantine (SURVEY.md §7 "what's hard"):
+    a value is a *bad date* iff it is non-null and ``try_cast`` to
+    timestamp yields NULL. This replaces pandas ``to_datetime(errors=
+    'raise')`` + exception bookkeeping with one vectorized expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("timestamp")
+
+
+def is_bad_date(col: Column | str) -> Column:
+    """True iff the value is present but not parseable as a timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & try_parse_timestamp(c).isNull()
+
+
+def discover_date_columns(columns: list[str]) -> list[str]:
+    """Date-column discovery rule from the reference (file_loader.py:499;
+    dsd_loader.py:490): name starts with ``date_`` or ends with ``_date``."""
+    return [c for c in columns if c.startswith("date_") or c.endswith("_date")]
+
+
+def any_bad_date(columns: list[str]) -> Column:
+    """Row-level quarantine verdict: any discovered date column is bad.
+
+    The reference flags the whole record if any date value fails
+    (dsd_loader.py:646 skips the record; file_loader.py:624-637 drops the
+    flagged indexes).
+    """
+    if not columns:
+        return F.lit(False)
+    verdict = F.lit(False)
+    for c in columns:
+        verdict = verdict | is_bad_date(c)
+    return verdict

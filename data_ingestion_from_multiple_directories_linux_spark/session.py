@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference runs single-process pandas + PostgreSQL; here the whole engine
+is one SparkSession. Defaults are tuned for the local[N] test harness but
+every knob is the one you would also set on a 1000-executor cluster:
+
+* AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast) — replaces all hand-rolled parallelism in the
+  reference (ThreadPoolExecutor batches of 20 facilities,
+  multi_file_ingestion_process.py:107-123).
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a high initial number.
+* UTC session timezone so timestamp semantics are stable across engines
+  (the DuckDB correctness oracle is UTC-naive).
+* Arrow enabled: every pandas interchange (createDataFrame, pandas UDFs,
+  applyInPandas) is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_ingestion_from_multiple_directories_linux_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    In local mode there is a single JVM; ``spark.driver.memory`` is the only
+    memory knob. On a cluster the same config block applies per executor.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
