@@ -1,0 +1,429 @@
+"""Batch ingestion engine (SURVEY.md §3 lifecycle, §2.11 control operators).
+
+Reproduces the observable semantics of the reference pipeline
+(file_ingestion_process.py → file_loader.py) Spark-first:
+
+* one distributed JSON read per target table instead of a pandas loop per
+  file (G5: facility parallelism comes from the scheduler, not threads);
+* idempotency as a left-anti join of the discovered-file catalog against
+  the success log (G1, file_loader.py:312-369) — previously failed files
+  retry automatically;
+* per-table transform dispatch (G2, file_loader.py:597-621): PII masking,
+  column exclusion, struct masking;
+* cleansing: null-sentinel normalization (F7), drop all-null rows (F6),
+  date validation with quarantine split (G3, file_loader.py:624-653):
+  valid rows land in ``stg_<table>``, bad-date rows in
+  ``stg_<table>_bad_dates``, and the file is logged failed with detail;
+* empty/malformed file handling (G4/G8, file_loader.py:591-595, :371-384);
+* lineage columns stg_batch_id/stg_load_time/stg_file_name/stg_datim_id
+  (§1.4, file_loader.py:630-633);
+* audit tables ingestion_log / stg_monitoring / pipeline_log (G6,
+  file_loader.py:83-90, :648-651; file_ingestion_process.py:24-37).
+
+Scale notes: staging tables are written partitioned by facility
+(``stg_datim_id``) so per-facility reads prune partitions; audit writes are
+append-only; the only driver-side collect is file-level *metadata* (the
+same information Spark's own FileIndex holds), never row data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleansing import (
+    any_bad_date,
+    discover_date_columns,
+    normalize_nulls,
+    try_parse_timestamp,
+)
+from ..functions.masking import mask_columns, mask_json_keys, mask_struct_value
+from ..sources.json_dir import (
+    CORRUPT_COL,
+    FileMeta,
+    catalog_df,
+    discover_files,
+    read_table_files,
+)
+from ..sources.table_store import TableStore
+
+INGESTION_LOG = "ingestion_log"
+STG_MONITORING = "stg_monitoring"
+PIPELINE_LOG = "pipeline_log"
+PARTNER_MAPPING = "central_partner_mapping"
+
+INGESTION_LOG_DDL = (
+    "file_name string, facility_id string, table_name string, batch_id string, "
+    "status string, json_rec_count bigint, bad_rec_count bigint, "
+    "error_message string, load_start_time timestamp, load_end_time timestamp"
+)
+STG_MONITORING_DDL = (
+    "datim_id string, batch_id string, file_name string, table_name string, "
+    "load_time timestamp, json_rec_count bigint, processed string, error_message string"
+)
+PIPELINE_LOG_DDL = (
+    "log_id string, start_time timestamp, end_time timestamp, status string, "
+    "process_type string, error_message string, records_processed bigint"
+)
+
+#: Error-message storage cap (reference file_loader.py:189).
+ERROR_MSG_CAP = 10_000
+
+_INTERNAL_COLS = ("_src_file", "_src_facility", CORRUPT_COL)
+
+
+def _default_transforms() -> dict[str, list]:
+    """Per-table transform dispatch table (G2, file_loader.py:597-621).
+
+    Values are callables ``DataFrame -> DataFrame`` applied before
+    cleansing. ``None``-keyed default applies to unlisted tables (no-op —
+    the stg_mhpss_confirmation branch)."""
+    return {
+        # file_loader.py:600-603 — biometric match columns excluded
+        "biometric": [
+            lambda df: df.drop("match_type", "match_person_uuid", "match_biometric_id")
+        ],
+        # file_loader.py:608-613 — constant '******' overwrite
+        "hts_index_elicitation": [
+            lambda df: mask_columns(
+                df,
+                ["last_name", "first_name", "middle_name", "phone_number", "alt_phone_number"],
+            )
+        ],
+        # file_loader.py:615-621
+        "patient_person": [
+            lambda df: mask_columns(
+                df,
+                ["surname", "first_name", "other_name", "full_name", "hospital_number", "nin_number"],
+            )
+        ],
+        # file_loader.py:606 — mask inside extra.value JSON payload
+        "hts_client": [
+            lambda df: df.withColumn("extra", mask_struct_value("extra"))
+            if "extra" in df.columns
+            else df
+        ],
+    }
+
+
+@dataclass
+class IngestReport:
+    run_id: str
+    files_seen: int = 0
+    files_skipped: int = 0
+    files_ingested: int = 0
+    files_failed: int = 0
+    records_ingested: int = 0
+    records_quarantined: int = 0
+    tables: dict[str, int] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+
+class IngestionEngine:
+    """One engine instance per warehouse (≙ one staging database)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        partition_by_facility: bool = True,
+        max_files_per_run: int | None = 50_000,
+    ) -> None:
+        self.spark = spark
+        self.store = TableStore(spark, warehouse)
+        # staging partition layout: facility = the natural partition unit
+        # (§1.1; directories keyed by facility → partition pruning on read)
+        self.partition_cols = ("stg_datim_id",) if partition_by_facility else ()
+        # batch-size throttle (O2: LIMIT 50000, file_loader.py:255)
+        self.max_files_per_run = max_files_per_run
+        self.transforms = _default_transforms()
+
+    # ------------------------------------------------------------------
+    # work selection (G1 idempotency + O1/O2 queue fairness/throttle)
+    # ------------------------------------------------------------------
+
+    def _select_work(self, metas: list[FileMeta]) -> tuple[list[FileMeta], int]:
+        """Anti-join discovered files against terminal log states.
+
+        Mirrors the sync_file state machine: the dequeue only selects
+        pending files (processed=1, file_loader.py:247-255); success (2)
+        and failed (-2) are terminal until an explicit requeue
+        (file_ingestion_summary_report.sql:63-67). So a file skips when a
+        prior run logged it success OR failed; :meth:`requeue_failed`
+        re-opens the failed set. Keyed on (file_name, facility_id) exactly
+        as file_loader.py:328-336. Ordered by file name for queue fairness
+        (O1, file_loader.py:254) and capped per run (O2, LIMIT 50000).
+        """
+        if not metas:
+            return [], 0
+        cat = catalog_df(self.spark, metas)
+        prior = self.store.read_or_empty(INGESTION_LOG, INGESTION_LOG_DDL)
+        terminal = (
+            prior.filter(F.col("status").isin("success", "failed"))
+            .select("file_name", "facility_id")
+            .distinct()
+        )
+        todo = (
+            cat.join(terminal, ["file_name", "facility_id"], "left_anti")
+            .orderBy("file_name", "facility_id")
+            .select("path")
+        )
+        if self.max_files_per_run is not None:
+            todo = todo.limit(self.max_files_per_run)
+        keep = {r.path for r in todo.collect()}  # file-level metadata only
+        selected = [m for m in metas if m.path in keep]
+        return selected, len(metas) - len(selected)
+
+    def requeue_failed(self, like_pattern: str | None = None) -> int:
+        """Manual requeue (M2): ``UPDATE sync_file SET processed=0 WHERE
+        file_name ILIKE … AND processed != 0``
+        (file_ingestion_summary_report.sql:63-67;
+        stg_monitoring_summary.sql:21-23 ``SET processed='N' WHERE
+        processed='F'``) as a read-rewrite-overwrite of the log: failed →
+        'requeued', so the next run's anti-join re-selects those files.
+        Returns the number of rows requeued."""
+        if not self.store.exists(INGESTION_LOG):
+            return 0
+        log = self.store.read(INGESTION_LOG)
+        hit = F.col("status") == "failed"
+        if like_pattern:
+            hit = hit & F.lower(F.col("file_name")).like(like_pattern.lower())
+        n = log.filter(hit).count()
+        if n:
+            self.store.overwrite(
+                INGESTION_LOG,
+                log.withColumn(
+                    "status", F.when(hit, F.lit("requeued")).otherwise(F.col("status"))
+                ),
+            )
+        return n
+
+    # ------------------------------------------------------------------
+    # per-table ingest (S1 + G2 + F6/F7/F8 + G3 + P3 + K1)
+    # ------------------------------------------------------------------
+
+    def _ingest_table(
+        self, table: str, group: list[FileMeta], report: IngestReport, now: datetime
+    ) -> list[dict]:
+        paths = [m.path for m in group]
+        by_file: dict[str, dict] = {
+            m.file_name: {
+                "meta": m,
+                "valid": 0,
+                "bad": 0,
+                "corrupt": 0,
+                "error": None,
+            }
+            for m in group
+        }
+        try:
+            df = read_table_files(self.spark, table, paths)
+        except Exception as e:  # uninferable schema (e.g. all files empty)
+            for st in by_file.values():
+                st["error"] = f"unreadable: {str(e)[:ERROR_MSG_CAP]}"
+            return self._audit_rows(table, by_file, now)
+
+        corrupt_counts = {}
+        if CORRUPT_COL in df.columns:
+            corrupt_counts = dict(
+                df.filter(F.col(CORRUPT_COL).isNotNull())
+                .groupBy("_src_file")
+                .count()
+                .collect()
+            )
+            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+        data_cols = [c for c in df.columns if c not in _INTERNAL_COLS]
+
+        # G2 transform dispatch
+        for t in self.transforms.get(table, []):
+            df = t(df)
+        data_cols = [c for c in df.columns if c not in _INTERNAL_COLS]
+
+        # F7 null normalization over payload string columns
+        df = normalize_nulls(df, data_cols)
+        # F6 drop all-null payload rows
+        df = df.na.drop(how="all", subset=data_cols)
+
+        # G3 date validation + quarantine split
+        str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+        date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
+        bad_flag = any_bad_date(date_cols)
+        df = df.withColumn("_bad_date", bad_flag)
+        df = df.persist()
+        try:
+            valid = df.filter(~F.col("_bad_date")).drop("_bad_date")
+            bad = df.filter(F.col("_bad_date")).drop("_bad_date")
+
+            # lineage (§1.4) + final date casts for valid rows
+            def finalize(d: DataFrame, cast_dates: bool) -> DataFrame:
+                cols: list[Column] = []
+                for c in [c for c in d.columns if c not in _INTERNAL_COLS]:
+                    if cast_dates and c in date_cols:
+                        cols.append(try_parse_timestamp(c).alias(c))
+                    else:
+                        cols.append(F.col(c))
+                from ..functions.naming import batch_of
+
+                return d.select(
+                    *cols,
+                    batch_of(F.col("_src_file")).alias("stg_batch_id"),
+                    F.current_timestamp().alias("stg_load_time"),
+                    F.col("_src_file").alias("stg_file_name"),
+                    F.col("_src_facility").alias("stg_datim_id"),
+                )
+
+            valid_counts = dict(valid.groupBy("_src_file").count().collect())
+            bad_counts = dict(bad.groupBy("_src_file").count().collect())
+
+            if valid_counts:
+                self.store.append(
+                    f"stg_{table}", finalize(valid, cast_dates=True), self.partition_cols
+                )
+            if bad_counts:
+                # quarantine keeps raw (uncast) values for review
+                self.store.append(
+                    f"stg_{table}_bad_dates", finalize(bad, cast_dates=False), self.partition_cols
+                )
+        finally:
+            df.unpersist()
+
+        for fn, st in by_file.items():
+            st["valid"] = int(valid_counts.get(fn, 0))
+            st["bad"] = int(bad_counts.get(fn, 0))
+            st["corrupt"] = int(corrupt_counts.get(fn, 0))
+        return self._audit_rows(table, by_file, now)
+
+    # ------------------------------------------------------------------
+    # audit (G4/G6/G8)
+    # ------------------------------------------------------------------
+
+    def _audit_rows(self, table: str, by_file: dict[str, dict], now: datetime) -> list[dict]:
+        rows = []
+        for fn, st in by_file.items():
+            m: FileMeta = st["meta"]
+            if st["error"]:
+                status, err = "failed", st["error"]
+            elif st["corrupt"]:
+                status, err = "failed", "malformed JSON"
+            elif st["valid"] + st["bad"] == 0:
+                # G4 (file_loader.py:591-595)
+                status, err = "failed", "JSON file is empty"
+            elif st["bad"]:
+                # G3: valid rows ingested, file still logged failed with
+                # detail (file_loader.py:637-653)
+                status = "failed"
+                err = f"{st['bad']} record(s) failed date validation (quarantined)"
+            else:
+                status, err = "success", None
+            rows.append(
+                {
+                    "file_name": fn,
+                    "facility_id": m.facility_id,
+                    "table_name": f"stg_{table}",
+                    "batch_id": m.batch_id,
+                    "status": status,
+                    "json_rec_count": st["valid"],
+                    "bad_rec_count": st["bad"],
+                    "error_message": err and err[:ERROR_MSG_CAP],
+                    "load_start_time": now,
+                    "load_end_time": datetime.now(),
+                }
+            )
+        return rows
+
+    # ------------------------------------------------------------------
+    # run (§3.1 lifecycle)
+    # ------------------------------------------------------------------
+
+    def run(self, root: str, process_type: str = "file_ingestion") -> IngestReport:
+        start = datetime.now()
+        run_id = f"IPID_{start:%Y%m%d_%H_%M_%S}"  # C6, file_ingestion_process.py:52
+        report = IngestReport(run_id=run_id)
+
+        metas = discover_files(root)
+        report.files_seen = len(metas)
+        selected, skipped = self._select_work(metas)
+        report.files_skipped = skipped
+
+        groups: dict[str, list[FileMeta]] = {}
+        for m in selected:
+            groups.setdefault(m.table_name, []).append(m)
+
+        audit: list[dict] = []
+        for table, group in sorted(groups.items()):
+            audit.extend(self._ingest_table(table, group, report, start))
+
+        for row in audit:
+            if row["status"] == "success":
+                report.files_ingested += 1
+            else:
+                report.files_failed += 1
+                report.errors[row["file_name"]] = row["error_message"]
+            report.records_ingested += row["json_rec_count"]
+            report.records_quarantined += row["bad_rec_count"]
+            t = row["table_name"]
+            report.tables[t] = report.tables.get(t, 0) + row["json_rec_count"]
+
+        if audit:
+            log_df = self.spark.createDataFrame(
+                [tuple(r[k] for k in (
+                    "file_name", "facility_id", "table_name", "batch_id", "status",
+                    "json_rec_count", "bad_rec_count", "error_message",
+                    "load_start_time", "load_end_time",
+                )) for r in audit],
+                INGESTION_LOG_DDL,
+            )
+            self.store.append(INGESTION_LOG, log_df)
+            mon_df = self.spark.createDataFrame(
+                [
+                    (
+                        r["facility_id"], r["batch_id"], r["file_name"], r["table_name"],
+                        r["load_end_time"], r["json_rec_count"],
+                        "Y" if r["status"] == "success" else "F",
+                        r["error_message"],
+                    )
+                    for r in audit
+                ],
+                STG_MONITORING_DDL,
+            )
+            self.store.append(STG_MONITORING, mon_df)
+
+        end = datetime.now()
+        status = "Job Passed" if report.files_failed == 0 else "Job Failed"
+        run_df = self.spark.createDataFrame(
+            [(run_id, start, end, status, process_type, None, report.records_ingested)],
+            PIPELINE_LOG_DDL,
+        )
+        self.store.append(PIPELINE_LOG, run_df)
+        return report
+
+    # ------------------------------------------------------------------
+    # post-ingest side effect (file_loader.py:199-232)
+    # ------------------------------------------------------------------
+
+    def refresh_patient_counts(self, table: str = "stg_patient_person") -> DataFrame:
+        """COUNT(DISTINCT uuid) per facility (A2, file_loader.py:211-216:
+        ``WHERE archived=0``) → overwrite central_partner_mapping (M1
+        update-by-key as read-modify-write)."""
+        stg = self.store.read(table)
+        counts = (
+            stg.filter(F.col("archived") == 0)
+            .groupBy("stg_datim_id")
+            .agg(F.countDistinct("uuid").alias("patient_count"))
+            .withColumnRenamed("stg_datim_id", "datim_id")
+        )
+        if self.store.exists(PARTNER_MAPPING):
+            prior = self.store.read(PARTNER_MAPPING).select("datim_id", "ip_name")
+            merged = prior.join(counts, "datim_id", "full").select(
+                "datim_id",
+                F.coalesce(F.col("patient_count"), F.lit(0)).alias("patient_count"),
+                "ip_name",
+            )
+        else:
+            merged = counts.withColumn("ip_name", F.lit(None).cast("string"))
+        self.store.overwrite(PARTNER_MAPPING, merged)
+        return self.store.read(PARTNER_MAPPING)

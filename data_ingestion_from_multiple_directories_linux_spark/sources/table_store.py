@@ -1,0 +1,104 @@
+"""Parquet-backed table store with atomic overwrite.
+
+The reference keeps all mutable state in PostgreSQL tables updated in-place
+(sync_file, file_ingestion_log, stg_* …; SURVEY.md §2.10). On immutable
+object storage the engine expresses UPDATE/DELETE as read-modify-write with
+a write-temp-swap so readers never observe a half-written table (SURVEY.md
+§7 "mutable state on immutable storage").
+
+Append-only tables (audit logs, staging appends) use plain parquet appends —
+each Spark write job is atomic at the directory level. At cluster scale the
+same interface maps 1:1 onto a table format with real transactions (Delta /
+Iceberg MERGE); the swap trick is the dependency-free fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    """Directory-of-parquet-tables with append / atomic-overwrite / read."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise FileNotFoundError(f"table {name!r} not found under {self.root}")
+        return self.spark.read.parquet(self.path(name))
+
+    def read_or_empty(self, name: str, schema: str) -> DataFrame:
+        """Read, or produce an empty frame with the given DDL schema —
+        lets first-run logic treat missing audit tables as zero rows."""
+        if self.exists(name):
+            return self.spark.read.parquet(self.path(name))
+        return self.spark.createDataFrame([], schema)
+
+    def append(self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def overwrite(self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+        """Write-temp-swap: materialize to a scratch dir, then atomically
+        replace the live dir. df may be derived FROM the live table (the
+        read-modify-write pattern), which plain mode('overwrite') to the
+        same path would corrupt — Spark would delete its own input."""
+        tmp = self.path(f".{name}.tmp-{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        live = self.path(name)
+        trash = self.path(f".{name}.old-{uuid.uuid4().hex}")
+        if os.path.isdir(live):
+            os.rename(live, trash)
+        os.rename(tmp, live)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash, ignore_errors=True)
+
+    def drop(self, name: str) -> None:
+        if self.exists(name):
+            shutil.rmtree(self.path(name))
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        """Catalog table-list scan (reference
+        stg_records_deletion_process.py:31-50: name-pattern + IN-list over
+        information_schema)."""
+        import re
+
+        names = [
+            d
+            for d in sorted(os.listdir(self.root))
+            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith(".")
+        ]
+        if pattern:
+            names = [n for n in names if re.search(pattern, n)]
+        return names
+
+    def table_sizes(self, top_n: int = 100) -> list[tuple[str, int]]:
+        """Table-size introspection (reference table_sizes.sql:1-11:
+        pg_total_relation_size top-100) — filesystem stats per table dir."""
+        out = []
+        for name in self.list_tables():
+            total = 0
+            for dirpath, _dirnames, filenames in os.walk(self.path(name)):
+                for f in filenames:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+            out.append((name, total))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:top_n]
