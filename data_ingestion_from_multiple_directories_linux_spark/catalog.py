@@ -42,15 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Parquet scan → Catalyst gets pushdown + pruning.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as long nanos and truncate to
-    microsecond timestamps (identical to DuckDB's ns→µs conversion, so the
-    oracle sees the same values). Integer ``div`` — double math would lose
-    precision at ~1.7e18 ns.
+    vectorized reader rejects; ``get_spark`` sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide, so it arrives as
+    long nanos and is truncated here to microsecond timestamps (identical
+    to DuckDB's ns→µs conversion, so the oracle sees the same values).
+    Integer ``div`` — double math would lose precision at ~1.7e18 ns.
     """
     if name not in TABLES:
         raise KeyError(f"unknown test table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # get_spark sets this session-wide; guard for foreign sessions
+        # (e.g. the correctness driver builds its own SparkSession).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

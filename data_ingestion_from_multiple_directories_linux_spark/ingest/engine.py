@@ -7,7 +7,9 @@ Reproduces the observable semantics of the reference pipeline
   file (G5: facility parallelism comes from the scheduler, not threads);
 * idempotency as a left-anti join of the discovered-file catalog against
   the success log (G1, file_loader.py:312-369) — previously failed files
-  retry automatically;
+  retry automatically on the next run (file_loader.py:413-420
+  ``is_loaded_failed → 'attempting to reload'``), after their prior
+  partial rows are purged from staging so the retry cannot duplicate;
 * per-table transform dispatch (G2, file_loader.py:597-621): PII masking,
   column exclusion, struct masking;
 * cleansing: null-sentinel normalization (F7), drop all-null rows (F6),
@@ -48,6 +50,7 @@ from ..sources.json_dir import (
     discover_files,
     read_table_files,
 )
+from ..functions.naming import TS_RE
 from ..sources.table_store import TableStore
 
 INGESTION_LOG = "ingestion_log"
@@ -145,45 +148,64 @@ class IngestionEngine:
     # work selection (G1 idempotency + O1/O2 queue fairness/throttle)
     # ------------------------------------------------------------------
 
-    def _select_work(self, metas: list[FileMeta]) -> tuple[list[FileMeta], int]:
-        """Anti-join discovered files against terminal log states.
+    def _select_work(
+        self, metas: list[FileMeta]
+    ) -> tuple[list[FileMeta], int, set[tuple[str, str]]]:
+        """Anti-join discovered files against the success log.
 
-        Mirrors the sync_file state machine: the dequeue only selects
-        pending files (processed=1, file_loader.py:247-255); success (2)
-        and failed (-2) are terminal until an explicit requeue
-        (file_ingestion_summary_report.sql:63-67). So a file skips when a
-        prior run logged it success OR failed; :meth:`requeue_failed`
-        re-opens the failed set. Keyed on (file_name, facility_id) exactly
-        as file_loader.py:328-336. Ordered by file name for queue fairness
-        (O1, file_loader.py:254) and capped per run (O2, LIMIT 50000).
+        Mirrors the reference's idempotency dispatch: only ``success`` is
+        terminal — a previously *failed* file is auto-retried on the next
+        run (file_loader.py:413-420 ``is_loaded_failed … 'attempting to
+        reload'``). Keyed on (file_name, facility_id) exactly as
+        file_loader.py:328-336 — the same filename from two facilities is
+        two distinct work items. Queue fairness orders by the filename's
+        14-digit timestamp then name (O1, file_loader.py:254 ``ORDER BY
+        modified_date asc, file_name``), capped per run (O2, LIMIT 50000).
+
+        Returns (selected, n_skipped, retry_pairs) where retry_pairs is
+        the subset of selected (file_name, facility_id) pairs that have a
+        prior 'failed' log row — their partial staging rows must be purged
+        before re-append (a G3 quarantine run ingests the valid rows and
+        still logs the file failed; blind re-append would duplicate them).
         """
         if not metas:
-            return [], 0
+            return [], 0, set()
         cat = catalog_df(self.spark, metas)
         prior = self.store.read_or_empty(INGESTION_LOG, INGESTION_LOG_DDL)
-        terminal = (
-            prior.filter(F.col("status").isin("success", "failed"))
+        success = (
+            prior.filter(F.col("status") == "success")
+            .select("file_name", "facility_id")
+            .distinct()
+        )
+        failed = (
+            prior.filter(F.col("status") == "failed")
             .select("file_name", "facility_id")
             .distinct()
         )
         todo = (
-            cat.join(terminal, ["file_name", "facility_id"], "left_anti")
-            .orderBy("file_name", "facility_id")
-            .select("path")
+            cat.join(success, ["file_name", "facility_id"], "left_anti")
+            .orderBy(
+                F.regexp_extract("file_name", TS_RE, 1), "file_name", "facility_id"
+            )
+            .select("path", "file_name", "facility_id")
         )
         if self.max_files_per_run is not None:
             todo = todo.limit(self.max_files_per_run)
-        keep = {r.path for r in todo.collect()}  # file-level metadata only
+        retry = todo.join(failed, ["file_name", "facility_id"], "left_semi")
+        # file-level metadata only (bounded by the 50k run cap), never rows
+        keep = {r.path for r in todo.collect()}
+        retry_pairs = {(r.file_name, r.facility_id) for r in retry.collect()}
         selected = [m for m in metas if m.path in keep]
-        return selected, len(metas) - len(selected)
+        return selected, len(metas) - len(selected), retry_pairs
 
     def requeue_failed(self, like_pattern: str | None = None) -> int:
-        """Manual requeue (M2): ``UPDATE sync_file SET processed=0 WHERE
-        file_name ILIKE … AND processed != 0``
+        """Bulk status rewrite (M2): ``UPDATE sync_file SET processed=0
+        WHERE file_name ILIKE … AND processed != 0``
         (file_ingestion_summary_report.sql:63-67;
         stg_monitoring_summary.sql:21-23 ``SET processed='N' WHERE
         processed='F'``) as a read-rewrite-overwrite of the log: failed →
-        'requeued', so the next run's anti-join re-selects those files.
+        'requeued'. Failed files already auto-retry (``_select_work``);
+        this is the analyst-facing bulk-requeue parity operation.
         Returns the number of rows requeued."""
         if not self.store.exists(INGESTION_LOG):
             return 0
@@ -206,12 +228,24 @@ class IngestionEngine:
     # ------------------------------------------------------------------
 
     def _ingest_table(
-        self, table: str, group: list[FileMeta], report: IngestReport, now: datetime
+        self,
+        table: str,
+        group: list[FileMeta],
+        report: IngestReport,
+        now: datetime,
+        retry_pairs: set[tuple[str, str]] = frozenset(),
     ) -> list[dict]:
-        paths = [m.path for m in group]
-        by_file: dict[str, dict] = {
-            m.file_name: {
+        """Ingest every file destined for one staging table.
+
+        Any failure inside the table body (read, transform, write) is
+        contained: all of the table's files are audit-logged failed and
+        the run continues with the other tables — the reference logs
+        per-file failure and moves on (file_loader.py:426-439).
+        """
+        by_file: dict[tuple[str, str], dict] = {
+            (m.file_name, m.facility_id): {
                 "meta": m,
+                "raw": 0,
                 "valid": 0,
                 "bad": 0,
                 "corrupt": 0,
@@ -220,43 +254,64 @@ class IngestionEngine:
             for m in group
         }
         try:
-            df = read_table_files(self.spark, table, paths)
-        except Exception as e:  # uninferable schema (e.g. all files empty)
+            self._ingest_table_body(table, group, by_file, retry_pairs)
+        except Exception as e:  # G8 error classification, per-table isolation
+            msg = f"{type(e).__name__}: {str(e)[:ERROR_MSG_CAP]}"
             for st in by_file.values():
-                st["error"] = f"unreadable: {str(e)[:ERROR_MSG_CAP]}"
-            return self._audit_rows(table, by_file, now)
+                if st["error"] is None:
+                    st["error"] = msg
+        return self._audit_rows(table, by_file, now)
 
-        corrupt_counts = {}
-        if CORRUPT_COL in df.columns:
-            corrupt_counts = dict(
-                df.filter(F.col(CORRUPT_COL).isNotNull())
-                .groupBy("_src_file")
-                .count()
-                .collect()
-            )
-            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-
-        data_cols = [c for c in df.columns if c not in _INTERNAL_COLS]
-
-        # G2 transform dispatch
-        for t in self.transforms.get(table, []):
-            df = t(df)
-        data_cols = [c for c in df.columns if c not in _INTERNAL_COLS]
-
-        # F7 null normalization over payload string columns
-        df = normalize_nulls(df, data_cols)
-        # F6 drop all-null payload rows
-        df = df.na.drop(how="all", subset=data_cols)
-
-        # G3 date validation + quarantine split
-        str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
-        date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
-        bad_flag = any_bad_date(date_cols)
-        df = df.withColumn("_bad_date", bad_flag)
+    def _ingest_table_body(
+        self,
+        table: str,
+        group: list[FileMeta],
+        by_file: dict[tuple[str, str], dict],
+        retry_pairs: set[tuple[str, str]],
+    ) -> None:
+        paths = [m.path for m in group]
+        pair_key = ("_src_file", "_src_facility")
+        df = read_table_files(self.spark, table, paths)
+        # Persist BEFORE any query touching the corrupt column: Spark
+        # forbids queries whose JSON-scan schema is only _corrupt_record
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+        # frame is cached; _src_file/_src_facility derive from
+        # input_file_name(), not data columns, so the raw/corrupt stats
+        # below would hit exactly that rule.
         df = df.persist()
         try:
-            valid = df.filter(~F.col("_bad_date")).drop("_bad_date")
-            bad = df.filter(F.col("_bad_date")).drop("_bad_date")
+            # one aggregation pass: rows parsed + corrupt rows per file
+            stats = df.groupBy(*pair_key).agg(
+                F.count("*").alias("n_raw"),
+                F.count(CORRUPT_COL).alias("n_corrupt"),
+            ).collect()
+            for r in stats:
+                st = by_file.get((r["_src_file"], r["_src_facility"]))
+                if st is not None:
+                    st["raw"] = int(r["n_raw"])
+                    st["corrupt"] = int(r["n_corrupt"])
+
+            data = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+            # G2 transform dispatch
+            for t in self.transforms.get(table, []):
+                data = t(data)
+            data_cols = [c for c in data.columns if c not in _INTERNAL_COLS]
+
+            # F7 null normalization over payload string columns
+            data = normalize_nulls(data, data_cols)
+            # F6 drop all-null payload rows
+            data = data.na.drop(how="all", subset=data_cols)
+
+            # G3 date validation + quarantine split
+            str_cols = {
+                f.name for f in data.schema.fields if f.dataType.simpleString() == "string"
+            }
+            date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
+            data = data.withColumn("_bad_date", any_bad_date(date_cols))
+
+            valid = data.filter(~F.col("_bad_date")).drop("_bad_date")
+            bad = data.filter(F.col("_bad_date")).drop("_bad_date")
 
             # lineage (§1.4) + final date casts for valid rows
             def finalize(d: DataFrame, cast_dates: bool) -> DataFrame:
@@ -276,8 +331,21 @@ class IngestionEngine:
                     F.col("_src_facility").alias("stg_datim_id"),
                 )
 
-            valid_counts = dict(valid.groupBy("_src_file").count().collect())
-            bad_counts = dict(bad.groupBy("_src_file").count().collect())
+            valid_counts = {
+                (r["_src_file"], r["_src_facility"]): r["count"]
+                for r in valid.groupBy(*pair_key).count().collect()
+            }
+            bad_counts = {
+                (r["_src_file"], r["_src_facility"]): r["count"]
+                for r in bad.groupBy(*pair_key).count().collect()
+            }
+
+            # retry hygiene: purge any prior partial rows of re-attempted
+            # files before appending, so a retry is exactly-once overall
+            table_retries = retry_pairs & set(by_file)
+            if table_retries:
+                self._purge_file_rows(f"stg_{table}", table_retries)
+                self._purge_file_rows(f"stg_{table}_bad_dates", table_retries)
 
             if valid_counts:
                 self.store.append(
@@ -286,32 +354,60 @@ class IngestionEngine:
             if bad_counts:
                 # quarantine keeps raw (uncast) values for review
                 self.store.append(
-                    f"stg_{table}_bad_dates", finalize(bad, cast_dates=False), self.partition_cols
+                    f"stg_{table}_bad_dates",
+                    finalize(bad, cast_dates=False),
+                    self.partition_cols,
                 )
         finally:
             df.unpersist()
 
-        for fn, st in by_file.items():
-            st["valid"] = int(valid_counts.get(fn, 0))
-            st["bad"] = int(bad_counts.get(fn, 0))
-            st["corrupt"] = int(corrupt_counts.get(fn, 0))
-        return self._audit_rows(table, by_file, now)
+        for key, st in by_file.items():
+            st["valid"] = int(valid_counts.get(key, 0))
+            st["bad"] = int(bad_counts.get(key, 0))
+
+    def _purge_file_rows(self, store_table: str, pairs: set[tuple[str, str]]) -> None:
+        """Remove a retried file's previously-appended rows (keyed on the
+        lineage pair stg_file_name/stg_datim_id) via read-filter-overwrite.
+        The filter includes the partition column (stg_datim_id), so at
+        scale the rewrite prunes to the affected facility partitions."""
+        if not pairs or not self.store.exists(store_table):
+            return
+        cur = self.store.read(store_table)
+        hit = F.lit(False)
+        for f, fac in sorted(pairs):
+            hit = hit | (
+                (F.col("stg_file_name") == f) & (F.col("stg_datim_id") == fac)
+            )
+        if cur.filter(hit).limit(1).count() == 0:
+            return
+        remaining = cur.filter(~hit)
+        if remaining.limit(1).count() == 0:
+            # an empty parquet dir is unreadable (no footer) — drop instead
+            self.store.drop(store_table)
+        else:
+            self.store.overwrite(store_table, remaining, self.partition_cols)
 
     # ------------------------------------------------------------------
     # audit (G4/G6/G8)
     # ------------------------------------------------------------------
 
-    def _audit_rows(self, table: str, by_file: dict[str, dict], now: datetime) -> list[dict]:
+    def _audit_rows(
+        self, table: str, by_file: dict[tuple[str, str], dict], now: datetime
+    ) -> list[dict]:
         rows = []
-        for fn, st in by_file.items():
+        for (fn, _fac), st in by_file.items():
             m: FileMeta = st["meta"]
             if st["error"]:
                 status, err = "failed", st["error"]
             elif st["corrupt"]:
                 status, err = "failed", "malformed JSON"
-            elif st["valid"] + st["bad"] == 0:
-                # G4 (file_loader.py:591-595)
+            elif st["raw"] == 0:
+                # G4 (file_loader.py:591-595) — zero parsed rows
                 status, err = "failed", "JSON file is empty"
+            elif st["valid"] + st["bad"] == 0:
+                # non-empty file whose every row was dropped by cleansing
+                # (F6 all-null drop) — distinct message for triage
+                status, err = "failed", "all rows null after cleansing"
             elif st["bad"]:
                 # G3: valid rows ingested, file still logged failed with
                 # detail (file_loader.py:637-653)
@@ -346,7 +442,7 @@ class IngestionEngine:
 
         metas = discover_files(root)
         report.files_seen = len(metas)
-        selected, skipped = self._select_work(metas)
+        selected, skipped, retry_pairs = self._select_work(metas)
         report.files_skipped = skipped
 
         groups: dict[str, list[FileMeta]] = {}
@@ -355,7 +451,7 @@ class IngestionEngine:
 
         audit: list[dict] = []
         for table, group in sorted(groups.items()):
-            audit.extend(self._ingest_table(table, group, report, start))
+            audit.extend(self._ingest_table(table, group, report, start, retry_pairs))
 
         for row in audit:
             if row["status"] == "success":
