@@ -1,0 +1,307 @@
+"""LLM-pipeline text operators over the ``documents`` table.
+
+The reference is a relational ETL system with no text analytics; these are
+the additive training-data-pipeline operators the north star requires
+(BASELINE.json): exact dedup, token statistics, quality scoring,
+language-ID, SimHash fingerprinting, and binary/multimodal plumbing.
+
+Scale design notes (100 TB):
+* exact dedup groups on a 256-bit content digest — the shuffle carries
+  (digest, id), never document bodies; one hash partitioning, map-side
+  partial MIN/COUNT.
+* all token statistics are per-row projections (zero shuffle) built from
+  split/filter/transform/regexp — whole-stage codegen, no Python UDFs.
+* SimHash is explode → one hash-partitioned groupBy with 16 partial SUM
+  aggregates — one shuffle of (doc_id, 16 ints).
+
+The documents corpus has no exact duplicates by construction, so dedup
+queries first synthesize duplicates deterministically (doc_id % 7 == 0 →
+a copy at doc_id + 10000) — both the Spark plan and the DuckDB oracle
+build the same corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    BPE_RE,
+    EN_BIGRAMS,
+    STOPWORDS,
+    bigram_count,
+    bpe_tokens,
+    punct_count,
+    simhash16_aggs,
+    simhash16_assemble,
+    stopword_hits,
+    token_char_sum,
+    tokens,
+)
+from .registry import query
+
+#: DuckDB twin of functions.text.tokens()
+TOK_SQL = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+
+#: corpus with synthesized exact duplicates (both engines build the same)
+DUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy — never a self-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_documents",
+    oracle=f"""
+    SELECT sha256(text) AS digest,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM ({DUP_CORPUS_SQL})
+    GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group on sha2(text) keeping the smallest id.
+
+    At 100 TB this is THE scalable exact-dedup shape: one groupBy on a
+    256-bit digest (collision-free in practice). The shuffle moves
+    (digest, doc_id) pairs — 40 bytes/row — not document text; partial
+    MIN/COUNT run map-side. Never expressed as a self-join (quadratic on
+    duplicate-heavy corpora).
+    """
+    corpus = _dup_corpus(spark, sf_dir)
+    return corpus.groupBy(F.sha2(F.col("text"), 256).alias("digest")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_frequency_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({TOK_SQL.format(c='text')}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-50 tokens.
+
+    explode → groupBy(token) → TakeOrderedAndProject. Partial counts
+    combine map-side, so the shuffle carries one row per distinct token
+    per partition; top-k is a per-partition heap + driver merge, no
+    global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({TOK_SQL.format(c='text')}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens (letter
+    runs / digit runs / single symbols) + characters. Pure projection —
+    zero shuffle, codegen'd regex."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {TOK_SQL.format(c='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(length(text)
+                - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics: mean token length, stopword ratio,
+    punctuation ratio — the standard pre-training filters (length /
+    symbol / stopword gates). Each ratio is a single double division of
+    exact integers, so values are engine-portable. Zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    withs = d.select("doc_id", "text", toks.alias("toks"))
+    n_tok = F.size("toks")
+    return withs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (token_char_sum("toks").cast("double") / n_tok).alias("avg_token_len"),
+        (stopword_hits("toks").cast("double") / n_tok).alias("stopword_ratio"),
+        (punct_count("text").cast("double") / F.length("text")).alias("punct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (character-n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _en_bigram_sql() -> str:
+    terms = [
+        f"(length(lower(text)) - length(replace(lower(text), '{b}', ''))) / 2"
+        for b in EN_BIGRAMS
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "language_id_ngram",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) AS en_score,
+           CASE WHEN ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) >= 0.02
+                THEN 'en' ELSE 'und' END AS predicted
+    FROM documents
+    """,
+)
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via character-bigram frequency (th/he/er/an density) —
+    the classic n-gram-profile heuristic reduced to marker bigrams.
+    Counting is replace-length arithmetic (portable, codegen'd); one
+    projection, zero shuffle. At scale the marker table extends per
+    language; the plan shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    score = None
+    for b in EN_BIGRAMS:
+        c = bigram_count("text", b)
+        score = c if score is None else score + c
+    en_score = score / F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        en_score.alias("en_score"),
+        F.when(en_score >= 0.02, "en").otherwise("und").alias("predicted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        "SUM(((strpos('0123456789abcdef', substring(md5(t), "
+        f"{j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({TOK_SQL.format(c='text')})) AS t
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("simhash_fingerprint", oracle=_simhash_oracle())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprint.
+
+    Per distinct token, each bit votes ±1 by the parity of an md5 nibble;
+    the fingerprint sets bits with positive vote sums. Near-duplicate
+    documents differ in few bits (Hamming distance), so at scale dedup
+    groups fingerprints by a handful of rotated prefixes instead of
+    comparing pairs. Plan: explode(distinct tokens) → one groupBy with 16
+    partial SUMs — a single shuffle of (doc_id, 16 ints). md5-nibble
+    parity keeps the function reproducible in any SQL engine (the
+    oracle recomputes it exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    votes = tok.groupBy("doc_id").agg(*simhash16_aggs("t"))
+    return votes.select("doc_id", simhash16_assemble().alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal / binary column plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: payload bytes + typed metadata.
+
+    Multimodal assets (image/audio/video) ride through the engine as
+    ``binary`` columns with typed metadata; this query exercises the
+    JVM-side binary path — encode to bytes, byte length, content digest —
+    the same projection a 100 TB media table would run for integrity
+    checks. Decode/feature-extraction lives in operators/multimodal.py
+    (Arrow-batched mapInPandas)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+    )

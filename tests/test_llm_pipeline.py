@@ -1,0 +1,129 @@
+"""Unit tests for the LLM-pipeline operator family beyond the oracle gate:
+multimodal plumbing (mapInPandas, Arrow batches, binary payloads), dedup
+properties, and similarity-search sanity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    fake_decode,
+    frame_sample,
+    media_from_documents,
+    real_decode,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    return media_from_documents(docs)
+
+
+def test_media_schema_and_payload_bytes(spark, media):
+    rows = media.limit(3).collect()
+    assert rows
+    for r in rows:
+        assert isinstance(r["payload"], (bytes, bytearray))
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+        assert r["media_type"] == "image/fake"
+
+
+def test_extract_features_fake_decode(spark, media):
+    out = extract_features(media, decode_fn=fake_decode)
+    assert out.schema == FEATURE_SCHEMA
+    rows = out.collect()
+    n_docs = media.count()
+    assert len(rows) == n_docs
+    # features deterministic: recompute one row driver-side
+    sample = media.orderBy("media_id").limit(1).collect()[0]
+    expect = fake_decode(bytes(sample["payload"]), sample["media_type"])
+    got = next(r for r in rows if r["media_id"] == sample["media_id"])
+    assert got["width"] == expect["width"]
+    assert got["feature"] == expect["feature"]
+    assert all(len(r["feature"]) == 4 for r in rows)
+
+
+def test_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        real_decode(b"abc", "image/png")
+
+
+def test_frame_sample_plan(spark, media):
+    sampled = frame_sample(media, every_n=30)
+    rows = sampled.limit(200).collect()
+    assert rows
+    assert all(r["frame_index"] % 30 == 0 for r in rows)
+    # JVM-only plan: no Python evaluation node before decode
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        exact_dedup_documents,
+    )
+
+    out = exact_dedup_documents(spark, SF_SMALL)
+    rows = out.collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    # every group keeps the smallest id; synthesized dup groups have size 2
+    assert len(rows) == n_docs  # all base texts distinct
+    dup_groups = [r for r in rows if r["n_copies"] == 2]
+    assert dup_groups
+    assert all(r["keeper_doc_id"] < 10000 for r in dup_groups)
+
+
+def test_minhash_finds_synthesized_near_dups(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        minhash_lsh_near_dup,
+    )
+
+    pairs = minhash_lsh_near_dup(spark, SF_SMALL).collect()
+    # independent ground truth, computed driver-side in plain Python:
+    # a mutation (4 appended tokens) has jaccard (n-2)/(n+2) with its
+    # source, so short docs legitimately fall below the 0.7 threshold
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    expected = set()
+    for r in docs:
+        if r["doc_id"] % 7 != 0:
+            continue
+        t1 = r["text"].lower().split()
+        t2 = (r["text"] + " zz yy xx qq").lower().split()
+        s1 = {tuple(t1[i : i + 3]) for i in range(len(t1) - 2)}
+        s2 = {tuple(t2[i : i + 3]) for i in range(len(t2) - 2)}
+        if s1 and len(s1 & s2) / len(s1 | s2) >= 0.7:
+            expected.add((r["doc_id"], r["doc_id"] + 10000))
+    synth = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 10000}
+    assert synth == expected
+    assert expected  # the corpus really contains synthesized near-dups
+    assert all(0.0 < r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        TOP_K,
+        cosine_topk,
+    )
+
+    got = cosine_topk(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    ids = [r["vec_id"] for r in emb]
+    q = M[ids.index(0)]
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    ranked = sorted(
+        [(c, i) for c, i in zip(cos, ids) if i != 0], key=lambda t: (-t[0], t[1])
+    )[:TOP_K]
+    assert [i for _, i in ranked] == [r["vec_id"] for r in got]
+    for (c, _), r in zip(ranked, got):
+        assert math.isclose(c, r["cosine"], abs_tol=1e-6)  # 1e-9 quantization
