@@ -14,7 +14,7 @@ parquet scan, small dimension joins broadcast, aggregations are partial
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -276,23 +276,26 @@ def semi_join_failed_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def self_join_sibling_success(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self equi-join with inequality residual: rows having a sibling in a
-    given state.
+    """Rows having a sibling (same key, different row) in a given state.
 
     Mirrors UPDATE…FROM duplicate repair (duplicates_check.sql:20-23:
     ``a.file_name = b.file_name AND a.id != b.id AND b.processed = 2``).
+    The oracle states it as the literal self equi-join; the Spark plan is
+    the scale-safe aggregate form — a windowed per-key count of
+    qualifying rows, keep rows where a *sibling* qualifies
+    (``n_F - (own is F) > 0``). One hash shuffle on the key, no
+    orders×orders pair explosion on skewed keys (per-key quadratic in
+    the join form; the reference's Postgres leaned on an index instead).
     """
     o = load_table(spark, sf_dir, "orders")
-    a, b = o.alias("a"), o.alias("b")
+    w = W.partitionBy("o_custkey")
+    is_f = F.when(F.col("o_orderstatus") == "F", 1)
+    n_f = F.count(is_f).over(w)
+    own = F.coalesce(is_f, F.lit(0))
     return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_orderkey") != F.col("b.o_orderkey"))
-            & (F.col("b.o_orderstatus") == "F"),
-        )
-        .select(F.col("a.o_orderkey").alias("o_orderkey"))
-        .distinct()
+        o.select("o_orderkey", (n_f - own).alias("_n_sib_f"))
+        .filter(F.col("_n_sib_f") > 0)
+        .select("o_orderkey")
     )
 
 
@@ -696,25 +699,88 @@ def pii_mask_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAW_PROPS_SQL = (
+    """'{"surname":"user' || CAST(user_id AS VARCHAR) || '","note":"' || event_type"""
+    """ || '","phone_number":"' || CAST(event_id AS VARCHAR) || '"}'"""
+)
+_MASKED_PROPS_SQL = (
+    """'{"surname":"******","note":"' || event_type || '","phone_number":"******"}'"""
+)
+
+
+def _pii_json(ev: DataFrame) -> Column:
+    """A synthesized JSON-object string with PII keys (surname,
+    phone_number) and a non-PII key (note) — input for the mask_pii
+    parity queries. The oracle rebuilds the identical string by concat."""
+    return F.to_json(
+        F.create_map(
+            F.lit("surname"),
+            F.concat(F.lit("user"), F.col("user_id").cast("string")),
+            F.lit("note"),
+            F.col("event_type"),
+            F.lit("phone_number"),
+            F.col("event_id").cast("string"),
+        )
+    )
+
+
 @query(
     "json_extract_props",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           '{"k":"******"}' AS masked_props
+           {_RAW_PROPS_SQL} AS raw_props,
+           {_MASKED_PROPS_SQL} AS masked_props
     FROM events
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON parse + key masking + re-serialize (reference mask_pii,
-    file_loader.py:523-536: json.loads → overwrite keys → json.dumps; and
-    the struct rebuild :606). Spark-first: get_json_object / to_json(map)
-    — JVM expressions, no Python UDF."""
+    file_loader.py:523-536: json.loads → overwrite 5 keys if present →
+    json.dumps). Spark-first: the real ``mask_json_keys`` pipeline —
+    from_json(map) → transform_values → to_json — applied to a
+    synthesized JSON column holding PII and non-PII keys; the oracle
+    constructs the masked rewrite independently, so the entry fails if
+    the masking expression breaks. get_json_object covers the extract
+    side. All JVM expressions, no Python UDF."""
+    from ..functions.masking import mask_json_keys
+
     ev = load_table(spark, sf_dir, "events")
+    raw = _pii_json(ev)
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
-        F.to_json(F.create_map(F.lit("k"), F.lit("******"))).alias("masked_props"),
+        raw.alias("raw_props"),
+        mask_json_keys(raw).alias("masked_props"),
+    )
+
+
+@query(
+    "struct_field_mask",
+    oracle=f"""
+    SELECT event_id,
+           event_type AS extra_type,
+           {_MASKED_PROPS_SQL} AS extra_value_masked
+    FROM events
+    """,
+)
+def struct_field_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct field access + rebuild (C11, reference file_loader.py:606:
+    ``{'type': x['type'], 'value': mask_pii(x['value'])}``): build a
+    struct<type,value>, mask inside ``value`` via withField, read both
+    fields back. Verifies ``mask_struct_value`` end-to-end against an
+    independently-constructed oracle string."""
+    from ..functions.masking import mask_struct_value
+
+    ev = load_table(spark, sf_dir, "events")
+    extra = F.struct(
+        F.col("event_type").alias("type"), _pii_json(ev).alias("value")
+    )
+    masked = mask_struct_value(extra)
+    return ev.select(
+        "event_id",
+        masked.getField("type").alias("extra_type"),
+        masked.getField("value").alias("extra_value_masked"),
     )
 
 
