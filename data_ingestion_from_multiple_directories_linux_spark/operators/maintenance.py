@@ -1,0 +1,199 @@
+"""Maintenance / retention operators (SURVEY.md §2.10 M5–M6, §2.2 K3, §2.9 C15).
+
+The reference runs these as scheduled jobs against PostgreSQL + the upload
+filesystem; here they are TableStore read-modify-write jobs:
+
+* **staged-record deletion** (M5, reference
+  stg_records_deletion_process.py:12-67): per staging table, delete the
+  records already migrated to the ODS layer — ``CALL
+  proc_delete_stg_records(table)`` fanned 10 tables at a time. Spark:
+  a left-anti join of the staging table against the migrated-key set,
+  then atomic overwrite. The thread fan-out disappears — each table is
+  one distributed job and the scheduler pipelines them.
+* **retention file deletion** (M6, reference
+  automate_file_delete.py:87-151): find fully-processed files with no
+  deletion-log row (anti join J1), re-count their JSON records, remove
+  the files, log. Driver-side file ops on file *metadata* only.
+* **CSV export of quarantine tables** (K3, reference
+  automate_table_extraction.py:47-72): every ``*_bad_dates`` table
+  dumped with headers for analyst review.
+* **size pretty-print** (C15, reference table_sizes.sql:2
+  ``pg_size_pretty``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.table_store import TableStore
+
+FILE_DELETION_LOG = "file_deletion_log"
+FILE_DELETION_LOG_DDL = (
+    "file_name string, facility_id string, json_rec_count bigint, "
+    "status string, deleted_time timestamp"
+)
+
+#: deletion batch cap (reference automate_file_delete.py:103 LIMIT 13000)
+DELETE_BATCH_CAP = 13_000
+
+
+# ---------------------------------------------------------------------------
+# M5 — staged-record deletion (ODS-migrated rows)
+# ---------------------------------------------------------------------------
+
+
+def delete_migrated_records(
+    store: TableStore,
+    migrated_keys: DataFrame,
+    key_col: str = "uuid",
+    table_pattern: str = r"^stg_",
+    exclude: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Delete rows whose ``key_col`` appears in ``migrated_keys`` from every
+    staging table matching ``table_pattern`` (minus ``exclude``).
+
+    ≙ reference proc_delete_stg_records fan-out
+    (stg_records_deletion_process.py:31-50 table-list scan with NOT IN,
+    :63-67 batches of 10 threads). Spark-first: per table one left-anti
+    join + atomic overwrite; the migrated-key set is broadcast when small
+    (typical: keys of one ODS load), so the staging table never shuffles.
+    Returns {table: rows_deleted}.
+    """
+    out: dict[str, int] = {}
+    keys = migrated_keys.select(key_col).distinct()
+    for table in store.list_tables(table_pattern):
+        if table in exclude or table.endswith("_bad_dates"):
+            continue
+        cur = store.read(table)
+        if key_col not in cur.columns:
+            continue
+        remaining = cur.join(F.broadcast(keys), key_col, "left_anti")
+        n_before = cur.count()
+        n_after = remaining.count()
+        if n_after < n_before:
+            if n_after == 0:
+                store.drop(table)
+            else:
+                store.overwrite(table, remaining)
+        out[table] = n_before - n_after
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M6 — retention file deletion
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RetentionReport:
+    files_deleted: int = 0
+    files_missing: int = 0
+    records_counted: int = 0
+
+
+def delete_processed_files(
+    spark: SparkSession,
+    store: TableStore,
+    ingestion_log: DataFrame,
+    uploads_root: str,
+    batch_cap: int = DELETE_BATCH_CAP,
+) -> RetentionReport:
+    """Remove source files whose ingestion reached a terminal state and
+    that are not yet in the deletion log.
+
+    Mirrors automate_file_delete.py:87-151: select sync_file rows with
+    ``processed IN (2,-2)`` and NO matching row in file_deletion_log
+    (NOT EXISTS → left-anti join, J1), LIMIT 13000, re-count each file's
+    JSON records for the log, delete the file, insert a log row. File
+    ops touch metadata + the files themselves — row data never reaches
+    the driver.
+    """
+    terminal = ingestion_log.filter(
+        F.col("status").isin("success", "failed")
+    ).select("file_name", "facility_id").distinct()
+    prior = store.read_or_empty(FILE_DELETION_LOG, FILE_DELETION_LOG_DDL).select(
+        "file_name", "facility_id"
+    )
+    todo = (
+        terminal.join(prior, ["file_name", "facility_id"], "left_anti")
+        .orderBy("facility_id", "file_name")
+        .limit(batch_cap)
+    )
+    rep = RetentionReport()
+    rows = []
+    for r in todo.collect():  # file metadata only, capped at 13k
+        path = os.path.join(uploads_root, r["facility_id"], r["file_name"])
+        if not os.path.exists(path):
+            rep.files_missing += 1
+            rows.append((r["file_name"], r["facility_id"], 0, "missing"))
+            continue
+        # re-count records before deletion (automate_file_delete.py:41-57)
+        try:
+            with open(path) as f:
+                n = len(json.load(f))
+        except Exception:
+            n = 0
+        os.remove(path)
+        rep.files_deleted += 1
+        rep.records_counted += n
+        rows.append((r["file_name"], r["facility_id"], n, "deleted"))
+    if rows:
+        log_df = spark.createDataFrame(
+            [(*row, None) for row in rows],
+            FILE_DELETION_LOG_DDL,
+        ).withColumn("deleted_time", F.current_timestamp())
+        store.append(FILE_DELETION_LOG, log_df)
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# K3 — CSV export of quarantine tables
+# ---------------------------------------------------------------------------
+
+
+def export_bad_dates_csv(store: TableStore, out_dir: str) -> dict[str, str]:
+    """Dump every ``*_bad_dates`` table to a header'd CSV directory
+    (reference automate_table_extraction.py:47-72: ILIKE '%_bad_dates'
+    table-list scan + per-table SELECT * + to_csv). Returns
+    {table: csv_path}. Distributed write — one CSV part per partition;
+    ``coalesce(1)`` only if analysts need a single file (kept default
+    here: quarantine tables are small)."""
+    out: dict[str, str] = {}
+    for table in store.list_tables(r"_bad_dates$"):
+        path = os.path.join(out_dir, table)
+        store.read(table).coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+        out[table] = path
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C15 — size pretty-print
+# ---------------------------------------------------------------------------
+
+
+def size_pretty(n_bytes: int) -> str:
+    """pg_size_pretty-style formatting (reference table_sizes.sql:2)."""
+    units = ["bytes", "kB", "MB", "GB", "TB", "PB"]
+    val = float(n_bytes)
+    for unit in units:
+        if val < 1024 or unit == units[-1]:
+            if unit == "bytes":
+                return f"{int(val)} {unit}"
+            return f"{val:.1f} {unit}"
+        val /= 1024
+    raise AssertionError("unreachable")
+
+
+def table_sizes_pretty(store: TableStore, top_n: int = 100) -> list[tuple[str, int, str]]:
+    """Top-N tables by on-disk size with pretty-printed size (reference
+    table_sizes.sql:1-11)."""
+    return [
+        (name, size, size_pretty(size)) for name, size in store.table_sizes(top_n)
+    ]

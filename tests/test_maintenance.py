@@ -1,0 +1,137 @@
+"""Tests for maintenance/retention operators (M5, M6, K3, C15) over
+TableStore fixtures + the ingestion engine's outputs."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+    INGESTION_LOG,
+    IngestionEngine,
+)
+from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+    FILE_DELETION_LOG,
+    delete_migrated_records,
+    delete_processed_files,
+    export_bad_dates_csv,
+    size_pretty,
+    table_sizes_pretty,
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import TableStore
+from tests.test_ingest_engine import patient, write_json
+
+
+def test_delete_migrated_records(spark, tmp_path):
+    """M5: rows whose uuid reached the ODS are removed from every stg_*
+    table; unmigrated rows and excluded tables survive."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "stg_alpha",
+        spark.createDataFrame(
+            [(i, f"u-{i}") for i in range(10)], "id long, uuid string"
+        ),
+    )
+    store.append(
+        "stg_beta",
+        spark.createDataFrame(
+            [(i, f"u-{i}") for i in range(4)], "id long, uuid string"
+        ),
+    )
+    store.append(  # no uuid column → skipped
+        "stg_nokey", spark.createDataFrame([(1,)], "id long")
+    )
+    migrated = spark.createDataFrame(
+        [(f"u-{i}",) for i in range(0, 10, 2)], "uuid string"
+    )
+    deleted = delete_migrated_records(store, migrated)
+    assert deleted == {"stg_alpha": 5, "stg_beta": 2}
+    assert store.read("stg_alpha").count() == 5
+    assert {r["uuid"] for r in store.read("stg_alpha").collect()} == {
+        f"u-{i}" for i in range(1, 10, 2)
+    }
+    assert store.read("stg_nokey").count() == 1
+
+
+def test_delete_migrated_drops_fully_migrated_table(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "stg_all_gone",
+        spark.createDataFrame([(1, "u-1")], "id long, uuid string"),
+    )
+    migrated = spark.createDataFrame([("u-1",)], "uuid string")
+    deleted = delete_migrated_records(store, migrated)
+    assert deleted == {"stg_all_gone": 1}
+    assert not store.exists("stg_all_gone")
+
+
+def test_retention_deletes_processed_files_once(spark, tmp_path):
+    """M6: terminal files with no deletion-log row are counted, removed,
+    and logged; a second run is a no-op (anti join vs the log)."""
+    uploads = str(tmp_path / "up")
+    eng = IngestionEngine(spark, str(tmp_path / "wh"), max_files_per_run=None)
+    p1 = write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+                    [patient(i) for i in range(3)])
+    p2 = write_json(uploads, "FAC002", "patient_person_0_20250103141950.json",
+                    [patient(9)])
+    eng.run(uploads)
+
+    log = eng.store.read(INGESTION_LOG)
+    rep = delete_processed_files(spark, eng.store, log, uploads)
+    assert rep.files_deleted == 2
+    assert rep.records_counted == 4
+    assert not os.path.exists(p1) and not os.path.exists(p2)
+    dlog = eng.store.read(FILE_DELETION_LOG)
+    assert dlog.count() == 2
+    assert {r["status"] for r in dlog.collect()} == {"deleted"}
+
+    rep2 = delete_processed_files(spark, eng.store, log, uploads)
+    assert rep2.files_deleted == 0 and rep2.files_missing == 0
+    assert eng.store.read(FILE_DELETION_LOG).count() == 2
+
+
+def test_retention_logs_missing_files(spark, tmp_path):
+    uploads = str(tmp_path / "up")
+    eng = IngestionEngine(spark, str(tmp_path / "wh"), max_files_per_run=None)
+    p = write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+                   [patient(0)])
+    eng.run(uploads)
+    os.remove(p)  # vanished out-of-band
+    rep = delete_processed_files(spark, eng.store, eng.store.read(INGESTION_LOG), uploads)
+    assert rep.files_deleted == 0
+    assert rep.files_missing == 1
+    assert {r["status"] for r in eng.store.read(FILE_DELETION_LOG).collect()} == {"missing"}
+
+
+def test_export_bad_dates_csv(spark, tmp_path):
+    """K3: every *_bad_dates table lands as a header'd CSV."""
+    uploads = str(tmp_path / "up")
+    eng = IngestionEngine(spark, str(tmp_path / "wh"), max_files_per_run=None)
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0), patient(1, dob="not-a-date")])
+    eng.run(uploads)
+    out = export_bad_dates_csv(eng.store, str(tmp_path / "csv"))
+    assert list(out) == ["stg_patient_person_bad_dates"]
+    files = glob.glob(os.path.join(out["stg_patient_person_bad_dates"], "*.csv"))
+    assert files
+    with open(files[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert rows[0]["date_of_birth"] == "not-a-date"
+
+
+def test_size_pretty_and_table_sizes(spark, tmp_path):
+    assert size_pretty(512) == "512 bytes"
+    assert size_pretty(2048) == "2.0 kB"
+    assert size_pretty(5 * 1024**2) == "5.0 MB"
+    assert size_pretty(3 * 1024**4) == "3.0 TB"
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append("t1", spark.range(1000))
+    store.append("t2", spark.range(10))
+    sizes = table_sizes_pretty(store)
+    assert [s[0] for s in sizes] == ["t1", "t2"]  # ordered by size desc
+    assert all(isinstance(s[1], int) and s[2].endswith(("bytes", "kB", "MB")) for s in sizes)
