@@ -28,6 +28,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     relational,  # noqa: F401
     similarity,  # noqa: F401
     text_analysis,  # noqa: F401
+    windows,  # noqa: F401
 )
 from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (  # noqa: E402
     ORACLES,

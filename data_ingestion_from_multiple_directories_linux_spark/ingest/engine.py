@@ -78,6 +78,52 @@ ERROR_MSG_CAP = 10_000
 _INTERNAL_COLS = ("_src_file", "_src_facility", CORRUPT_COL)
 
 
+def cleanse_and_split(
+    table: str, data: DataFrame, transforms: dict[str, list]
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """The shared per-table cleansing pipeline (G2 + F6/F7 + G3):
+    transform dispatch → null-sentinel normalization → all-null drop →
+    date-validation quarantine split. ``data`` must be corrupt-free rows
+    carrying the _src_file/_src_facility lineage columns. Returns
+    (valid, bad, date_cols). Used by both the batch engine and the
+    streaming foreachBatch path — identical semantics by construction."""
+    for t in transforms.get(table, []):
+        data = t(data)
+    data_cols = [c for c in data.columns if c not in _INTERNAL_COLS]
+    data = normalize_nulls(data, data_cols)
+    data = data.na.drop(how="all", subset=data_cols)
+    str_cols = {
+        f.name for f in data.schema.fields if f.dataType.simpleString() == "string"
+    }
+    date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
+    data = data.withColumn("_bad_date", any_bad_date(date_cols))
+    valid = data.filter(~F.col("_bad_date")).drop("_bad_date")
+    bad = data.filter(F.col("_bad_date")).drop("_bad_date")
+    return valid, bad, date_cols
+
+
+def finalize_lineage(
+    d: DataFrame, date_cols: list[str], cast_dates: bool
+) -> DataFrame:
+    """Append the four lineage columns (§1.4, file_loader.py:630-633) and
+    cast validated date columns to timestamp (quarantine keeps raw)."""
+    from ..functions.naming import batch_of
+
+    cols: list[Column] = []
+    for c in [c for c in d.columns if c not in _INTERNAL_COLS]:
+        if cast_dates and c in date_cols:
+            cols.append(try_parse_timestamp(c).alias(c))
+        else:
+            cols.append(F.col(c))
+    return d.select(
+        *cols,
+        batch_of(F.col("_src_file")).alias("stg_batch_id"),
+        F.current_timestamp().alias("stg_load_time"),
+        F.col("_src_file").alias("stg_file_name"),
+        F.col("_src_facility").alias("stg_datim_id"),
+    )
+
+
 def _default_transforms() -> dict[str, list]:
     """Per-table transform dispatch table (G2, file_loader.py:597-621).
 
@@ -293,43 +339,8 @@ class IngestionEngine:
 
             data = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
-            # G2 transform dispatch
-            for t in self.transforms.get(table, []):
-                data = t(data)
-            data_cols = [c for c in data.columns if c not in _INTERNAL_COLS]
-
-            # F7 null normalization over payload string columns
-            data = normalize_nulls(data, data_cols)
-            # F6 drop all-null payload rows
-            data = data.na.drop(how="all", subset=data_cols)
-
-            # G3 date validation + quarantine split
-            str_cols = {
-                f.name for f in data.schema.fields if f.dataType.simpleString() == "string"
-            }
-            date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
-            data = data.withColumn("_bad_date", any_bad_date(date_cols))
-
-            valid = data.filter(~F.col("_bad_date")).drop("_bad_date")
-            bad = data.filter(F.col("_bad_date")).drop("_bad_date")
-
-            # lineage (§1.4) + final date casts for valid rows
-            def finalize(d: DataFrame, cast_dates: bool) -> DataFrame:
-                cols: list[Column] = []
-                for c in [c for c in d.columns if c not in _INTERNAL_COLS]:
-                    if cast_dates and c in date_cols:
-                        cols.append(try_parse_timestamp(c).alias(c))
-                    else:
-                        cols.append(F.col(c))
-                from ..functions.naming import batch_of
-
-                return d.select(
-                    *cols,
-                    batch_of(F.col("_src_file")).alias("stg_batch_id"),
-                    F.current_timestamp().alias("stg_load_time"),
-                    F.col("_src_file").alias("stg_file_name"),
-                    F.col("_src_facility").alias("stg_datim_id"),
-                )
+            # G2 + F6/F7 + G3 shared cleansing pipeline
+            valid, bad, date_cols = cleanse_and_split(table, data, self.transforms)
 
             valid_counts = {
                 (r["_src_file"], r["_src_facility"]): r["count"]
@@ -349,13 +360,15 @@ class IngestionEngine:
 
             if valid_counts:
                 self.store.append(
-                    f"stg_{table}", finalize(valid, cast_dates=True), self.partition_cols
+                    f"stg_{table}",
+                    finalize_lineage(valid, date_cols, cast_dates=True),
+                    self.partition_cols,
                 )
             if bad_counts:
                 # quarantine keeps raw (uncast) values for review
                 self.store.append(
                     f"stg_{table}_bad_dates",
-                    finalize(bad, cast_dates=False),
+                    finalize_lineage(bad, date_cols, cast_dates=False),
                     self.partition_cols,
                 )
         finally:

@@ -1,0 +1,121 @@
+"""Time-window aggregations over ``events`` (SURVEY.md §2.12 streaming
+surface — new capability beyond the reference, driven by the events test
+table).
+
+Each query is written against the batch DataFrame, but the expressions
+(``F.window`` / ``F.session_window``) are exactly what runs under
+``readStream`` with a watermark — the streaming e2e test reuses them; the
+DuckDB oracle recomputes the windows relationally (time_bucket /
+gaps-and-islands), so the window semantics themselves are verified.
+
+Scale: window aggregation is a single hash shuffle on (window, keys) with
+map-side partial aggregation; in streaming mode the watermark bounds
+state (late rows beyond it are dropped), and session windows merge in the
+state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+SESSION_GAP = "30 minutes"
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window event counts per type — the canonical
+    streaming aggregate (``readStream … withWatermark …
+    groupBy(window(ts, '1 hour'), event_type)``); both engines align
+    windows to the epoch."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w, "event_type").agg(F.count("*").alias("n")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL 2 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                       time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in two
+    overlapping windows (Spark expands this inside the window exec; the
+    oracle expands it explicitly via unnest of the two phase-shifted
+    buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return ev.groupBy(w).agg(F.count("*").alias("n")).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+    )
+
+
+@query(
+    "session_window_stats",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL {SESSION_GAP}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {SESSION_GAP} AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``F.session_window`` — merges events while the gap to the session
+    end is < 30 min; a gap >= 30 min starts a new session, which is what
+    the oracle's gaps-and-islands lag/cumsum reconstruction encodes).
+    The streaming twin uses the same expression with
+    ``applyInPandasWithState``-free native session state."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", SESSION_GAP)
+    return ev.groupBy("user_id", sw).agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

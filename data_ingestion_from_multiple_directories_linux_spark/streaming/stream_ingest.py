@@ -1,0 +1,191 @@
+"""Streaming ingestion (SURVEY.md M4): the reference's cron micro-batch
+loop as a Structured Streaming file source.
+
+Mapping to the reference's operating model:
+
+* ``readStream.json(<root>/*/<table>_*.json)`` — the upload tree scan
+  (file_loader.py:264-265), one stream per target table so each stream
+  has one schema (the reference routes by filename the same way,
+  file_loader.py:288-309);
+* file-source checkpoint — the sync_file processed-state machine
+  (file_loader.py:247-278): a file is consumed exactly once across
+  restarts, no manual idempotency joins;
+* ``trigger(availableNow=True)`` — one cron tick (processes everything
+  pending, then stops), replacing cron + the pgrep single-instance lock
+  (orchestrate_file_ingestion.sh:16-26, G7): a second concurrent start
+  on the same checkpoint is refused by the streaming engine;
+* ``foreachBatch`` — runs the SAME cleanse/quarantine/lineage pipeline
+  as the batch engine (ingest.engine.cleanse_and_split /
+  finalize_lineage) and appends staging + audit rows per micro-batch;
+* ``maxFilesPerTrigger`` — the batch-size throttle (O2, LIMIT 50000).
+
+Scale: the file source lists and tracks files on the driver exactly like
+the batch catalog; data reads are distributed; checkpoint state grows
+with file count and is compacted by Spark. ``cleanSource='archive'`` can
+replace the M6 retention job where post-hoc auditing of raw files is not
+required.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..ingest.engine import (
+    INGESTION_LOG,
+    _default_transforms,
+    cleanse_and_split,
+    finalize_lineage,
+)
+from ..sources.json_dir import CORRUPT_COL
+from ..sources.schemas import schema_for_table
+from ..sources.table_store import TableStore
+
+
+class StreamingIngestion:
+    """One streaming pipeline per (upload root, target table)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        root: str,
+        table: str,
+        checkpoint_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+        partition_by_facility: bool = True,
+    ) -> None:
+        schema = schema_for_table(table)
+        if schema is None:
+            raise ValueError(
+                f"streaming ingestion needs a registered schema for {table!r}; "
+                "the file source cannot infer per-batch (add it to "
+                "sources.schemas.TABLE_SCHEMAS)"
+            )
+        self.spark = spark
+        self.store = TableStore(spark, warehouse)
+        self.root = root
+        self.table = table
+        self.schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+        self.checkpoint = checkpoint_dir or os.path.join(
+            warehouse, f"_checkpoints/{table}"
+        )
+        self.max_files_per_trigger = max_files_per_trigger
+        self.transforms = _default_transforms()
+        self.partition_cols = ("stg_datim_id",) if partition_by_facility else ()
+
+    # ------------------------------------------------------------------
+
+    def _source(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.format("json")
+            .schema(self.schema)
+            .option("multiLine", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        pattern = os.path.join(self.root, "*", f"{self.table}_*.json")
+        df = reader.load(pattern)
+        parts = F.split(F.input_file_name(), "/")
+        return df.withColumn("_src_file", F.element_at(parts, -1)).withColumn(
+            "_src_facility", F.element_at(parts, -2)
+        )
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """The per-micro-batch sink: same pipeline as the batch engine,
+        plus per-file audit rows computed from the batch itself."""
+        batch = batch.persist()
+        valid = bad = None
+        try:
+            data = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            valid, bad, date_cols = cleanse_and_split(
+                self.table, data, self.transforms
+            )
+            valid = valid.persist()
+            bad = bad.persist()
+            if not valid.isEmpty():
+                self.store.append(
+                    f"stg_{self.table}",
+                    finalize_lineage(valid, date_cols, cast_dates=True),
+                    self.partition_cols,
+                )
+            if not bad.isEmpty():
+                self.store.append(
+                    f"stg_{self.table}_bad_dates",
+                    finalize_lineage(bad, date_cols, cast_dates=False),
+                    self.partition_cols,
+                )
+
+            # audit: one row per file in this micro-batch (G6)
+            key = ["_src_file", "_src_facility"]
+            stats = (
+                batch.groupBy(*key)
+                .agg(
+                    F.count("*").alias("n_raw"),
+                    F.count(CORRUPT_COL).alias("n_corrupt"),
+                )
+                .join(
+                    valid.groupBy(*key).agg(F.count("*").alias("n_valid")),
+                    key,
+                    "left",
+                )
+                .join(
+                    bad.groupBy(*key).agg(F.count("*").alias("n_bad")), key, "left"
+                )
+                .na.fill(0, ["n_valid", "n_bad"])
+            )
+            from ..functions.naming import batch_of
+
+            audit = stats.select(
+                F.col("_src_file").alias("file_name"),
+                F.col("_src_facility").alias("facility_id"),
+                F.lit(f"stg_{self.table}").alias("table_name"),
+                batch_of(F.col("_src_file")).alias("batch_id"),
+                F.when(F.col("n_corrupt") > 0, "failed")
+                .when(F.col("n_raw") == 0, "failed")
+                .when(F.col("n_bad") > 0, "failed")
+                .otherwise("success")
+                .alias("status"),
+                F.col("n_valid").cast("long").alias("json_rec_count"),
+                F.col("n_bad").cast("long").alias("bad_rec_count"),
+                F.when(F.col("n_corrupt") > 0, "malformed JSON")
+                .when(F.col("n_raw") == 0, "JSON file is empty")
+                .when(
+                    F.col("n_bad") > 0,
+                    F.concat(
+                        F.col("n_bad").cast("string"),
+                        F.lit(" record(s) failed date validation (quarantined)"),
+                    ),
+                )
+                .alias("error_message"),
+                F.current_timestamp().alias("load_start_time"),
+                F.current_timestamp().alias("load_end_time"),
+            )
+            self.store.append(INGESTION_LOG, audit)
+        finally:
+            for df in (bad, valid):
+                if df is not None:
+                    df.unpersist()
+            batch.unpersist()
+
+    # ------------------------------------------------------------------
+
+    def run_available_now(self) -> None:
+        """One cron tick: ingest every pending file, then stop (G7 —
+        the checkpoint refuses concurrent runs; rerun = no-op unless new
+        files arrived)."""
+        q = (
+            self._source()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
