@@ -57,6 +57,11 @@ INGESTION_LOG = "ingestion_log"
 STG_MONITORING = "stg_monitoring"
 PIPELINE_LOG = "pipeline_log"
 PARTNER_MAPPING = "central_partner_mapping"
+PROCESS_SUMMARY = "process_summary_report"
+
+
+class ConcurrentRunError(RuntimeError):
+    """Another ingestion run holds the single-instance lock (G7)."""
 
 INGESTION_LOG_DDL = (
     "file_name string, facility_id string, table_name string, batch_id string, "
@@ -223,8 +228,12 @@ class IngestionEngine:
             .select("file_name", "facility_id")
             .distinct()
         )
+        # retry hygiene applies to files failed OR bulk-requeued: either
+        # way prior partial rows may exist in staging and must be purged
+        # before the re-append (ADVICE: requeue_failed previously left
+        # them, duplicating staging data on re-ingest)
         failed = (
-            prior.filter(F.col("status") == "failed")
+            prior.filter(F.col("status").isin("failed", "requeued"))
             .select("file_name", "facility_id")
             .distinct()
         )
@@ -449,6 +458,32 @@ class IngestionEngine:
     # ------------------------------------------------------------------
 
     def run(self, root: str, process_type: str = "file_ingestion") -> IngestReport:
+        """Single-instance-locked run (G7: the reference's
+        ``pgrep -f $SCRIPT`` skip-if-running,
+        orchestrate_file_ingestion.sh:16-26 — here an O_EXCL lock file in
+        the warehouse; streaming mode gets this for free from the
+        checkpoint). Raises :class:`ConcurrentRunError` if locked."""
+        import os
+
+        lock_path = self.store.path(".run.lock")
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentRunError(
+                f"ingestion already running (lock {lock_path}); remove the "
+                "lock file if the prior run died"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return self._run_locked(root, process_type)
+        finally:
+            try:
+                os.remove(lock_path)
+            except OSError:
+                pass
+
+    def _run_locked(self, root: str, process_type: str) -> IngestReport:
         start = datetime.now()
         run_id = f"IPID_{start:%Y%m%d_%H_%M_%S}"  # C6, file_ingestion_process.py:52
         report = IngestReport(run_id=run_id)
@@ -509,6 +544,32 @@ class IngestionEngine:
         )
         self.store.append(PIPELINE_LOG, run_df)
         return report
+
+    # ------------------------------------------------------------------
+    # K4 — INSERT…SELECT summary report (pcs_summary_report.py:25-34)
+    # ------------------------------------------------------------------
+
+    def write_summary_report(self) -> DataFrame:
+        """Materialize the state-machine summary into
+        ``process_summary_report`` (K4/A3): one row of per-status file
+        counts + record totals, appended with a report timestamp —
+        the reference's INSERT…SELECT of SUM(CASE WHEN processed=k…)
+        buckets (pcs_summary_report.py:27-33)."""
+        log = self.store.read_or_empty(INGESTION_LOG, INGESTION_LOG_DDL)
+
+        def bucket(status: str) -> Column:
+            return F.count(F.when(F.col("status") == status, 1))
+
+        summary = log.agg(
+            F.count("*").alias("total_files"),
+            bucket("success").alias("n_success"),
+            bucket("failed").alias("n_failed"),
+            bucket("requeued").alias("n_requeued"),
+            F.coalesce(F.sum("json_rec_count"), F.lit(0)).alias("records_ingested"),
+            F.coalesce(F.sum("bad_rec_count"), F.lit(0)).alias("records_quarantined"),
+        ).withColumn("report_time", F.current_timestamp())
+        self.store.append(PROCESS_SUMMARY, summary)
+        return self.store.read(PROCESS_SUMMARY)
 
     # ------------------------------------------------------------------
     # post-ingest side effect (file_loader.py:199-232)

@@ -1,0 +1,103 @@
+"""Tests for round-2 engine additions: requeue purge hygiene, the G7
+single-instance lock, the K4 summary report, and the pandas-UDF escape
+hatch (G2 custom transforms)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_from_multiple_directories_linux_spark.functions.udfs import (
+    column_transform,
+    normalize_whitespace,
+)
+from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+    INGESTION_LOG,
+    PROCESS_SUMMARY,
+    ConcurrentRunError,
+    IngestionEngine,
+)
+from tests.test_ingest_engine import patient, write_json
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return IngestionEngine(spark, str(tmp_path / "wh"), max_files_per_run=None)
+
+
+@pytest.fixture()
+def uploads(tmp_path) -> str:
+    d = tmp_path / "uploads"
+    d.mkdir()
+    return str(d)
+
+
+def test_requeued_file_purges_prior_rows(engine, uploads):
+    """A bulk-requeued file (valid rows already appended on the failed
+    first pass) must not duplicate staging rows when re-ingested."""
+    fn = "patient_person_0_20250103141949.json"
+    write_json(uploads, "FAC001", fn,
+               [patient(0), patient(1), patient(2, dob="broken")])
+    engine.run(uploads)
+    assert engine.store.read("stg_patient_person").count() == 2
+
+    assert engine.requeue_failed() == 1
+    write_json(uploads, "FAC001", fn, [patient(i) for i in range(3)])
+    engine.run(uploads)
+    stg = engine.store.read("stg_patient_person")
+    assert stg.count() == 3  # purged the 2 partial rows first
+    assert stg.select("id").distinct().count() == 3
+
+
+def test_single_instance_lock(engine, uploads):
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0)])
+    lock = engine.store.path(".run.lock")
+    with open(lock, "w") as f:
+        f.write("999999")
+    with pytest.raises(ConcurrentRunError):
+        engine.run(uploads)
+    os.remove(lock)
+    rep = engine.run(uploads)  # lock released → runs
+    assert rep.files_ingested == 1
+    assert not os.path.exists(lock)  # released after the run
+
+
+def test_summary_report_materialization(engine, uploads):
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0), patient(1)])
+    write_json(uploads, "FAC001", "patient_person_1_20250103142000.json", [])
+    engine.run(uploads)
+    out = engine.write_summary_report()
+    row = out.collect()[0]
+    assert row["total_files"] == 2
+    assert row["n_success"] == 1
+    assert row["n_failed"] == 1
+    assert row["records_ingested"] == 2
+    assert row["report_time"] is not None
+    # append-only report table: second materialization adds a row
+    engine.write_summary_report()
+    assert engine.store.read(PROCESS_SUMMARY).count() == 2
+
+
+def test_pandas_udf_custom_transform(engine, uploads):
+    """G2 escape hatch: an Arrow-batched pandas UDF registered in the
+    per-table dispatch runs inside the ingest pipeline."""
+    engine.transforms["notes"] = [
+        column_transform("body", normalize_whitespace)
+    ]
+    recs = [{"id": 1, "body": "  hello   world \n"},
+            {"id": 2, "body": "ok"}]
+    write_json(uploads, "FAC001", "notes_0_20250103141949.json", recs)
+    rep = engine.run(uploads)
+    assert rep.files_ingested == 1
+    vals = {r["id"]: r["body"]
+            for r in engine.store.read("stg_notes").select("id", "body").collect()}
+    assert vals == {1: "hello world", 2: "ok"}
+
+
+def test_column_transform_tolerates_missing_column(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = column_transform("nope", normalize_whitespace)(df)
+    assert out.columns == ["id"]
