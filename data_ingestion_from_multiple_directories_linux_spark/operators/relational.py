@@ -505,6 +505,78 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderstatus", "o_orderpriority").distinct()
 
 
+@query(
+    "except_open_not_failed",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_open_not_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers with open orders and no failed
+    ones. Beyond the reference's UNION/DISTINCT surface (§2.8 notes
+    Spark provides these anyway); plans as a left-anti join after
+    distinct — no sort, hash-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    failed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep leftover
+    # multiplicities of custkeys present on both sides
+    return open_.subtract(failed)
+
+
+@query(
+    "intersect_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers appearing in both states (plans as a
+    left-semi join after distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    failed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(failed)
+
+
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status×priority → grand total)
+    in one pass — free capability beyond the reference's flat GROUP BYs
+    (§2.5 note); partial aggregation applies per grouping set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filters (F3 not-in, F4 regex, F9 between) + grouped counts (A4)
 # ---------------------------------------------------------------------------

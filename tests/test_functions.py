@@ -1,0 +1,134 @@
+"""Edge-case unit tests for the expression libraries (naming, cleansing,
+masking, text, vectors) on tiny literal DataFrames — complements the
+oracle gate, which only sees the happy paths the test corpus produces."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+    discover_date_columns,
+    is_bad_date,
+    normalize_null_sentinels,
+    try_parse_timestamp,
+)
+from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+    mask_json_keys,
+    mask_struct_value,
+)
+from data_ingestion_from_multiple_directories_linux_spark.functions.naming import (
+    derive_batch_id,
+    derive_table_name,
+)
+from data_ingestion_from_multiple_directories_linux_spark.functions.text import (
+    shingles,
+    tokens,
+)
+from data_ingestion_from_multiple_directories_linux_spark.functions.vectors import (
+    cosine_q,
+    dot_q,
+    norm_sq_q,
+    to_double_array,
+)
+
+
+def test_filename_parsing_variants():
+    cases = {
+        "patient_person_0_20250103141949.json": ("patient_person", "0"),
+        "patient_person_12_20250103141949_decrypted.json": ("patient_person", "12"),
+        "hts_client_345_20231231235959.json": ("hts_client", "345"),
+        # table names containing digits mid-word keep them
+        "covid19_results_7_20250101000000.json": ("covid19_results", "7"),
+    }
+    for fn, (table, batch) in cases.items():
+        assert derive_table_name(fn) == table, fn
+        assert derive_batch_id(fn) == batch, fn
+
+
+def test_null_sentinels_exact_membership(spark):
+    df = spark.createDataFrame(
+        [("",), (" ",), ("null",), ("NULL",), ("  ",), ("x",), (None,)],
+        "v string",
+    )
+    out = [r["c"] for r in df.select(normalize_null_sentinels("v").alias("c")).collect()]
+    # only the exact three sentinels map to NULL ('NULL'/'  ' pass through,
+    # matching the reference's literal replace list file_loader.py:489-491)
+    assert out == [None, None, None, "NULL", "  ", "x", None]
+
+
+def test_date_validation_verdicts(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-01 10:20:30",), ("not-a-date",),
+         ("2024-02-31",), (None,)],
+        "d string",
+    )
+    rows = df.select(
+        try_parse_timestamp("d").alias("ts"), is_bad_date("d").alias("bad")
+    ).collect()
+    assert [r["bad"] for r in rows] == [False, False, True, True, False]
+    assert rows[0]["ts"] is not None and rows[2]["ts"] is None
+
+
+def test_discover_date_columns_rule():
+    cols = ["date_of_birth", "visit_date", "update_dated", "dated_note", "uuid"]
+    assert discover_date_columns(cols) == ["date_of_birth", "visit_date"]
+
+
+def test_mask_json_keys_passthrough_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            (json.dumps({"surname": "X", "note": "k"}),),
+            ("not json at all",),
+            (json.dumps([1, 2, 3]),),  # non-object JSON
+            (None,),
+        ],
+        "j string",
+    )
+    out = [r["m"] for r in df.select(mask_json_keys("j").alias("m")).collect()]
+    assert json.loads(out[0]) == {"surname": "******", "note": "k"}
+    assert out[1] == "not json at all"  # unparseable → unchanged
+    assert out[2] == "[1, 2, 3]"  # non-object → unchanged
+    assert out[3] is None
+
+
+def test_mask_struct_value_null_safe(spark):
+    df = spark.createDataFrame(
+        [(("t1", json.dumps({"phone_number": "0801"})),), (None,)],
+        "s struct<type:string, value:string>",
+    )
+    rows = df.select(mask_struct_value("s").alias("m")).collect()
+    assert json.loads(rows[0]["m"]["value"]) == {"phone_number": "******"}
+    assert rows[0]["m"]["type"] == "t1"
+    assert rows[1]["m"] is None
+
+
+def test_tokens_and_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("  A  b\tC  ",), ("one two",), ("",)], "t string"
+    )
+    tok = df.select(tokens("t").alias("tk"))
+    assert [r["tk"] for r in tok.collect()] == [["a", "b", "c"], ["one", "two"], []]
+    sh = (
+        tok.filter(F.size("tk") >= 2)
+        .select(shingles("tk", 2).alias("sh"))
+        .collect()
+    )
+    assert [r["sh"] for r in sh] == [["a b", "b c"], ["one two"]]
+
+
+def test_quantized_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [1.0, 0.0, 0.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    d = df.select(
+        to_double_array("a").alias("a"), to_double_array("b").alias("b")
+    )
+    rows = d.select(
+        cosine_q(dot_q("a", "b"), norm_sq_q("a"), norm_sq_q("b")).alias("c")
+    ).collect()
+    assert math.isclose(rows[0]["c"], 1.0, abs_tol=1e-8)
+    assert rows[1]["c"] == 0.0

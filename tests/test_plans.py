@@ -1,0 +1,143 @@
+"""Physical-plan shape assertions (scale guardrails).
+
+Correctness tests prove the right rows come out; these prove the right
+PLAN produces them — the properties that keep queries viable at 100 TB:
+filters reach the parquet scan, top-k avoids global sorts, dimension
+joins broadcast, anti/semi joins stay hash-based, and nothing silently
+degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_topk_plans_take_ordered(spark, queries):
+    for name in ("top_k_orders", "work_queue_dequeue", "top_spender_subquery_agg",
+                 "token_frequency_topk", "cosine_topk"):
+        plan = plan_of(queries[name](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
+        assert "GlobalSort" not in plan, f"{name}: global sort"
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, queries):
+    """A 2-column projection must not read the whole lineitem schema."""
+    df = queries["top_k_orders"](spark, SF_SMALL)
+    plan = plan_of(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "o_orderkey" in scan and "o_totalprice" in scan
+    assert "o_comment" not in scan and "o_clerk" not in scan
+
+
+def test_broadcast_dimension_join(spark, queries):
+    plan = plan_of(queries["broadcast_brand_revenue"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_semi_joins_hash_based(spark, queries):
+    for name, kind in (("anti_join_no_orders", "LeftAnti"),
+                       ("semi_join_failed_retry", "LeftSemi")):
+        plan = plan_of(queries[name](spark, SF_SMALL))
+        assert kind in plan, f"{name}: join type missing"
+        assert "NestedLoop" not in plan, f"{name}: nested-loop join"
+
+
+def test_sibling_query_has_no_self_join(spark, queries):
+    """The scale-safe rewrite: window aggregate, not orders×orders."""
+    plan = plan_of(queries["self_join_sibling_success"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_no_accidental_cartesian_products(spark, queries):
+    """Only the two similarity queries intentionally cross-join a
+    broadcast-size side (1 query vector / K centroids); everything else
+    must be free of cartesian or broadcast-nested-loop joins."""
+    allowed = {"cosine_topk", "embedding_near_dup_ivf"}
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF_SMALL))
+        if name in allowed:
+            continue
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_similarity_cross_joins_are_broadcast(spark, queries):
+    """The intentional cross joins must broadcast the tiny side — a
+    shuffled cartesian against the corpus would not scale."""
+    for name in ("cosine_topk", "embedding_near_dup_ivf"):
+        plan = plan_of(queries[name](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dedup_window_single_shuffle(spark, queries):
+    """Keep-newest dedup: exactly one exchange (hash by the partition
+    key), not a sort+shuffle cascade."""
+    plan = plan_of(queries["dedup_keep_newest"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_exact_dedup_is_aggregate_not_join(spark, queries):
+    plan = plan_of(queries["exact_dedup_documents"](spark, SF_SMALL))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, queries):
+    """q1: map-side partial aggregation (two HashAggregate levels around
+    one exchange) — the shuffle carries pre-aggregated state."""
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF_SMALL))
+    agg_idx = [i for i, line in enumerate(plan.splitlines()) if "HashAggregate" in line]
+    assert len(agg_idx) >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, queries):
+    """Relational queries stay inside WholeStageCodegen spans (no Python
+    evaluation nodes anywhere in the registry)."""
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    # codegen spans only materialize in the final AQE plan (the "*(n)"
+    # stage markers) → execute first
+    df = queries["q1_pricing_summary"](spark, SF_SMALL)
+    df.collect()
+    final = plan_of(df)
+    assert "isFinalPlan=true" in final
+    assert "*(1)" in final, "no WholeStageCodegen stage on the scan/agg path"
+
+
+def test_events_scan_prunes_columns(spark):
+    """catalog.load_table keeps pushdown/pruning intact despite the
+    nanos-timestamp rebuild."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+
+    df = load_table(spark, SF_SMALL, "events").filter(
+        F.col("event_type") == "click"
+    ).select("event_id")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
