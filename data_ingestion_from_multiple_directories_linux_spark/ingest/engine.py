@@ -85,13 +85,16 @@ _INTERNAL_COLS = ("_src_file", "_src_facility", CORRUPT_COL)
 
 def cleanse_and_split(
     table: str, data: DataFrame, transforms: dict[str, list]
-) -> tuple[DataFrame, DataFrame, list[str]]:
+) -> tuple[DataFrame, DataFrame, list[str], DataFrame]:
     """The shared per-table cleansing pipeline (G2 + F6/F7 + G3):
     transform dispatch → null-sentinel normalization → all-null drop →
     date-validation quarantine split. ``data`` must be corrupt-free rows
     carrying the _src_file/_src_facility lineage columns. Returns
-    (valid, bad, date_cols). Used by both the batch engine and the
-    streaming foreachBatch path — identical semantics by construction."""
+    (valid, bad, date_cols, flagged) where ``flagged`` is the pre-split
+    frame with the ``_bad_date`` verdict column — callers compute
+    valid+bad counts from it in ONE aggregation pass instead of two.
+    Used by both the batch engine and the streaming foreachBatch path —
+    identical semantics by construction."""
     for t in transforms.get(table, []):
         data = t(data)
     data_cols = [c for c in data.columns if c not in _INTERNAL_COLS]
@@ -101,10 +104,10 @@ def cleanse_and_split(
         f.name for f in data.schema.fields if f.dataType.simpleString() == "string"
     }
     date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
-    data = data.withColumn("_bad_date", any_bad_date(date_cols))
-    valid = data.filter(~F.col("_bad_date")).drop("_bad_date")
-    bad = data.filter(F.col("_bad_date")).drop("_bad_date")
-    return valid, bad, date_cols
+    flagged = data.withColumn("_bad_date", any_bad_date(date_cols))
+    valid = flagged.filter(~F.col("_bad_date")).drop("_bad_date")
+    bad = flagged.filter(F.col("_bad_date")).drop("_bad_date")
+    return valid, bad, date_cols, flagged
 
 
 def finalize_lineage(
@@ -349,16 +352,26 @@ class IngestionEngine:
             data = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
             # G2 + F6/F7 + G3 shared cleansing pipeline
-            valid, bad, date_cols = cleanse_and_split(table, data, self.transforms)
+            valid, bad, date_cols, flagged = cleanse_and_split(
+                table, data, self.transforms
+            )
 
-            valid_counts = {
-                (r["_src_file"], r["_src_facility"]): r["count"]
-                for r in valid.groupBy(*pair_key).count().collect()
-            }
-            bad_counts = {
-                (r["_src_file"], r["_src_facility"]): r["count"]
-                for r in bad.groupBy(*pair_key).count().collect()
-            }
+            # one aggregation pass over the flagged frame for both counts
+            valid_counts: dict[tuple[str, str], int] = {}
+            bad_counts: dict[tuple[str, str], int] = {}
+            for r in (
+                flagged.groupBy(*pair_key)
+                .agg(
+                    F.count(F.when(~F.col("_bad_date"), 1)).alias("n_valid"),
+                    F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
+                )
+                .collect()
+            ):
+                key = (r["_src_file"], r["_src_facility"])
+                if r["n_valid"]:
+                    valid_counts[key] = int(r["n_valid"])
+                if r["n_bad"]:
+                    bad_counts[key] = int(r["n_bad"])
 
             # retry hygiene: purge any prior partial rows of re-attempted
             # files before appending, so a retry is exactly-once overall

@@ -506,6 +506,46 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_counts",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage (salted) aggregation.
+
+    A hot grouping key overwhelms its reducer in a plain groupBy; the
+    standard fix is salting: stage 1 aggregates on (key, salt) — spreading
+    each hot key over N reducers — stage 2 merges the N partials per key.
+    Results are identical to the plain groupBy (the oracle) because both
+    measures are associative: counts are integers and the value sum is
+    decimal-quantized (order-independent). Spark's map-side partial
+    aggregation makes this redundant for plain counts, but the pattern is
+    the building block for skewed high-cardinality aggregates (e.g.
+    collect-heavy or distinct-heavy measures) at 100 TB; AQE skew-join
+    handles the join-side equivalent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_salt = 16
+    stage1 = (
+        ev.withColumn("_salt", F.col("event_id") % n_salt)
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    return stage1.groupBy("user_id").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "except_open_not_failed",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'

@@ -105,7 +105,7 @@ class StreamingIngestion:
         valid = bad = None
         try:
             data = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-            valid, bad, date_cols = cleanse_and_split(
+            valid, bad, date_cols, flagged = cleanse_and_split(
                 self.table, data, self.transforms
             )
             valid = valid.persist()
@@ -123,7 +123,8 @@ class StreamingIngestion:
                     self.partition_cols,
                 )
 
-            # audit: one row per file in this micro-batch (G6)
+            # audit: one row per file in this micro-batch (G6); the
+            # valid/bad counts come from one pass over the flagged frame
             key = ["_src_file", "_src_facility"]
             stats = (
                 batch.groupBy(*key)
@@ -132,12 +133,12 @@ class StreamingIngestion:
                     F.count(CORRUPT_COL).alias("n_corrupt"),
                 )
                 .join(
-                    valid.groupBy(*key).agg(F.count("*").alias("n_valid")),
+                    flagged.groupBy(*key).agg(
+                        F.count(F.when(~F.col("_bad_date"), 1)).alias("n_valid"),
+                        F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
+                    ),
                     key,
                     "left",
-                )
-                .join(
-                    bad.groupBy(*key).agg(F.count("*").alias("n_bad")), key, "left"
                 )
                 .na.fill(0, ["n_valid", "n_bad"])
             )

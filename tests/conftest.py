@@ -17,8 +17,16 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    # Small core count: test speed, not throughput.
-    return get_spark(app_name="engine-tests", cpus=4, shuffle_partitions=4)
+    import tempfile
+
+    # Small core count: test speed, not throughput. Warehouse in a temp
+    # dir so catalog tables (bucketing tests) never pollute the repo.
+    return get_spark(
+        app_name="engine-tests",
+        cpus=4,
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_")},
+    )
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,115 @@
+"""Scale-technique verifications: bucketed co-located joins (no exchange),
+staging partition pruning, HLL approximate distinct, salted aggregation
+equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import IngestionEngine
+from data_ingestion_from_multiple_directories_linux_spark.sources.bucketed import (
+    drop_bucketed,
+    read_bucketed,
+    write_bucketed,
+)
+from tests.test_ingest_engine import patient, write_json
+from tests.test_plans import plan_of
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key join WITHOUT any shuffle —
+    the recurring-join shuffle eliminator."""
+    a = spark.range(0, 10_000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10_000, 2).withColumn("vb", F.col("id") + 1)
+    write_bucketed(a, "bt_a", "id", 8)
+    write_bucketed(b, "bt_b", "id", 8)
+    # these test tables are broadcast-size, which would bypass bucketing;
+    # disable auto-broadcast to exercise the co-located shuffle-join path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bt_a").join(
+            read_bucketed(spark, "bt_b"), "id"
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketing not used"
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "bt_a")
+        drop_bucketed(spark, "bt_b")
+
+
+def test_unbucketed_join_needs_exchange(spark):
+    """Control: the same join without bucketing shuffles both sides
+    (proves the previous test is measuring bucketing, not join size)."""
+    a = spark.range(0, 10_000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10_000, 2).withColumn("vb", F.col("id") + 1)
+    # disable auto-broadcast for the control so the join must shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(a.join(b, "id"))
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_staging_partition_pruning(spark, tmp_path):
+    """The engine writes staging partitioned by facility; a per-facility
+    read must prune to that partition (PartitionFilters on the scan)."""
+    uploads = str(tmp_path / "up")
+    eng = IngestionEngine(spark, str(tmp_path / "wh"), max_files_per_run=None)
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0)])
+    write_json(uploads, "FAC002", "patient_person_0_20250103141950.json",
+               [patient(1)])
+    eng.run(uploads)
+    df = eng.store.read("stg_patient_person").filter(
+        F.col("stg_datim_id") == "FAC001"
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "stg_datim_id" in plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert df.count() == 1
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """HLL approximate distinct (the 100 TB alternative to exact
+    countDistinct, SURVEY §2.5 A2 note) lands within its error bound."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.05)).collect()[0][0]
+    assert abs(approx - exact) <= max(2, 0.1 * exact)
+
+
+def test_salted_agg_matches_plain(spark):
+    """Two-stage salted aggregation ≡ plain groupBy (associative,
+    quantized measures)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.relational import (
+        salted_skew_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in salted_skew_counts(spark, sf).collect()
+    }
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+
+    plain = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == plain
