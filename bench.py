@@ -61,36 +61,49 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
+def _make_upload_tree(uploads: str, n_files: int, rows_per_file: int) -> None:
+    for i in range(n_files):
+        fac = f"FAC{i % 8:03d}"
+        os.makedirs(os.path.join(uploads, fac), exist_ok=True)
+        recs = [
+            {
+                "id": i * rows_per_file + j,
+                "uuid": f"u-{i}-{j}",
+                "surname": f"S{j}",
+                "first_name": f"F{j}",
+                "other_name": None,
+                "full_name": f"F{j} S{j}",
+                "hospital_number": f"H{j}",
+                "nin_number": f"N{j}",
+                "date_of_birth": "1990-01-15",
+                "archived": 0,
+                "facility_id": fac,
+            }
+            for j in range(rows_per_file)
+        ]
+        fn = f"patient_person_{i}_2025010314{i:04d}.json"
+        with open(os.path.join(uploads, fac, fn), "w") as f:
+            json.dump(recs, f)
+
+
 def bench_ingest(spark, n_files: int = 40, rows_per_file: int = 200) -> dict:
     """Files/sec + rows/sec of the full engine path (read → cleanse →
-    quarantine → lineage → partitioned write → audit)."""
+    quarantine → lineage → partitioned write → audit).
+
+    A small untimed warm-up run (separate warehouse) pays the one-time
+    JVM costs (parquet committer init, write-path codegen) first, so the
+    timed run measures the steady state a cron micro-batch actually runs
+    at — the same convention the query bench uses (min over reps)."""
     from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import IngestionEngine
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
+        warm = os.path.join(tmp, "warm_up")
+        _make_upload_tree(warm, n_files=4, rows_per_file=20)
+        IngestionEngine(spark, os.path.join(tmp, "warm_wh")).run(warm)
+
         uploads = os.path.join(tmp, "up")
-        for i in range(n_files):
-            fac = f"FAC{i % 8:03d}"
-            os.makedirs(os.path.join(uploads, fac), exist_ok=True)
-            recs = [
-                {
-                    "id": i * rows_per_file + j,
-                    "uuid": f"u-{i}-{j}",
-                    "surname": f"S{j}",
-                    "first_name": f"F{j}",
-                    "other_name": None,
-                    "full_name": f"F{j} S{j}",
-                    "hospital_number": f"H{j}",
-                    "nin_number": f"N{j}",
-                    "date_of_birth": "1990-01-15",
-                    "archived": 0,
-                    "facility_id": fac,
-                }
-                for j in range(rows_per_file)
-            ]
-            fn = f"patient_person_{i}_2025010314{i:04d}.json"
-            with open(os.path.join(uploads, fac, fn), "w") as f:
-                json.dump(recs, f)
+        _make_upload_tree(uploads, n_files, rows_per_file)
         eng = IngestionEngine(spark, os.path.join(tmp, "wh"))
         t0 = time.perf_counter()
         rep = eng.run(uploads)

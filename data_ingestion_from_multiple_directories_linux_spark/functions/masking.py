@@ -56,7 +56,10 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
         parsed,
         lambda k, v: F.when(k.isin(*keys), F.lit(MASK)).otherwise(v),
     )
-    return F.when(parsed.isNull(), c).otherwise(F.to_json(masked))
+    # to_json(NULL map) is NULL, so one parse serves both the rewrite and
+    # the non-object passthrough (a when(parsed.isNull()) guard would
+    # evaluate from_json twice in interpreted mode)
+    return F.coalesce(F.to_json(masked), c)
 
 
 def mask_struct_value(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:

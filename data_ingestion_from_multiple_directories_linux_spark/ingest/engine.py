@@ -83,30 +83,60 @@ ERROR_MSG_CAP = 10_000
 _INTERNAL_COLS = ("_src_file", "_src_facility", CORRUPT_COL)
 
 
+def local_df(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
+    """Single-partition DataFrame from driver-local rows (audit frames).
+
+    ``createDataFrame(rows)`` slices into defaultParallelism partitions —
+    one tiny output file per slice on append, and ``coalesce(1)`` on such
+    a local relation measures ~10× slower than building the single
+    partition up front (it funnels every python slice through one task).
+    Audit frames are bounded by the per-run file cap, so one partition —
+    and therefore exactly one parquet file per run — is the right shape.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ddl)
+
+
+#: Verdict flags cleanse_and_split adds to the flagged frame.
+_FLAG_COLS = ("_is_corrupt", "_all_null", "_bad_date")
+
+
 def cleanse_and_split(
-    table: str, data: DataFrame, transforms: dict[str, list]
+    table: str, df: DataFrame, transforms: dict[str, list]
 ) -> tuple[DataFrame, DataFrame, list[str], DataFrame]:
     """The shared per-table cleansing pipeline (G2 + F6/F7 + G3):
     transform dispatch → null-sentinel normalization → all-null drop →
-    date-validation quarantine split. ``data`` must be corrupt-free rows
-    carrying the _src_file/_src_facility lineage columns. Returns
-    (valid, bad, date_cols, flagged) where ``flagged`` is the pre-split
-    frame with the ``_bad_date`` verdict column — callers compute
-    valid+bad counts from it in ONE aggregation pass instead of two.
+    date-validation quarantine split. ``df`` is the raw PERMISSIVE read —
+    corrupt rows included — carrying the _src_file/_src_facility lineage
+    columns. Returns (valid, bad, date_cols, flagged) where ``flagged``
+    retains EVERY input row with the verdict flags ``_is_corrupt`` /
+    ``_all_null`` / ``_bad_date`` (mutually exclusive, in that priority),
+    so callers derive raw/corrupt/valid/bad counts per file in ONE
+    aggregation pass — one scan of the data instead of two.
     Used by both the batch engine and the streaming foreachBatch path —
     identical semantics by construction."""
+    corrupt = F.col(CORRUPT_COL).isNotNull()
     for t in transforms.get(table, []):
-        data = t(data)
-    data_cols = [c for c in data.columns if c not in _INTERNAL_COLS]
-    data = normalize_nulls(data, data_cols)
-    data = data.na.drop(how="all", subset=data_cols)
+        df = t(df)
+    data_cols = [c for c in df.columns if c not in _INTERNAL_COLS]
+    df = normalize_nulls(df, data_cols)
+    # na.drop(how='all') as a flag: every data column null (F6)
+    all_null = F.lit(True)
+    for c in data_cols:
+        all_null = all_null & F.col(c).isNull()
     str_cols = {
-        f.name for f in data.schema.fields if f.dataType.simpleString() == "string"
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
     }
     date_cols = [c for c in discover_date_columns(data_cols) if c in str_cols]
-    flagged = data.withColumn("_bad_date", any_bad_date(date_cols))
-    valid = flagged.filter(~F.col("_bad_date")).drop("_bad_date")
-    bad = flagged.filter(F.col("_bad_date")).drop("_bad_date")
+    flagged = (
+        df.withColumn("_is_corrupt", corrupt)
+        .withColumn("_all_null", ~corrupt & all_null)
+        .withColumn("_bad_date", ~corrupt & ~all_null & any_bad_date(date_cols))
+    )
+    live = flagged.filter(
+        ~F.col("_is_corrupt") & ~F.col("_all_null")
+    ).drop("_is_corrupt", "_all_null", CORRUPT_COL)
+    valid = live.filter(~F.col("_bad_date")).drop("_bad_date")
+    bad = live.filter(F.col("_bad_date")).drop("_bad_date")
     return valid, bad, date_cols, flagged
 
 
@@ -356,36 +386,34 @@ class IngestionEngine:
         # below would hit exactly that rule.
         df = df.persist()
         try:
-            # one aggregation pass: rows parsed + corrupt rows per file
-            stats = df.groupBy(*pair_key).agg(
-                F.count("*").alias("n_raw"),
-                F.count(CORRUPT_COL).alias("n_corrupt"),
-            ).collect()
-            for r in stats:
-                st = by_file.get((r["_src_file"], r["_src_facility"]))
-                if st is not None:
-                    st["raw"] = int(r["n_raw"])
-                    st["corrupt"] = int(r["n_corrupt"])
-
-            data = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-
-            # G2 + F6/F7 + G3 shared cleansing pipeline
+            # G2 + F6/F7 + G3 shared cleansing pipeline (row-preserving)
             valid, bad, date_cols, flagged = cleanse_and_split(
-                table, data, self.transforms
+                table, df, self.transforms
             )
 
-            # one aggregation pass over the flagged frame for both counts
+            # ONE aggregation pass over the flagged frame for ALL per-file
+            # counts (raw/corrupt/valid/bad) — one scan of the cached
+            # data, one job, instead of separate stats + counts passes
             valid_counts: dict[tuple[str, str], int] = {}
             bad_counts: dict[tuple[str, str], int] = {}
+            is_live = ~F.col("_is_corrupt") & ~F.col("_all_null")
             for r in (
                 flagged.groupBy(*pair_key)
                 .agg(
-                    F.count(F.when(~F.col("_bad_date"), 1)).alias("n_valid"),
+                    F.count("*").alias("n_raw"),
+                    F.count(F.when(F.col("_is_corrupt"), 1)).alias("n_corrupt"),
+                    F.count(
+                        F.when(is_live & ~F.col("_bad_date"), 1)
+                    ).alias("n_valid"),
                     F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
                 )
                 .collect()
             ):
                 key = (r["_src_file"], r["_src_facility"])
+                st = by_file.get(key)
+                if st is not None:
+                    st["raw"] = int(r["n_raw"])
+                    st["corrupt"] = int(r["n_corrupt"])
                 if r["n_valid"]:
                     valid_counts[key] = int(r["n_valid"])
                 if r["n_bad"]:
@@ -544,7 +572,8 @@ class IngestionEngine:
             report.tables[t] = report.tables.get(t, 0) + row["json_rec_count"]
 
         if audit:
-            log_df = self.spark.createDataFrame(
+            log_df = local_df(
+                self.spark,
                 [tuple(r[k] for k in (
                     "file_name", "facility_id", "table_name", "batch_id", "status",
                     "json_rec_count", "bad_rec_count", "error_message",
@@ -553,7 +582,8 @@ class IngestionEngine:
                 INGESTION_LOG_DDL,
             )
             self.store.append(INGESTION_LOG, log_df)
-            mon_df = self.spark.createDataFrame(
+            mon_df = local_df(
+                self.spark,
                 [
                     (
                         r["facility_id"], r["batch_id"], r["file_name"], r["table_name"],
@@ -569,7 +599,8 @@ class IngestionEngine:
 
         end = datetime.now()
         status = "Job Passed" if report.files_failed == 0 else "Job Failed"
-        run_df = self.spark.createDataFrame(
+        run_df = local_df(
+            self.spark,
             [(run_id, start, end, status, process_type, None, report.records_ingested)],
             PIPELINE_LOG_DDL,
         )
@@ -599,7 +630,7 @@ class IngestionEngine:
             F.coalesce(F.sum("json_rec_count"), F.lit(0)).alias("records_ingested"),
             F.coalesce(F.sum("bad_rec_count"), F.lit(0)).alias("records_quarantined"),
         ).withColumn("report_time", F.current_timestamp())
-        self.store.append(PROCESS_SUMMARY, summary)
+        self.store.append(PROCESS_SUMMARY, summary.coalesce(1))
         return self.store.read(PROCESS_SUMMARY)
 
     # ------------------------------------------------------------------

@@ -854,7 +854,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized JSON column holding PII and non-PII keys; the oracle
     constructs the masked rewrite independently, so the entry fails if
     the masking expression breaks. get_json_object covers the extract
-    side. All JVM expressions, no Python UDF."""
+    side. All JVM expressions, no Python UDF. Pure projection — no
+    shuffle: at scale the scan's own splits give the parallelism."""
     from ..functions.masking import mask_json_keys
 
     ev = load_table(spark, sf_dir, "events")
@@ -881,7 +882,8 @@ def struct_field_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``{'type': x['type'], 'value': mask_pii(x['value'])}``): build a
     struct<type,value>, mask inside ``value`` via withField, read both
     fields back. Verifies ``mask_struct_value`` end-to-end against an
-    independently-constructed oracle string."""
+    independently-constructed oracle string. Pure projection — no
+    shuffle, like ``json_extract_props``."""
     from ..functions.masking import mask_struct_value
 
     ev = load_table(spark, sf_dir, "events")

@@ -264,8 +264,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparing pairs. Plan: explode(distinct tokens) → one groupBy with 16
     partial SUMs — a single shuffle of (doc_id, 16 ints). md5-nibble
     parity keeps the function reproducible in any SQL engine (the
-    oracle recomputes it exactly)."""
-    d = load_table(spark, sf_dir, "documents")
+    oracle recomputes it exactly). Repartitioned on doc_id first: the
+    tokenizer is an interpreted higher-order expression and the test
+    parquet is one file — one task otherwise runs the whole explode."""
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     )

@@ -104,9 +104,8 @@ class StreamingIngestion:
         batch = batch.persist()
         valid = bad = None
         try:
-            data = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
             valid, bad, date_cols, flagged = cleanse_and_split(
-                self.table, data, self.transforms
+                self.table, batch, self.transforms
             )
             valid = valid.persist()
             bad = bad.persist()
@@ -123,24 +122,16 @@ class StreamingIngestion:
                     self.partition_cols,
                 )
 
-            # audit: one row per file in this micro-batch (G6); the
-            # valid/bad counts come from one pass over the flagged frame
+            # audit: one row per file in this micro-batch (G6); ALL
+            # per-file counts come from ONE pass over the row-preserving
+            # flagged frame — no join of two aggregations
             key = ["_src_file", "_src_facility"]
-            stats = (
-                batch.groupBy(*key)
-                .agg(
-                    F.count("*").alias("n_raw"),
-                    F.count(CORRUPT_COL).alias("n_corrupt"),
-                )
-                .join(
-                    flagged.groupBy(*key).agg(
-                        F.count(F.when(~F.col("_bad_date"), 1)).alias("n_valid"),
-                        F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
-                    ),
-                    key,
-                    "left",
-                )
-                .na.fill(0, ["n_valid", "n_bad"])
+            is_live = ~F.col("_is_corrupt") & ~F.col("_all_null")
+            stats = flagged.groupBy(*key).agg(
+                F.count("*").alias("n_raw"),
+                F.count(F.when(F.col("_is_corrupt"), 1)).alias("n_corrupt"),
+                F.count(F.when(is_live & ~F.col("_bad_date"), 1)).alias("n_valid"),
+                F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
             )
             from ..functions.naming import batch_of
 
@@ -169,7 +160,8 @@ class StreamingIngestion:
                 F.current_timestamp().alias("load_start_time"),
                 F.current_timestamp().alias("load_end_time"),
             )
-            self.store.append(INGESTION_LOG, audit)
+            # one audit file per micro-batch, not one per shuffle slice
+            self.store.append(INGESTION_LOG, audit.coalesce(1))
         finally:
             for df in (bad, valid):
                 if df is not None:
