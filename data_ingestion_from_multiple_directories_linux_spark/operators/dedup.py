@@ -209,8 +209,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle fan-out — standard stop-shingle pruning (see module
     docstring on shingle-width selectivity).
     """
-    corpus = _near_dup_corpus(spark, sf_dir)
-    sh = _shingle_sets(corpus, 4).withColumnRenamed("n_sh", "n")
+    return jaccard_pairs(_near_dup_corpus(spark, sf_dir), 4, JACCARD_NGRAM_THRESHOLD)
+
+
+def jaccard_pairs(corpus: DataFrame, n: int, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact n-gram-shingle Jaccard >= threshold
+    via the inverted-index self-join (see :func:`ngram_jaccard_pairs`)."""
+    sh = _shingle_sets(corpus, n).withColumnRenamed("n_sh", "n")
     # both sides of the self-join read ex — persist so shingling runs once
     ex = _explode_shingles(sh, ["n"]).persist()
     a, b = ex.alias("a"), ex.alias("b")
@@ -230,5 +235,172 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return pair.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_NGRAM_THRESHOLD
+        F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+#: clustering corpus: every 7th doc gets TWO mutated generations, each
+#: appending tokens unique to the source doc (no cross-document shingle
+#: collisions): gen1 = 4 extra tokens, gen2 = the same 4 plus 4 more, so
+#: gen1<->gen2 are closer to each other than either is to the original —
+#: some links only exist transitively, which is what clustering resolves.
+_MUT = "' q' || i || ' w' || i || ' e' || i || ' r' || i"
+_MUT2 = _MUT + " || ' t' || i || ' y' || i || ' u' || i || ' o' || i"
+CLUSTER_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text || {_MUT} AS text
+    FROM (SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS i FROM documents)
+    WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text || {_MUT2} AS text
+    FROM (SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS i FROM documents)
+    WHERE doc_id % 7 = 0
+"""
+
+JACCARD_CLUSTER_THRESHOLD = 0.5
+
+
+def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    mut = [F.lit(" q"), i, F.lit(" w"), i, F.lit(" e"), i, F.lit(" r"), i]
+    mut2 = mut + [F.lit(" t"), i, F.lit(" y"), i, F.lit(" u"), i, F.lit(" o"), i]
+    src = d.filter(F.col("doc_id") % 7 == 0)
+    g1 = src.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), *mut).alias("text"),
+    )
+    g2 = src.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), *mut2).alias("text"),
+    )
+    return d.unionByName(g1).unionByName(g2)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (node, cluster_id) for every node appearing in ``edges``,
+    where cluster_id is the minimum node id in the component — the
+    canonical "keeper" of a duplicate cluster.
+
+    Each iteration is one join + one aggregation, both hash-partitioned
+    on the node id; iterations needed = component diameter. Near-dup
+    clusters are shallow (copies of a common source), so this converges
+    in 2-3 rounds. For adversarial graphs (long chains) the production
+    alternative is the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which contracts in
+    O(log n) rounds — same building blocks, more rounds bookkeeping; the
+    propagation loop keeps this operator dependency-free and plan-simple.
+    The convergence probe reads one boolean per round (LIMIT 1 count),
+    never row data.
+
+    Every round truncates lineage with ``localCheckpoint`` — the classic
+    iterative-DataFrame pitfall is that persist() caches *data* but the
+    logical plan still grows by one join per round, and analysis/AQE cost
+    compounds until a "cheap" iteration takes longer than the whole job
+    (measured: round 3 at 20 s vs 1 s with checkpointing). Checkpointing
+    ``edges`` up front also stops the two union branches from computing
+    the candidate-pair subplan twice.
+    """
+    edges = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("peer")
+    ).localCheckpoint(eager=True)
+    und = (
+        edges.unionByName(
+            edges.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
+        )
+        .repartition(F.col("node"))
+        .persist()
+    )
+    labels = (
+        und.select("node").distinct().withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("peer"), F.col("lbl").alias("peer_lbl")
+                    ),
+                    "peer",
+                )
+                .groupBy("node")
+                .agg(F.min("peer_lbl").alias("neigh_min"))
+            )
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("neigh_min"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+    finally:
+        und.unpersist()
+
+
+def _clusters_oracle_sql() -> str:
+    pairs = _jaccard_inverted_index_sql(
+        CLUSTER_CORPUS_SQL, 4, JACCARD_CLUSTER_THRESHOLD
+    )
+    return f"""
+    WITH RECURSIVE
+    pairq AS ({pairs}),
+    und AS (
+        SELECT id_a AS node, id_b AS peer FROM pairq
+        UNION ALL
+        SELECT id_b AS node, id_a AS peer FROM pairq
+    ),
+    reach(node, lbl) AS (
+        SELECT node, node FROM (SELECT DISTINCT node FROM und)
+        UNION
+        SELECT u.node, r.lbl FROM und u JOIN reach r ON r.node = u.peer
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@query("duplicate_clusters", oracle=_clusters_oracle_sql())
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: pair generation → connected components.
+
+    The step after pair finding that an actual dedup pipeline needs:
+    near-dup PAIRS don't say which rows to drop — transitive closure
+    does (keep one doc per cluster). Two mutated generations of every
+    7th document make some links transitive-only (gen2 is closest to
+    gen1, not to the original), so the component structure is not
+    recoverable from pairs alone. Oracle: the same pairs fed through a
+    recursive-CTE min-label closure in DuckDB.
+
+    At 100 TB: pair generation is the dominant cost (inverted index /
+    LSH, both bucketed); the closure iterates joins hash-partitioned on
+    node id over the much smaller edge set — the standard two-phase
+    shape (candidate generation >> clustering).
+    """
+    corpus = _cluster_corpus(spark, sf_dir)
+    edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
+    comp = connected_components(edges)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -127,3 +127,37 @@ def test_cosine_topk_matches_numpy(spark):
     assert [i for _, i in ranked] == [r["vec_id"] for r in got]
     for (c, _), r in zip(ranked, got):
         assert math.isclose(c, r["cosine"], abs_tol=1e-6)  # 1e-9 quantization
+
+def test_connected_components_transitive_closure(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: {1,2,3,4} via a chain (1-2, 2-3, 3-4: 1 and 4 are
+    # only transitively linked) and {10,11}; node ids deliberately not
+    # contiguous with cluster minima
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_clusters_group_both_generations(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    rows = duplicate_clusters(spark, SF_SMALL).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    # every cluster is rooted at an original doc (id < 10000) and its
+    # members are that doc's mutated generations
+    full = [c for c, members in by_cluster.items() if len(members) == 3]
+    assert full  # at least some docs link all three generations
+    for c in full:
+        assert by_cluster[c] == {c, c + 10000, c + 20000}
