@@ -307,3 +307,63 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("content_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term relevance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tf_idf_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOK_SQL.format(c='text')}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term relevance per (document, term).
+
+    tf = term occurrences in the doc; df = documents containing the term;
+    score = tf · (N+1)/(df+1) — a *rational* idf (no logarithm) so Spark
+    and the oracle produce bit-identical doubles: each score is one
+    multiply + one divide in a fixed order, whereas ln() implementations
+    may differ in the last ulp across engines. Monotone in 1/df, so
+    ranking behavior matches the textbook form.
+
+    Scale shape: explode → partial-agg groupBy (doc_id, term) for tf →
+    groupBy(term) for df. The df table is vocabulary-sized — tiny next to
+    the corpus — so it joins back as a BROADCAST, and the N scalar is a
+    1-row broadcast cross join; the only data-sized shuffle is the tf
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    tok = d.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0))
+            ).alias("score"),
+        )
+    )
