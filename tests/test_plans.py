@@ -73,10 +73,11 @@ def test_sibling_query_has_no_self_join(spark, queries):
 
 
 def test_no_accidental_cartesian_products(spark, queries):
-    """Only the two similarity queries intentionally cross-join a
-    broadcast-size side (1 query vector / K centroids); everything else
-    must be free of cartesian or broadcast-nested-loop joins."""
-    allowed = {"cosine_topk", "embedding_near_dup_ivf"}
+    """Only the similarity queries and tf-idf intentionally cross-join a
+    broadcast-size side (1 query vector / K centroids / the 1-row corpus
+    count); everything else must be free of cartesian or
+    broadcast-nested-loop joins."""
+    allowed = {"cosine_topk", "embedding_near_dup_ivf", "tf_idf_scores"}
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
         if name in allowed:
@@ -88,7 +89,7 @@ def test_no_accidental_cartesian_products(spark, queries):
 def test_similarity_cross_joins_are_broadcast(spark, queries):
     """The intentional cross joins must broadcast the tiny side — a
     shuffled cartesian against the corpus would not scale."""
-    for name in ("cosine_topk", "embedding_near_dup_ivf"):
+    for name in ("cosine_topk", "embedding_near_dup_ivf", "tf_idf_scores"):
         plan = plan_of(queries[name](spark, SF_SMALL))
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "CartesianProduct" not in plan, name
