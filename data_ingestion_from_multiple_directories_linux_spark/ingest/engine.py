@@ -556,9 +556,32 @@ class IngestionEngine:
         for m in selected:
             groups.setdefault(m.table_name, []).append(m)
 
+        # Per-table jobs submit from a thread pool: tables are independent
+        # (disjoint staging paths, audit rows merged after), and a serial
+        # driver loop would leave the cluster idle between small tables —
+        # the reference fans out the same way (G5, ThreadPoolExecutor over
+        # facilities / 10-table batches). Threads only SUBMIT jobs; Spark's
+        # scheduler does the actual parallelism. Results merge in sorted
+        # table order, so audit output is deterministic.
         audit: list[dict] = []
-        for table, group in sorted(groups.items()):
-            audit.extend(self._ingest_table(table, group, report, start, retry_pairs))
+        items = sorted(groups.items())
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+                futs = [
+                    pool.submit(
+                        self._ingest_table, table, group, report, start, retry_pairs
+                    )
+                    for table, group in items
+                ]
+                for f in futs:
+                    audit.extend(f.result())
+        else:
+            for table, group in items:
+                audit.extend(
+                    self._ingest_table(table, group, report, start, retry_pairs)
+                )
 
         for row in audit:
             if row["status"] == "success":

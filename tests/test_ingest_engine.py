@@ -362,3 +362,32 @@ def test_patient_count_refresh(engine, uploads):
     row = out.collect()[0]
     assert row["datim_id"] == "FAC001"
     assert row["patient_count"] == 4  # archived row excluded
+
+
+def test_multi_table_run_parallel_submission(engine, uploads):
+    """G5: several target tables in one run (submitted from the thread
+    pool) each land in their own staging table with correct audit rows."""
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(i) for i in range(3)])
+    write_json(uploads, "FAC001", "hts_index_elicitation_0_20250103141950.json",
+               [{"id": i, "last_name": f"L{i}", "first_name": f"F{i}",
+                 "middle_name": None, "phone_number": f"080{i}",
+                 "alt_phone_number": None, "date_created": "2024-01-01"}
+                for i in range(2)])
+    write_json(uploads, "FAC002", "mhpss_confirmation_0_20250103141951.json",
+               [{"id": 1, "note": "ok", "date_created": "2024-01-01"}])
+    rep = engine.run(uploads)
+    assert rep.files_ingested == 3
+    assert rep.files_failed == 0
+    assert engine.store.read("stg_patient_person").count() == 3
+    assert engine.store.read("stg_hts_index_elicitation").count() == 2
+    assert engine.store.read("stg_mhpss_confirmation").count() == 1
+    # audit rows cover all three tables, one row per file
+    log = engine.store.read(INGESTION_LOG)
+    assert log.count() == 3
+    assert {r["table_name"] for r in log.collect()} == {
+        "stg_patient_person", "stg_hts_index_elicitation", "stg_mhpss_confirmation"
+    }
+    # masking dispatch still applied on the pooled path
+    masked = engine.store.read("stg_hts_index_elicitation").collect()
+    assert all(r["last_name"] == "******" for r in masked)
