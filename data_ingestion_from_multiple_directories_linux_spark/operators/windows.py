@@ -119,3 +119,47 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic (lag/lead) windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_gaps_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+           LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps (lag) and next action (lead).
+
+    The reference has no analytic functions beyond ROW_NUMBER (SURVEY
+    §2.6); lag/lead round out the window family — the standard shape for
+    sessionization features and funnel analysis. Gap is an exact BIGINT
+    microsecond difference (unix_micros ≙ DuckDB epoch_us), and the
+    ordering carries event_id as a unique tiebreak so both engines
+    resolve equal timestamps identically.
+
+    One hash shuffle on user_id; the sort is within-partition. Same
+    scale shape as any window aggregate — skewed users are the risk,
+    mitigated the usual way (salt the heavy hitters or bound per-user
+    history upstream).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
