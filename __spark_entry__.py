@@ -24,6 +24,7 @@ if _REPO_DIR not in sys.path:
 
 # Importing the operator modules populates the registry.
 from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: E402
+    asof,  # noqa: F401
     dedup,  # noqa: F401
     relational,  # noqa: F401
     similarity,  # noqa: F401

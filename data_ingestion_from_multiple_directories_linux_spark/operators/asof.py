@@ -1,0 +1,250 @@
+"""Temporal join operators — as-of join and range (interval) join.
+
+Neither exists as a built-in Spark join type; both are staples of
+time-series / training-data pipelines (and of the reference's monitoring
+queries, which lean on Postgres ``ORDER BY … LIMIT 1`` point lookups to
+answer "state as of t", e.g. file_ingestion_summary_report.sql's
+latest-status-per-file shape). Re-expressed Spark-first:
+
+* **As-of join** — the classic scalable form: union-tag both streams,
+  one hash shuffle on the key, then a single running-window
+  ``last(value, ignorenulls)`` carries the right side forward to each
+  left row. No per-row point lookup, no pair explosion, no join at all
+  in the physical plan — the same plan kdb/Flink use for temporal joins.
+  At 100 TB this is one shuffle on ``user_id`` plus a sorted window
+  scan per partition; skewed users can be range-partitioned by
+  (user_id, ts-bucket) with a per-bucket seed row if a single user's
+  history exceeds a partition (not needed at test scale).
+
+* **Range join** — event-to-interval containment against a small
+  calendar/periods dimension. The dimension is broadcast, so the plan
+  is a BroadcastNestedLoopJoin over a 4-row side: each task streams its
+  parquet split once and checks 4 interval predicates per row — no
+  shuffle of the fact side at all. For a LARGE interval side the scale
+  path is bucketing both sides by coarse time bucket and hash-joining
+  on the bucket with a residual range predicate (Spark then uses a
+  bucketed sort-merge); for non-overlapping intervals a plain CASE
+  projection suffices. The broadcast form implemented here is the
+  right default for calendar dims (quarters, promo windows, SLA
+  periods).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, dsum_sql, query
+
+
+@query(
+    "asof_last_click",
+    oracle="""
+    WITH err AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id,
+           e.user_id,
+           e.ts AS error_ts,
+           c.ts AS last_click_ts,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM err e ASOF LEFT JOIN clk c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``error`` event matched to the same user's most
+    recent ``click`` at-or-before it (NULL when none precede).
+
+    Implementation is the union-tag + last-carry-forward window: clicks
+    sort before errors at equal timestamps (kind 0 < 1), matching the
+    oracle's inclusive ``c.ts <= e.ts``. Output carries only the matched
+    click's timestamp, so ties between identical-ts clicks cannot make
+    the result nondeterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("kind"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        err.unionByName(clk)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            "last_click_ts",
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+_PERIODS = [
+    ("1996Q1", "1996-01-01", "1996-04-01"),
+    ("1996Q2", "1996-04-01", "1996-07-01"),
+    ("1996Q3", "1996-07-01", "1996-10-01"),
+    ("1996Q4", "1996-10-01", "1997-01-01"),
+]
+
+_PERIODS_SQL = ", ".join(
+    f"('{p}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for p, s, e in _PERIODS
+)
+
+
+@query(
+    "range_join_ship_periods",
+    oracle=f"""
+    SELECT p.period,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN (VALUES {_PERIODS_SQL}) AS p(period, p_start, p_end)
+      ON l.l_shipdate >= p.p_start AND l.l_shipdate < p.p_end
+    GROUP BY p.period
+    """,
+)
+def range_join_ship_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems bucketed into reporting periods by interval
+    containment (``p_start <= l_shipdate < p_end``), revenue per period.
+
+    A naive broadcast range join plans as BroadcastNestedLoopJoin —
+    row-based, outside whole-stage codegen (measured 4.3 s vs 0.5 s at
+    sf0.1). Instead each interval is exploded into the month buckets it
+    covers and the fact side equi-joins on ``date_trunc('month',
+    l_shipdate)`` with the range predicate left as a residual: a
+    codegen'd BroadcastHashJoin, zero fact-side shuffle. This bucketing
+    rewrite is exactly the 100 TB technique for interval joins of any
+    size (bucket both sides, hash-join the bucket, residual range
+    check); overlapping intervals simply land in multiple buckets.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    periods = spark.createDataFrame(
+        [(p, s, e) for p, s, e in _PERIODS],
+        "period string, p_start string, p_end string",
+    ).select(
+        "period",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    bucketed = periods.select(
+        "period",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.col("p_start"),
+                F.col("p_end") - F.expr("INTERVAL 1 SECOND"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bucket"),
+    )
+    joined = li.join(
+        F.broadcast(bucketed),
+        (F.date_trunc("month", F.col("l_shipdate")) == F.col("bucket"))
+        & (F.col("l_shipdate") >= F.col("p_start"))
+        & (F.col("l_shipdate") < F.col("p_end")),
+    )
+    return joined.groupBy("period").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "percentile_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.25), 2) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.50), 2) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.75), 2) AS DOUBLE) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of order value per
+    priority — the monitoring-distribution shape (reference
+    stg_monitoring_summary.sql aggregates per-status populations; exact
+    quantiles are its natural extension). Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition;
+    results are rounded to cents on both sides so the comparison is on
+    the defined value, not accumulation-order noise.
+
+    Scale: exact percentile sorts each group's values — fine for bounded
+    group cardinality (5 priorities). For unbounded data the scale path
+    is ``approx_percentile`` (t-digest sketch, mergeable map-side).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))"
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct.alias("pct"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("pct")[0], 2).alias("p25"),
+            F.round(F.col("pct")[1], 2).alias("p50"),
+            F.round(F.col("pct")[2], 2).alias("p75"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as a priority × status matrix (the reference's
+    file_ingestion_summary_report.sql:24-41 builds exactly this shape with
+    CASE-WHEN columns per status). With the pivot values listed explicitly
+    Spark plans a single pass — one partial-agg shuffle, no second scan to
+    discover distinct values.
+
+    Nulls: a (priority, status) cell with no rows is an absent group, so
+    ``pivot().count()`` yields NULL; coalesced to 0 to match the oracle's
+    FILTER counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in "FOP"],
+    )

@@ -142,3 +142,23 @@ def test_events_scan_prunes_columns(spark):
     ).select("event_id")
     plan = plan_of(df)
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_asof_join_is_window_not_join(spark, queries):
+    """The as-of join must compile to the union + running-window plan —
+    one hash shuffle on user_id, zero physical joins (the scalable
+    temporal-join form)."""
+    plan = plan_of(queries["asof_last_click"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_bucketed_broadcast_hash(spark, queries):
+    """The interval join must use the bucketing rewrite: equi-join on the
+    month bucket (codegen'd BroadcastHashJoin, range check as residual),
+    never a row-based BroadcastNestedLoopJoin, and no fact-side shuffle
+    before the final aggregation."""
+    plan = plan_of(queries["range_join_ship_periods"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
