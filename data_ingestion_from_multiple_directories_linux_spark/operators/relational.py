@@ -899,6 +899,41 @@ def struct_field_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "struct_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(to_json(struct_pack(
+               key := o_orderkey,
+               status := o_orderstatus,
+               priority := o_orderpriority
+           )) AS VARCHAR) AS order_json
+    FROM orders
+    """,
+)
+def struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict → JSON string (C12, reference dsd_loader.py:584-585,
+    :638-639: ``json.dumps(value)`` when a cell holds a dict): build a
+    struct from row columns and serialize with ``to_json`` — the
+    Spark-native form of the reference's per-cell ``json.dumps``. The
+    oracle serializes the same struct in DuckDB, so field order, quoting
+    and numeric formatting are all checked. Pure projection — no
+    shuffle. Note Spark's ``to_json`` omits null fields while DuckDB
+    emits them; the serialized columns here are non-null by
+    construction (orders keys/status/priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("order_json"),
+    )
+
+
+@query(
     "substring_truncate",
     oracle="""
     SELECT doc_id,

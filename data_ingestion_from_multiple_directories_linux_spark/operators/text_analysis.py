@@ -367,3 +367,52 @@ def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+@query(
+    "rolling_hash_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(w) AS BIGINT) AS n_windows,
+           CAST(length(list_distinct(w)) AS BIGINT) AS n_distinct,
+           list_min(w) AS fingerprint
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(length(text) - 15, 1), 4),
+                   i -> md5(substr(text, i, 16))
+               ) AS w
+        FROM documents
+    )
+    """,
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling window hashes (winnowing-lite,
+    MOSS-style): hash every 4th 16-char window of the text, keep the
+    minimum hash as the document fingerprint plus window/distinct counts.
+    Two documents sharing any long run of text will frequently share the
+    min-hash window, so equal fingerprints are near-dup candidates —
+    grouping by ``fingerprint`` is the candidate-generation step, exactly
+    the banded-bucket idea of [[L2]] minhash but content-positional.
+
+    md5 is bit-identical across engines (unlike the engines' native
+    ``hash``), making the oracle exact. All JVM-side expressions — the
+    higher-order ``transform`` is interpreted per element but the md5 is
+    JVM bytes — and a pure projection: zero shuffles, the scan's splits
+    parallelize it. The stride (4) bounds cost to len/4 hashes per doc;
+    at 100 TB this runs as a map-only stage whose output (one 32-char
+    fingerprint per doc) is 100× smaller than the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.expr(
+        "transform(sequence(1, greatest(length(text) - 15, 1), 4),"
+        " i -> md5(substring(text, i, 16)))"
+    )
+    # materialize the window array once per row; referencing `w` three
+    # times in one projection would re-run the interpreted transform 3×
+    return d.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.array_min("w").alias("fingerprint"),
+    )

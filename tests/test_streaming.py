@@ -133,3 +133,65 @@ def test_watermarked_window_stream(spark, tmp_path):
         ("2024-01-01 00:00:00", "click"): 1,
         ("2024-01-01 00:00:00", "view"): 1,
     }
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals must accumulate
+    across micro-batches (maxFilesPerTrigger=1 forces two batches), and
+    the final update per user must equal the plain batch aggregate."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    batches = [
+        [(1, 10.0), (1, 5.0), (2, 1.0)],
+        [(1, 2.5), (2, 4.0), (3, 7.0)],
+    ]
+    for b, rows in enumerate(batches):
+        with open(os.path.join(str(src), f"b{b}.json"), "w") as f:
+            for i, (uid, val) in enumerate(rows):
+                f.write(_json.dumps({"event_id": b * 100 + i,
+                                     "user_id": uid, "value": val}) + "\n")
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = tmp_path / "totals_out"
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    updates = spark.read.parquet(str(out)).toPandas()
+    # the LAST update per user is the cumulative total
+    final = (
+        updates.sort_values("n_events").groupby("user_id").last().reset_index()
+    )
+    expect = {1: (3, 17.5), 2: (2, 5.0), 3: (1, 7.0)}
+    assert len(final) == 3
+    for _, r in final.iterrows():
+        n, tot = expect[int(r.user_id)]
+        assert int(r.n_events) == n, r
+        assert abs(float(r.total_value) - tot) < 1e-9, r
+    # state really carried across batches: user 1 gets one intermediate
+    # update (n=1 or 2 depending on which file forms batch 0) and a
+    # final cumulative one (n=3)
+    u1 = sorted(updates[updates.user_id == 1].n_events)
+    assert len(u1) == 2 and u1[0] in (1, 2) and u1[1] == 3
