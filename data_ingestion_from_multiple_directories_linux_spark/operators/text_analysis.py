@@ -416,3 +416,50 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
         F.array_min("w").alias("fingerprint"),
     )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, {TOK_SQL.format(c='text')} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) AS avg_token_len,
+               CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) AS punct_ratio
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio
+    FROM m
+    WHERE n_tokens >= 20
+      AND avg_token_len BETWEEN 3.0 AND 12.0
+      AND stopword_ratio >= 0.05
+      AND punct_ratio <= 0.2
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training quality gate: compute the L9 quality
+    heuristics and KEEP only documents passing all thresholds (min
+    length, sane token shape, enough stopwords to look like prose, low
+    symbol noise) — i.e. the corpus-filtering step a training-data
+    pipeline actually runs, composed from the same expressions as
+    ``text_quality_scores``.
+
+    Zero shuffle: score + filter is a map-only pipeline, so at 100 TB
+    it streams through the scan's splits; the retained subset writes
+    straight to the sink with no repartition unless the caller asks for
+    output file sizing."""
+    scored = text_quality_scores(spark, sf_dir)
+    return scored.filter(
+        (F.col("n_tokens") >= 20)
+        & F.col("avg_token_len").between(3.0, 12.0)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("punct_ratio") <= 0.2)
+    )
