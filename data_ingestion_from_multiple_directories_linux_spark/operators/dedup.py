@@ -336,24 +336,22 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("peer_lbl").alias("neigh_min"))
             )
+            new_lbl = F.least(
+                F.col("lbl"), F.coalesce(F.col("neigh_min"), F.col("lbl"))
+            )
+            # carry a changed-flag instead of re-joining old vs new labels:
+            # the convergence probe then only scans the checkpointed rows
             new_labels = (
                 labels.join(neigh, "node", "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("neigh_min"), F.col("lbl"))
-                    ).alias("lbl"),
+                    new_lbl.alias("lbl"),
+                    (new_lbl != F.col("lbl")).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter("chg").limit(1).count()
+            labels = new_labels.select("node", "lbl")
             if changed == 0:
                 break
         return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
