@@ -163,3 +163,55 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@query(
+    "multires_rollup_events",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, h) AS day,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: the DAILY aggregate is
+    derived from the HOURLY aggregate, never from raw events — the
+    continuous-aggregate pattern (TimescaleDB hypertable rollups,
+    Druid/Pinot star-tree cubes). Counts and decimal-quantized sums are
+    re-aggregable, so each coarser resolution reads the much smaller
+    finer rollup: at 100 TB the hourly layer is materialized
+    incrementally by the streaming twin (tumbling_window_counts with
+    availableNow) and day/week/month queries touch only rollup rows —
+    the raw corpus is scanned exactly once per hour of data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.col("window.start").alias("h"), "event_type", "n", "sum_value_dec"
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+    )
