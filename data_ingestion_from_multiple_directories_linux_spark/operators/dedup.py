@@ -28,8 +28,13 @@ build the same corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import logging
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..catalog import load_table
 from ..functions.text import band_buckets, minhash_signature_aggs, shingles, tokens
@@ -149,18 +154,49 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size upstream. The DuckDB oracle computes ground truth exactly, so
     this entry verifies recall, not just plumbing.
     """
-    corpus = _near_dup_corpus(spark, sf_dir)
+    return minhash_pairs(
+        _near_dup_corpus(spark, sf_dir), 3, JACCARD_MINHASH_THRESHOLD
+    )
+
+
+def minhash_pairs(
+    corpus: DataFrame,
+    n: int,
+    threshold: float,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — MinHash-LSH candidates, exact-verified.
+
+    ``bucket_cap`` is the hot-bucket skew guard: an LSH bucket holding
+    ``s`` documents yields s*(s-1)/2 candidate pairs, so one
+    mass-duplicated boilerplate document (s = 10^6 at 100 TB) turns a
+    linear stage into 5*10^11 pairs. With the cap set, buckets larger
+    than ``bucket_cap`` are dropped *before* the self-join — their
+    content is by definition mass-duplicate and belongs to the exact
+    dedup path (sha-digest groupBy), not pairwise verification. Default
+    ``None`` keeps exact parity with the oracle.
+    """
     # sh feeds three plan branches (signature build + both sides of the
     # verification join) — persist the small (doc_id, shingles) frame so
     # the shingle pipeline runs once, not 3x (LRU-evicted, ~MBs here;
     # at 100 TB this is the materialized shingle table between stages)
-    sh = _shingle_sets(corpus, 3).persist()
+    sh = _shingle_sets(corpus, n).persist()
 
     ex = _explode_shingles(sh, [])
     sig = ex.groupBy("doc_id").agg(*minhash_signature_aggs("s", 64))
     bands = sig.select(
         "doc_id", F.posexplode(band_buckets(32, 2)).alias("band", "bucket")
     )
+    if bucket_cap is not None:
+        # partial-agg count per (band, bucket); hot buckets are few by
+        # construction, so the drop-list broadcasts
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > bucket_cap)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -183,7 +219,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_MINHASH_THRESHOLD
+        F.col("jaccard") >= threshold
     )
 
 
@@ -212,12 +248,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_near_dup_corpus(spark, sf_dir), 4, JACCARD_NGRAM_THRESHOLD)
 
 
-def jaccard_pairs(corpus: DataFrame, n: int, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    corpus: DataFrame,
+    n: int,
+    threshold: float,
+    df_cap: int | None = None,
+) -> DataFrame:
     """(id_a, id_b, jaccard) — exact n-gram-shingle Jaccard >= threshold
-    via the inverted-index self-join (see :func:`ngram_jaccard_pairs`)."""
+    via the inverted-index self-join (see :func:`ngram_jaccard_pairs`).
+
+    ``df_cap`` is the stop-shingle skew guard: a shingle appearing in
+    ``d`` documents fans out to d*(d-1)/2 join rows, so boilerplate
+    shingles (page headers, license blurbs — d = 10^5+ at 100 TB) blow
+    up the inverted-index join. With the cap set, shingles whose
+    document frequency exceeds ``df_cap`` are dropped from *both* the
+    index and the per-document shingle counts, i.e. the result is exact
+    Jaccard over the non-stop shingle sets — the standard prune
+    (documents sharing only boilerplate are not near-duplicates).
+    Default ``None`` keeps exact parity with the oracle.
+    """
     sh = _shingle_sets(corpus, n).withColumnRenamed("n_sh", "n")
-    # both sides of the self-join read ex — persist so shingling runs once
-    ex = _explode_shingles(sh, ["n"]).persist()
+    if df_cap is not None:
+        ex = _explode_shingles(sh.select("doc_id", "sh"), [])
+        stop = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("s")
+        )
+        # stop-shingles are few (the point of a high cap) → broadcast
+        # anti join; recount per-doc sizes over surviving shingles so
+        # the Jaccard denominator matches the pruned sets
+        kept = ex.join(F.broadcast(stop), "s", "left_anti")
+        ex = kept.withColumn(
+            "n", F.count("*").over(Window.partitionBy("doc_id"))
+        ).persist()
+    else:
+        # both sides of the self-join read ex — persist so shingling runs once
+        ex = _explode_shingles(sh, ["n"]).persist()
     a, b = ex.alias("a"), ex.alias("b")
     pair = (
         a.join(
@@ -283,24 +351,38 @@ def _cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components: min-label propagation or star contraction.
 
     Returns (node, cluster_id) for every node appearing in ``edges``,
     where cluster_id is the minimum node id in the component — the
     canonical "keeper" of a duplicate cluster.
 
-    Each iteration is one join + one aggregation, both hash-partitioned
-    on the node id; iterations needed = component diameter. Near-dup
-    clusters are shallow (copies of a common source), so this converges
-    in 2-3 rounds. For adversarial graphs (long chains) the production
-    alternative is the large-star/small-star alternation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"), which contracts in
-    O(log n) rounds — same building blocks, more rounds bookkeeping; the
-    propagation loop keeps this operator dependency-free and plan-simple.
-    The convergence probe reads one boolean per round (LIMIT 1 count),
-    never row data.
+    ``algorithm="propagation"`` (default): each iteration is one join +
+    one aggregation, both hash-partitioned on the node id; iterations
+    needed = component diameter. Near-dup clusters are shallow (copies
+    of a common source), so this converges in 2-3 rounds. If ``max_iter``
+    rounds pass without convergence the function WARNS and returns the
+    (possibly unconverged) labels — callers clustering adversarial
+    graphs should pass ``algorithm="star"``.
+
+    ``algorithm="star"``: the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which contracts any graph in O(log^2 n) rounds regardless of
+    diameter — the production choice for deep/chain-shaped components.
+    Implemented join-only (no collect_set): per round, m(u) =
+    min(neighbors(u) ∪ {u}) via groupBy-min, then large-star rewires
+    strictly-larger neighbors to m(u) and small-star rewires
+    less-or-equal neighbors (plus u itself) to m(u). Convergence when a
+    small-star round changes nothing (edge multiset checksum stable).
+
+    The convergence probe reads one boolean per round (LIMIT 1 count)
+    or a 2-value checksum aggregate, never row data.
 
     Every round truncates lineage with ``localCheckpoint`` — the classic
     iterative-DataFrame pitfall is that persist() caches *data* but the
@@ -313,6 +395,10 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("peer")
     ).localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _connected_components_star(edges, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     und = (
         edges.unionByName(
             edges.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
@@ -325,6 +411,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
+        converged = False
         for _ in range(max_iter):
             neigh = (
                 und.join(
@@ -353,10 +440,110 @@ def connected_components(
             changed = new_labels.filter("chg").limit(1).count()
             labels = new_labels.select("node", "lbl")
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            msg = (
+                f"connected_components: min-label propagation did not "
+                f"converge within max_iter={max_iter} rounds; labels may "
+                f"span a component (diameter > max_iter). Use "
+                f"algorithm='star' for deep graphs."
+            )
+            logger.warning(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
     finally:
         und.unpersist()
+
+
+def _min_star(e: DataFrame) -> DataFrame:
+    """m(u) = min(neighbors(u) ∪ {u}) over an undirected edge frame."""
+    return (
+        e.groupBy("node")
+        .agg(F.min("peer").alias("mn"))
+        .select("node", F.least(F.col("mn"), F.col("node")).alias("m"))
+    )
+
+
+def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., MR-CC).
+
+    State is the undirected edge multiset (deduped each round). Both
+    steps are a groupBy-min plus a join — hash-partitioned on node, no
+    neighborhood materialization, so a 10^6-degree hub never builds an
+    in-memory list. Terminates when the small-star output is stable
+    (checksum over the sorted edge set: count + sum of xxhash64); label
+    extraction then reads each node's final star center.
+    """
+    und = (
+        edges.unionByName(
+            edges.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
+        )
+        .filter(F.col("node") != F.col("peer"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select("node").distinct().localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        lo = F.least(F.col("node"), F.col("peer"))
+        hi = F.greatest(F.col("node"), F.col("peer"))
+        row = e.select(
+            F.count("*").alias("c"),
+            # decimal sum: long-sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64(lo, hi).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev = checksum(und)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: rewire strictly-larger neighbors to m(u)
+        m = _min_star(und)
+        ls = (
+            und.join(m, "node")
+            .filter(F.col("peer") > F.col("node"))
+            .select(F.col("peer").alias("node"), F.col("m").alias("peer"))
+        )
+        und = (
+            ls.unionByName(ls.select(F.col("peer").alias("node"), F.col("node").alias("peer")))
+            .filter(F.col("node") != F.col("peer"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: rewire less-or-equal neighbors (and u itself) to m(u)
+        m = _min_star(und)
+        ss = (
+            und.filter(F.col("peer") <= F.col("node"))
+            .join(m, "node")
+            .select(F.col("peer").alias("node"), F.col("m").alias("peer"))
+            .unionByName(m.select("node", F.col("m").alias("peer")))
+        )
+        und = (
+            ss.unionByName(ss.select(F.col("peer").alias("node"), F.col("node").alias("peer")))
+            .filter(F.col("node") != F.col("peer"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = checksum(und)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (
+            f"connected_components(star): edge set not stable after "
+            f"max_iter={max_iter} alternations"
+        )
+        logger.warning(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # at the fixed point every node's neighbors include its component
+    # min; isolated-after-contraction nodes are their own center
+    lbl = (
+        nodes.join(_min_star(und), "node", "left")
+        .select("node", F.coalesce(F.col("m"), F.col("node")).alias("cluster_id"))
+    )
+    return lbl
 
 
 def _clusters_oracle_sql() -> str:

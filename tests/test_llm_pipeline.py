@@ -161,3 +161,106 @@ def test_duplicate_clusters_group_both_generations(spark):
     assert full  # at least some docs link all three generations
     for c in full:
         assert by_cluster[c] == {c, c + 10000, c + 20000}
+
+
+def test_star_components_deep_chain(spark):
+    """large-star/small-star resolves a diameter-59 chain (propagation
+    at max_iter=20 cannot) in O(log n) alternations."""
+    import warnings as _w
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # one 60-node chain (ids shuffled so min is mid-chain) + one pair
+    perm = [(i * 37) % 60 + 100 for i in range(60)]  # 100..159 permuted
+    edges = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(59)] + [(7, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, algorithm="star", max_iter=15).collect()
+    }
+    assert got == {(n, 100) for n in perm} | {(3, 3), (7, 3)}
+
+    # propagation on the same graph warns when max_iter < diameter and
+    # returns (possibly unconverged) labels instead of hanging
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(edges, algorithm="propagation", max_iter=3).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+
+
+def test_star_components_match_propagation_random_graph(spark):
+    """star and propagation agree on a random multi-component graph."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # deterministic pseudo-random graph: 80 nodes, 70 edges via LCG
+    x, es = 12345, []
+    for _ in range(70):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 80
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 80
+        if a != b:
+            es.append((a, b))
+    edges = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+    prop = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, max_iter=40).collect()
+    }
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == prop
+
+
+def test_df_cap_bounds_inverted_index_fanout(spark):
+    """A 300x-duplicated boilerplate doc floods the inverted index;
+    df_cap drops its shingles before the self-join."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(300)]
+    # plus distinct near-dup pairs that must survive the prune
+    for i in range(5):
+        base = f"unique document {i} alpha beta gamma delta epsilon zeta eta theta"
+        rows.append((1000 + i, base))
+        rows.append((2000 + i, base + " extra"))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = jaccard_pairs(corpus, 3, 0.6, df_cap=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # boilerplate's shingles have df=300 > 50 -> all dropped -> none of
+    # the 300*299/2 = 44850 boilerplate pairs appear
+    assert got == {(1000 + i, 2000 + i) for i in range(5)}
+    # uncapped, the boilerplate clique dominates
+    assert len(jaccard_pairs(corpus, 3, 0.6).collect()) == 44850 + 5
+
+
+def test_bucket_cap_bounds_lsh_candidates(spark):
+    """Mass-duplicate docs collapse into one LSH bucket per band;
+    bucket_cap drops those buckets (exact-dedup territory) while
+    ordinary near-dup pairs keep colliding."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        minhash_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(300)]
+    for i in range(5):
+        base = f"unique document {i} alpha beta gamma delta epsilon zeta eta theta"
+        rows.append((1000 + i, base))
+        rows.append((2000 + i, base + " extra"))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = minhash_pairs(corpus, 3, 0.6, bucket_cap=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(1000 + i, 2000 + i) for i in range(5)}
+    assert len(minhash_pairs(corpus, 3, 0.6).collect()) == 44850 + 5
