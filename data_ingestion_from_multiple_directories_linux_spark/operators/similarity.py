@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.vectors import (
+    SCALE,
     cosine_q,
     dot_q,
     norm_sq_q,
@@ -44,6 +45,11 @@ QUERY_VEC_ID = 0
 #: K follows the √n rule (~√6000 at bench scale); more cells = smaller
 #: quadratic term per cell, balanced against K assignment dots per vector.
 N_CENTROIDS = 32
+#: fixed Lloyd iteration count: deterministic (no convergence probe), so
+#: the DuckDB oracle can unroll the identical rounds
+LLOYD_ROUNDS = 2
+#: embeddings.parquet dimension (TESTDATA.md) — the oracle's unnest range
+EMB_DIM = 64
 NEAR_DUP_COSINE = 0.8
 
 #: DuckDB: embeddings as double lists
@@ -111,47 +117,160 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _seed_centroids(base: DataFrame, k: int) -> DataFrame:
+    """K seed centroids by md5-rank of vec_id — a deterministic stand-in
+    for uniform random sampling (md5 scatters ids uniformly; both engines
+    hash the identical decimal string). TakeOrderedAndProject keeps the
+    selection scan-shaped; the row_number window runs on k rows only."""
+    seeded = (
+        base.withColumn("h", F.md5(F.col("vec_id").cast("string").cast("binary")))
+        .select("h", "vec_id", "v", "nv")
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    rn = F.row_number().over(W.orderBy("h", "vec_id"))
+    return seeded.select(
+        (rn - 1).cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("ncv"),
+    )
+
+
+def _lloyd_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd centroid update, cross-engine deterministic: per (cell,
+    dim) sum floor(x*1e9) as exact BIGINT (order-independent), then one
+    double division by (1e9 * cell_size). Rebuild the array index-sorted.
+    Empty cells simply disappear (K shrinks) — same in the oracle."""
+    ex = assigned.select("cell", F.posexplode("v").alias("i", "x"))
+    sums = ex.groupBy("cell", "i").agg(
+        F.sum(F.floor(F.col("x") * F.lit(SCALE)).cast("long")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    comp = (F.col("s").cast("double") / (F.lit(SCALE) * F.col("c"))).alias("m")
+    cv = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "m"))),
+        lambda st: st["m"],
+    )
+    return (
+        sums.select("cell", "i", comp)
+        .groupBy("cell")
+        .agg(cv.alias("cv"))
+        .select(F.col("cell").alias("cid"), "cv", norm_sq_q("cv").alias("ncv"))
+    )
+
+
+def train_ivf_centroids(
+    base: DataFrame, k: int = N_CENTROIDS, rounds: int = LLOYD_ROUNDS
+) -> DataFrame:
+    """(cid, cv, ncv) — k-means centroids: md5-seeded + ``rounds`` fixed
+    Lloyd iterations, entirely as DataFrame aggregations (no driver-side
+    numpy, no collect). Each round is one broadcast-assign (K cosines per
+    vector, argmax) + one explode/groupBy update — both hash-partitioned,
+    both linear in n·d. The fixed round count (no convergence probe)
+    keeps the arithmetic replicable in the DuckDB oracle. At 100 TB,
+    train on a seeded sample instead of the full table (k-means|| style);
+    the update shape is unchanged."""
+    # checkpoint each round's ≤k-row centroid frame in ONE partition:
+    # truncates the growing iterative plan (the classic loop pitfall)
+    # without scheduling shuffle.partitions near-empty tasks per round
+    base = base.persist()
+    try:
+        cent = (
+            _seed_centroids(base, k).repartition(1).localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            assigned = _assign_cells(base, cent)
+            cent = (
+                _lloyd_update(assigned).repartition(1).localCheckpoint(eager=True)
+            )
+        return cent
+    finally:
+        base.unpersist()
+
+
 def _assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (nprobe=1): broadcast the K centroids,
     score K cosines per vector, keep the argmax (ties → smallest cid).
-    Norms are computed once per vector/centroid and carried along — the
-    pair stage reuses ``nv`` instead of recomputing norms per pair."""
+    The argmax is a partial-aggregating ``max(struct(ccos, -cid))`` — a
+    map-side combine instead of a per-vector window sort, so the only
+    shuffle carries one pre-reduced row per (partition, vec_id). Norms
+    are computed once per vector/centroid and carried along — the pair
+    stage reuses ``nv`` instead of recomputing norms per pair."""
     scored = corpus.crossJoin(F.broadcast(centroids))
     cos = cosine_q(dot_q("v", "cv"), F.col("nv"), F.col("ncv"))
-    ranked = scored.select(
-        "vec_id", "v", "nv", F.col("cid"), cos.alias("ccos")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-        ),
+    best = (
+        scored.select("vec_id", "v", "nv", "cid", cos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+            ).alias("m"),
+            # v/nv are functionally dependent on vec_id — first() is
+            # deterministic here (every row in the group carries them)
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "v", "nv", (-F.col("m.ncid")).alias("cell"))
     )
-    return ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "v", "nv", F.col("cid").alias("cell")
-    )
+    return best
 
 
-@query(
-    "embedding_near_dup_ivf",
-    oracle=f"""
-    WITH corpus AS (
+def _sql_assign(cent: str, src: str, out: str) -> str:
+    """CTE: assign ``src`` rows to nearest centroid in ``cent``."""
+    cos = sql_cosine_q(sql_dot_q(f"{src}.v", "c.cv"), f"{src}.nv", "c.ncv")
+    return f"""
+    {out} AS (
+        SELECT vec_id, v, nv, cell FROM (
+            SELECT {src}.vec_id, {src}.v, {src}.nv, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+                                      ORDER BY {cos} DESC, c.cid) AS rn
+            FROM {src}, {cent} c)
+        WHERE rn = 1
+    )"""
+
+
+def _sql_lloyd_update(assigned: str, out: str) -> str:
+    """CTE twin of :func:`_lloyd_update` (exact-BIGINT dim sums)."""
+    return f"""
+    {out} AS (
+        SELECT cid, cv, {sql_norm_sq_q('cv')} AS ncv FROM (
+            SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+                SELECT cell, i,
+                       CAST(CAST(SUM(CAST(floor(v[i+1] * 1e9) AS BIGINT))
+                                 AS BIGINT) AS DOUBLE)
+                       / (1000000000.0 * COUNT(*)) AS m
+                FROM {assigned},
+                     (SELECT unnest(range({EMB_DIM})) AS i) t
+                GROUP BY cell, i)
+            GROUP BY cell)
+    )"""
+
+
+def _ivf_oracle_sql() -> str:
+    train = []
+    cent = "cent0"
+    for r in range(LLOYD_ROUNDS):
+        train.append(_sql_assign(cent, "base", f"tassign{r}"))
+        cent = f"cent{r + 1}"
+        train.append(_sql_lloyd_update(f"tassign{r}", cent))
+    train_ctes = ",".join(train)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, v, {sql_norm_sq_q('v')} AS nv FROM ({E_SQL})
+    ),
+    corpus AS (
         SELECT vec_id, v, {sql_norm_sq_q('v')} AS nv FROM ({VEC_CORPUS_SQL})
     ),
-    cent AS (SELECT vec_id AS cid, v AS cv, {sql_norm_sq_q('v')} AS ncv
-             FROM ({E_SQL}) WHERE vec_id < {N_CENTROIDS}),
-    scored AS (
-        SELECT corpus.vec_id, corpus.v, corpus.nv, cent.cid,
-               {sql_cosine_q(sql_dot_q('corpus.v', 'cent.cv'),
-                             'corpus.nv', 'cent.ncv')} AS ccos
-        FROM corpus, cent
+    cent0 AS (
+        SELECT rn - 1 AS cid, v AS cv, nv AS ncv FROM (
+            SELECT v, nv,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS rn
+            FROM base)
+        WHERE rn <= {N_CENTROIDS}
     ),
-    assigned AS (
-        SELECT vec_id, v, nv, cid AS cell
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                           ORDER BY ccos DESC, cid) AS rn
-              FROM scored)
-        WHERE rn = 1
-    ),
+    {train_ctes},
+    {_sql_assign(cent, "corpus", "assigned")},
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
                {sql_cosine_q(sql_dot_q('a.v', 'b.v'), 'a.nv', 'b.nv')} AS cosine
@@ -160,19 +279,25 @@ def _assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     SELECT id_a, id_b, cell, cosine FROM pairs
     WHERE cosine >= {NEAR_DUP_COSINE}
-    """,
-)
+    """
+
+
+@query("embedding_near_dup_ivf", oracle=_ivf_oracle_sql())
 def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.8) via IVF blocking.
 
-    Vectors are assigned to their nearest of K=8 fixed centroids (the
-    first 8 base embeddings — deterministic stand-ins for trained
-    k-means centroids); pair search runs within cells only. The
-    pair-join is hash-partitioned on the cell, so the quadratic term is
-    n²/K per cell instead of n² global; K grows with corpus size (√n
-    rule) at scale, and nprobe>1 trades compute for boundary recall.
-    The oracle replicates the identical assignment, so the entry is an
-    exact check of the full IVF pipeline, not a recall estimate.
+    Centroids are TRAINED: :func:`train_ivf_centroids` runs md5-seeded
+    initialization plus LLOYD_ROUNDS fixed Lloyd iterations over the
+    base table (K = N_CENTROIDS = 32), entirely as DataFrame
+    aggregations; the full corpus (base + synthesized near-dups) is then
+    assigned to its nearest trained centroid and pair search runs within
+    cells only. The pair-join is hash-partitioned on the cell, so the
+    quadratic term is n²/K per cell instead of n² global; K grows with
+    corpus size (√n rule) at scale, and nprobe>1 trades compute for
+    boundary recall. The oracle replicates the identical seeded training
+    (exact-BIGINT quantized sums → bit-identical centroids), so the
+    entry is an exact check of the full train+assign+search pipeline,
+    not a recall estimate.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
@@ -183,12 +308,9 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
         ).alias("v"),
     )
+    base = e.withColumn("nv", norm_sq_q("v"))
     corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        norm_sq_q("v").alias("ncv"),
-    )
+    centroids = train_ivf_centroids(base)
     # assigned feeds both sides of the pair join — persist so the
     # assignment chain (K cosines per vector + argmax window) runs once
     assigned = _assign_cells(corpus, centroids).persist()

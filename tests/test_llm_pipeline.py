@@ -264,3 +264,34 @@ def test_bucket_cap_bounds_lsh_candidates(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped}
     assert got == {(1000 + i, 2000 + i) for i in range(5)}
     assert len(minhash_pairs(corpus, 3, 0.6).collect()) == 44850 + 5
+
+
+def test_ivf_centroids_trained_and_balanced(spark):
+    """Lloyd-trained centroids produce balanced cells (no giant bucket)
+    and differ from their seeds (training actually moved them)."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        _assign_cells,
+        _seed_centroids,
+        norm_sq_q,
+        to_double_array,
+        train_ivf_centroids,
+    )
+
+    e = (
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nv", norm_sq_q("v"))
+    )
+    cent = train_ivf_centroids(e)
+    rows = cent.collect()
+    assert len(rows) > 1
+    seeds = {r["cid"]: r["cv"] for r in _seed_centroids(e, 32).collect()}
+    moved = [r for r in rows if r["cid"] in seeds and list(r["cv"]) != list(seeds[r["cid"]])]
+    assert moved  # Lloyd updates changed the seed vectors
+
+    sizes = [r["count"] for r in _assign_cells(e, cent).groupBy("cell").count().collect()]
+    n = sum(sizes)
+    # the quadratic pair term is sum(s^2); balanced cells keep the max
+    # cell well under a constant fraction of the corpus
+    assert max(sizes) < 0.2 * n
