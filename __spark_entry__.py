@@ -26,6 +26,7 @@ if _REPO_DIR not in sys.path:
 from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: E402
     asof,  # noqa: F401
     dedup,  # noqa: F401
+    multimodal,  # noqa: F401
     relational,  # noqa: F401
     similarity,  # noqa: F401
     text_analysis,  # noqa: F401

@@ -3,11 +3,12 @@
 Media assets ride through the engine as opaque ``binary`` payload columns
 with a typed metadata struct (SURVEY-extension; BASELINE.json north
 star). The Spark-side contract is real and tested — schema, partitioning,
-Arrow batch shape, UDF signatures — while the actual codec step is
-isolated behind ``decode_fn``: the container ships no image/audio
-libraries, so the default decoder raises NotImplementedError and tests
-exercise the pipeline with :func:`fake_decode` (deterministic,
-byte-derived features).
+Arrow batch shape, UDF signatures — and the decode step is pluggable via
+``decode_fn``: :func:`real_decode` parses PNG IHDR / JPEG SOF container
+headers in pure Python (no codec library needed) for format + dimensions;
+pixel-level features still require a codec the container does not ship,
+so ``feature`` extraction is exercised with :func:`fake_decode`
+(deterministic, byte-derived).
 
 Design for 100 TB of media:
 * payloads stay in ``binary`` columns — no base64 inflation, Arrow moves
@@ -25,9 +26,12 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .registry import query
 
 #: media-table schema: opaque payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -62,15 +66,71 @@ FEATURE_SCHEMA = T.StructType(
 
 DecodeFn = Callable[[bytes, str], dict]
 
+#: JPEG SOF markers that carry frame dimensions (C0-C3, C5-C7, C9-CB,
+#: CD-CF — i.e. every SOFn; C4/C8/CC are DHT/JPG/DAC, not frames)
+_JPEG_SOF = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+)
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Pure-Python container-header parse: PNG IHDR / JPEG SOF.
+
+    Needs no codec library — dimensions live in the container header:
+    PNG stores width/height as the first 8 bytes of the IHDR chunk
+    (always the first chunk, at offset 16); JPEG stores them in the
+    SOFn frame segment (height then width, big-endian, at segment
+    offset +5/+7). Returns {format, width, height} or None if the
+    payload is neither.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        return {
+            "format": "png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                return {
+                    "format": "jpeg",
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                }
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    return None
+
 
 def real_decode(payload: bytes, media_type: str) -> dict:
-    """Codec-backed decode (PIL/libav/...). STUB: the container ships no
-    media libraries — wire a real implementation here on a cluster with
-    codecs installed."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode for pipeline testing"
-    )
+    """Header-level decode: PNG/JPEG dimensions via
+    :func:`parse_image_header` (pure Python, no codec library). Pixel
+    decode — and therefore ``feature`` — still needs a codec (PIL /
+    libav), which this container does not ship: ``feature`` is None.
+    Unparseable payloads yield None dimensions (quarantine upstream)."""
+    hdr = parse_image_header(payload) if payload else None
+    if hdr is None:
+        return {"width": None, "height": None, "n_frames": None, "feature": None}
+    return {
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "n_frames": 1,
+        "feature": None,
+    }
 
 
 def fake_decode(payload: bytes, media_type: str) -> dict:
@@ -143,6 +203,79 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def make_png(width: int, height: int) -> bytes:
+    """Minimal but well-formed PNG: signature + IHDR (correct CRC) +
+    one-pixel IDAT + IEND. Pure stdlib (zlib for CRC/deflate)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x00")
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0 carrying the dimensions +
+    EOI. Enough structure that a marker-walking parser must skip APP0
+    correctly before finding SOF0."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA frame of REAL image payloads synthesized per doc_id:
+    even ids → PNG, odd ids → JPEG, dimensions derived arithmetically
+    (width = 16 + id % 320, height = 16 + id % 200) so an oracle can
+    predict them without parsing. Synthesis runs in Arrow-batched
+    mapInPandas — the same path real binary columns ride."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads, types = [], []
+            for i in ids:
+                w, h = 16 + i % 320, 16 + i % 200
+                if i % 2 == 0:
+                    payloads.append(make_png(w, h))
+                    types.append("image/png")
+                else:
+                    payloads.append(make_jpeg(w, h))
+                    types.append("image/jpeg")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "payload": payloads,
+                    "meta": [
+                        {"source": "synth", "n_bytes": len(p)} for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA frame from the documents test table (payload =
     utf-8 bytes) — the fixture generator for plumbing tests."""
@@ -154,4 +287,34 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.col("source").alias("source"),
             F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
         ).alias("meta"),
+    )
+
+
+@query(
+    "media_dimensions",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'image/jpeg' END AS media_type,
+           CAST(16 + doc_id % 320 AS BIGINT) AS width,
+           CAST(16 + doc_id % 200 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dimensions from real container headers, end to end: per
+    doc_id a REAL PNG/JPEG payload is synthesized (mapInPandas), then
+    :func:`real_decode` parses the PNG IHDR / JPEG SOF headers back out
+    of the bytes — both hops Arrow-batched, payloads in binary columns.
+    The oracle predicts the dimensions arithmetically from the synthesis
+    rule, so a parser bug (offset, endianness, marker walk) fails the
+    hash. Narrow plan: scan → mapInPandas → mapInPandas, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_from_documents(docs)
+    feats = extract_features(media, real_decode)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
     )

@@ -51,9 +51,40 @@ def test_extract_features_fake_decode(spark, media):
     assert all(len(r["feature"]) == 4 for r in rows)
 
 
-def test_real_decode_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        real_decode(b"abc", "image/png")
+def test_real_decode_parses_png_and_jpeg_headers():
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        make_jpeg,
+        make_png,
+        parse_image_header,
+    )
+
+    assert parse_image_header(make_png(640, 360)) == {
+        "format": "png", "width": 640, "height": 360,
+    }
+    assert parse_image_header(make_jpeg(1920, 1080)) == {
+        "format": "jpeg", "width": 1920, "height": 1080,
+    }
+    # garbage / truncated payloads: None, never an exception
+    assert parse_image_header(b"abc") is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+    assert parse_image_header(make_png(64, 64)[:10]) is None
+    got = real_decode(make_png(12, 34), "image/png")
+    assert (got["width"], got["height"], got["n_frames"]) == (12, 34, 1)
+    assert real_decode(b"not an image", "image/png")["width"] is None
+
+
+def test_media_dimensions_end_to_end(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        media_dimensions,
+    )
+
+    rows = media_dimensions(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        i = r["media_id"]
+        assert r["width"] == 16 + i % 320
+        assert r["height"] == 16 + i % 200
+        assert r["media_type"] == ("image/png" if i % 2 == 0 else "image/jpeg")
 
 
 def test_frame_sample_plan(spark, media):
