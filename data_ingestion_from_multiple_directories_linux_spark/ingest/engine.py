@@ -33,7 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import datetime
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleansing import (
@@ -235,22 +235,32 @@ class IngestionEngine:
     def _select_work(
         self, metas: list[FileMeta]
     ) -> tuple[list[FileMeta], int, set[tuple[str, str]]]:
-        """Anti-join discovered files against the success log.
+        """Join discovered files against the latest log status per file.
 
-        Mirrors the reference's idempotency dispatch: only ``success`` is
-        terminal — a previously *failed* file is auto-retried on the next
-        run (file_loader.py:413-420 ``is_loaded_failed … 'attempting to
-        reload'``). Keyed on (file_name, facility_id) exactly as
-        file_loader.py:328-336 — the same filename from two facilities is
-        two distinct work items. Queue fairness orders by the filename's
-        14-digit timestamp then name (O1, file_loader.py:254 ``ORDER BY
-        modified_date asc, file_name``), capped per run (O2, LIMIT 50000).
+        Reference state machine (file_loader.py:247-278): the dequeue
+        selects only pending files; failure sets processed=-2, which is
+        TERMINAL until an analyst requeue resets it — a permanently-bad
+        file is not re-attempted every run. This engine keeps that
+        semantics with one bounded relaxation: a failed file whose mtime
+        is NEWER than the failing attempt (i.e. it was re-uploaded or
+        fixed in place) re-enters the queue automatically — the retry is
+        bounded by file modification, so malformed files fail exactly
+        once per upload instead of forever. ``requeue_failed`` (M2) is
+        the manual reopening mechanism, matching the reference's
+        ``UPDATE … SET processed=0`` requeue SQL.
+
+        Decision per (file_name, facility_id) — keyed exactly as
+        file_loader.py:328-336 — based on the LATEST log row:
+        no row → select (new); 'requeued' → select; 'success' → skip;
+        'failed' → select only if mtime > load_end_time. Queue fairness
+        orders by the filename's 14-digit timestamp then name (O1,
+        file_loader.py:254), capped per run (O2, LIMIT 50000).
 
         Returns (selected, n_skipped, retry_pairs) where retry_pairs is
-        the subset of selected (file_name, facility_id) pairs that have a
-        prior 'failed' log row — their partial staging rows must be purged
-        before re-append (a G3 quarantine run ingests the valid rows and
-        still logs the file failed; blind re-append would duplicate them).
+        the subset of selected pairs with a prior 'failed'/'requeued'
+        row — their partial staging rows must be purged before re-append
+        (a G3 quarantine run ingests the valid rows and still logs the
+        file failed; blind re-append would duplicate them).
         """
         if not metas:
             return [], 0, set()
@@ -271,24 +281,40 @@ class IngestionEngine:
 
         cat = catalog_df(self.spark, metas)
         prior = self.store.read(INGESTION_LOG)
-        success = (
-            prior.filter(F.col("status") == "success")
-            .select("file_name", "facility_id")
-            .distinct()
+        # latest status per work item decides; one window over the
+        # (bounded, file-level) log — never row data
+        latest = (
+            prior.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("file_name", "facility_id").orderBy(
+                        F.desc("load_end_time"), F.desc("status")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(
+                "file_name",
+                "facility_id",
+                F.col("status").alias("_status"),
+                F.col("load_end_time").alias("_attempt_ts"),
+            )
+        )
+        joined = cat.join(latest, ["file_name", "facility_id"], "left")
+        selectable = (
+            F.col("_status").isNull()
+            | (F.col("_status") == "requeued")
+            | (
+                (F.col("_status") == "failed")
+                & (F.col("mtime") > F.col("_attempt_ts").cast("double"))
+            )
         )
         # retry hygiene applies to files failed OR bulk-requeued: either
         # way prior partial rows may exist in staging and must be purged
-        # before the re-append (ADVICE: requeue_failed previously left
-        # them, duplicating staging data on re-ingest)
-        failed = (
-            prior.filter(F.col("status").isin("failed", "requeued"))
-            .select("file_name", "facility_id")
-            .distinct()
-            .withColumn("_retry", F.lit(True))
-        )
+        # before the re-append (blind re-append would duplicate them)
         todo = (
-            cat.join(success, ["file_name", "facility_id"], "left_anti")
-            .join(failed, ["file_name", "facility_id"], "left")
+            joined.filter(selectable)
+            .withColumn("_retry", F.col("_status").isin("failed", "requeued"))
             .orderBy(
                 F.regexp_extract("file_name", TS_RE, 1), "file_name", "facility_id"
             )

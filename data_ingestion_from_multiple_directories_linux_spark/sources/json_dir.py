@@ -35,6 +35,10 @@ class FileMeta:
     facility_id: str
     table_name: str
     batch_id: str
+    #: filesystem mtime (epoch seconds) — the retry-bound signal: a
+    #: failed file is only re-selected once it has been modified after
+    #: the failing attempt (≙ sync_file.modified_date)
+    mtime: float = 0.0
 
 
 def discover_files(root: str) -> list[FileMeta]:
@@ -50,13 +54,19 @@ def discover_files(root: str) -> list[FileMeta]:
         for fn in sorted(os.listdir(fac_dir)):
             if not fn.endswith(".json"):
                 continue
+            path = os.path.join(fac_dir, fn)
+            try:
+                mtime = os.stat(path).st_mtime
+            except OSError:
+                mtime = 0.0
             out.append(
                 FileMeta(
-                    path=os.path.join(fac_dir, fn),
+                    path=path,
                     file_name=fn,
                     facility_id=fac,
                     table_name=derive_table_name(fn),
                     batch_id=derive_batch_id(fn),
+                    mtime=mtime,
                 )
             )
     return out
@@ -72,9 +82,13 @@ def catalog_df(spark: SparkSession, metas: list[FileMeta]) -> DataFrame:
             T.StructField("facility_id", T.StringType(), False),
             T.StructField("table_name", T.StringType(), False),
             T.StructField("batch_id", T.StringType(), True),
+            T.StructField("mtime", T.DoubleType(), True),
         ]
     )
-    rows = [(m.path, m.file_name, m.facility_id, m.table_name, m.batch_id) for m in metas]
+    rows = [
+        (m.path, m.file_name, m.facility_id, m.table_name, m.batch_id, m.mtime)
+        for m in metas
+    ]
     return spark.createDataFrame(rows, schema)
 
 

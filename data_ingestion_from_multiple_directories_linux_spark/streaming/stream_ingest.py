@@ -8,8 +8,14 @@ Mapping to the reference's operating model:
   has one schema (the reference routes by filename the same way,
   file_loader.py:288-309);
 * file-source checkpoint — the sync_file processed-state machine
-  (file_loader.py:247-278): a file is consumed exactly once across
-  restarts, no manual idempotency joins;
+  (file_loader.py:247-278): the source offers each file in exactly one
+  micro-batch across restarts. foreachBatch itself is at-least-once, so
+  the sink adds a ``_stream_commits`` marker table: a replayed batch_id
+  is skipped outright, and an uncommitted (crashed-mid-append) batch is
+  repaired by purging its files' partial rows before re-append — the
+  combination gives effectively-exactly-once staging/audit rows over
+  plain parquet (the same role a transactional table format plays at
+  cluster scale);
 * ``trigger(availableNow=True)`` — one cron tick (processes everything
   pending, then stops), replacing cron + the pgrep single-instance lock
   (orchestrate_file_ingestion.sh:16-26, G7): a second concurrent start
@@ -98,12 +104,75 @@ class StreamingIngestion:
             "_src_facility", F.element_at(parts, -2)
         )
 
+    #: sink-side commit log: (table_name, batch_id) per committed batch
+    COMMITS = "_stream_commits"
+
+    def _is_committed(self, batch_id: int) -> bool:
+        if not self.store.exists(self.COMMITS):
+            return False
+        hit = (F.col("table_name") == f"stg_{self.table}") & (
+            F.col("batch_id") == batch_id
+        )
+        return self.store.read(self.COMMITS).filter(hit).limit(1).count() > 0
+
+    def _mark_committed(self, batch_id: int) -> None:
+        row = self.spark.createDataFrame(
+            [(f"stg_{self.table}", batch_id)], "table_name string, batch_id long"
+        ).withColumn("committed_at", F.current_timestamp())
+        self.store.append(self.COMMITS, row.coalesce(1))
+
+    def _purge_batch_rows(self, files: list[tuple[str, str]]) -> None:
+        """Crash-replay repair: drop any rows a half-committed attempt of
+        this batch already appended, keyed on the batch's (file,
+        facility) pairs — the file source assigns each file to exactly
+        one batch_id, so the key is exact."""
+        if not files:
+            return
+        for store_table, fcol, faccol in (
+            (f"stg_{self.table}", "stg_file_name", "stg_datim_id"),
+            (f"stg_{self.table}_bad_dates", "stg_file_name", "stg_datim_id"),
+            (INGESTION_LOG, "file_name", "facility_id"),
+        ):
+            if not self.store.exists(store_table):
+                continue
+            cur = self.store.read(store_table)
+            hit = F.lit(False)
+            for f, fac in sorted(files):
+                hit = hit | ((F.col(fcol) == f) & (F.col(faccol) == fac))
+            if store_table == INGESTION_LOG:
+                hit = hit & (F.col("table_name") == f"stg_{self.table}")
+            if cur.filter(hit).limit(1).count() == 0:
+                continue
+            remaining = cur.filter(~hit)
+            if remaining.limit(1).count() == 0:
+                self.store.drop(store_table)
+            else:
+                parts = self.partition_cols if store_table != INGESTION_LOG else ()
+                self.store.overwrite(store_table, remaining, parts)
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """The per-micro-batch sink: same pipeline as the batch engine,
-        plus per-file audit rows computed from the batch itself."""
+        plus per-file audit rows computed from the batch itself.
+
+        Idempotent under foreachBatch's at-least-once contract: a
+        batch_id already in ``_stream_commits`` is a replay of a fully
+        committed batch → skip; a replay WITHOUT a marker means the
+        previous attempt crashed mid-append → purge that attempt's
+        partial rows (keyed on the batch's files) and redo.
+        """
+        if self._is_committed(batch_id):
+            return
         batch = batch.persist()
         valid = bad = None
         try:
+            self._purge_batch_rows(
+                [
+                    (r["_src_file"], r["_src_facility"])
+                    for r in batch.select("_src_file", "_src_facility")
+                    .distinct()
+                    .collect()
+                ]
+            )
             valid, bad, date_cols, flagged = cleanse_and_split(
                 self.table, batch, self.transforms
             )
@@ -124,11 +193,15 @@ class StreamingIngestion:
 
             # audit: one row per file in this micro-batch (G6); ALL
             # per-file counts come from ONE pass over the row-preserving
-            # flagged frame — no join of two aggregations
+            # flagged frame — no join of two aggregations. Divergence
+            # from the batch engine's G4: a ZERO-ROW file produces no
+            # rows, hence no group, hence no audit row — the streaming
+            # source tracks such files only in its checkpoint (the batch
+            # engine, which walks file metadata, audits them 'failed /
+            # JSON file is empty').
             key = ["_src_file", "_src_facility"]
             is_live = ~F.col("_is_corrupt") & ~F.col("_all_null")
             stats = flagged.groupBy(*key).agg(
-                F.count("*").alias("n_raw"),
                 F.count(F.when(F.col("_is_corrupt"), 1)).alias("n_corrupt"),
                 F.count(F.when(is_live & ~F.col("_bad_date"), 1)).alias("n_valid"),
                 F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
@@ -141,14 +214,12 @@ class StreamingIngestion:
                 F.lit(f"stg_{self.table}").alias("table_name"),
                 batch_of(F.col("_src_file")).alias("batch_id"),
                 F.when(F.col("n_corrupt") > 0, "failed")
-                .when(F.col("n_raw") == 0, "failed")
                 .when(F.col("n_bad") > 0, "failed")
                 .otherwise("success")
                 .alias("status"),
                 F.col("n_valid").cast("long").alias("json_rec_count"),
                 F.col("n_bad").cast("long").alias("bad_rec_count"),
                 F.when(F.col("n_corrupt") > 0, "malformed JSON")
-                .when(F.col("n_raw") == 0, "JSON file is empty")
                 .when(
                     F.col("n_bad") > 0,
                     F.concat(
@@ -162,6 +233,9 @@ class StreamingIngestion:
             )
             # one audit file per micro-batch, not one per shuffle slice
             self.store.append(INGESTION_LOG, audit.coalesce(1))
+            # marker LAST: anything before a crash lands pre-marker and
+            # is repaired by the purge on replay
+            self._mark_committed(batch_id)
         finally:
             for df in (bad, valid):
                 if df is not None:

@@ -101,3 +101,57 @@ def test_column_transform_tolerates_missing_column(spark):
     df = spark.createDataFrame([(1,)], "id long")
     out = column_transform("nope", normalize_whitespace)(df)
     assert out.columns == ["id"]
+
+
+def test_jdbc_option_construction():
+    """S3 adapter: option construction for partitioned JDBC reads —
+    no endpoint exists in the sandbox, so construction is the contract."""
+    import pytest
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.jdbc import (
+        build_jdbc_options,
+        jdbc_url,
+    )
+
+    url = jdbc_url("postgresql", "warehouse.local", 5432, "hms")
+    assert url == "jdbc:postgresql://warehouse.local:5432/hms"
+
+    opts = build_jdbc_options(
+        url,
+        "public.sync_file",
+        user="etl",
+        password="secret",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["dbtable"] == "public.sync_file"
+    assert (opts["partitionColumn"], opts["lowerBound"], opts["upperBound"],
+            opts["numPartitions"]) == ("id", "0", "1000000", "64")
+    assert opts["fetchsize"] == "10000"
+
+    # partial partition spec is an error, not a silent serial read
+    with pytest.raises(ValueError):
+        build_jdbc_options(url, "t", partition_column="id")
+    with pytest.raises(ValueError):
+        jdbc_url("nosuchdb", "h", 1, "d")
+
+    # sqlserver URL shape differs
+    assert jdbc_url("sqlserver", "h", 1433, "d") == "jdbc:sqlserver://h:1433;databaseName=d"
+
+
+def test_jdbc_predicate_mode_rejects_mixed_slicing(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.sources.jdbc import read_jdbc
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://h:5432/d",
+            "t",
+            predicates=["a = 1"],
+            partition_column="id",
+        )

@@ -102,9 +102,9 @@ def test_idempotency_second_run_noop(engine, uploads):
 
 
 def test_failed_file_auto_retries_without_duplicates(engine, uploads):
-    """G1 per the reference: only 'success' is terminal — a failed file is
-    re-selected next run (file_loader.py:413-420), and its prior partial
-    rows are purged so the retry cannot duplicate staging data."""
+    """G1: a failed file that was FIXED (mtime newer than the failing
+    attempt) is re-selected next run, and its prior partial rows are
+    purged so the retry cannot duplicate staging data."""
     fn = "patient_person_0_20250103141949.json"
     # 2 valid rows + 1 bad date → valid rows ingest, file logs failed (G3)
     write_json(uploads, "FAC001", fn,
@@ -305,6 +305,33 @@ def test_requeue_failed_bulk_update(engine, uploads):
     statuses = {r["status"] for r in engine.store.read(INGESTION_LOG).collect()}
     assert statuses == {"requeued"}
     assert engine.requeue_failed(like_pattern="nomatch%") == 0
+
+
+def test_unmodified_failed_file_is_terminal_until_requeue(engine, uploads):
+    """Failed is terminal for an UNCHANGED file (reference: processed=-2
+    stays until the manual requeue SQL): a permanently-malformed file
+    fails once, is skipped on subsequent runs, and only requeue_failed
+    reopens it."""
+    fn = "patient_person_0_20250103141949.json"
+    path = write_json(uploads, "FAC001", fn, [])  # empty → fails
+    import os
+
+    # pin mtime BEFORE the run so it is strictly older than the attempt
+    os.utime(path, (1_000_000_000, 1_000_000_000))
+    rep1 = engine.run(uploads)
+    assert rep1.files_failed == 1
+
+    # unchanged file: NOT re-selected, no new audit rows accumulate
+    rep2 = engine.run(uploads)
+    assert rep2.files_ingested == 0 and rep2.files_failed == 0
+    assert rep2.files_skipped == 1
+    assert engine.store.read(INGESTION_LOG).count() == 1
+
+    # analyst requeue reopens it (still empty → fails again, once)
+    assert engine.requeue_failed() == 1
+    rep3 = engine.run(uploads)
+    assert rep3.files_failed == 1
+    assert engine.store.read(INGESTION_LOG).count() == 2
 
 
 def test_queue_fairness_oldest_timestamp_first(spark, tmp_path):

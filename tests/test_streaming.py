@@ -195,3 +195,104 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # final cumulative one (n=3)
     u1 = sorted(updates[updates.user_id == 1].n_events)
     assert len(u1) == 2 and u1[0] in (1, 2) and u1[1] == 3
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path, uploads):
+    """foreachBatch is at-least-once; the _stream_commits marker makes the
+    sink effectively-exactly-once. A replayed committed batch is a no-op;
+    an uncommitted (crashed-mid-append) batch is repaired by purge."""
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(i) for i in range(3)])
+    s = _stream(spark, tmp_path, uploads)
+    s.run_available_now()
+    assert s.store.read("stg_patient_person").count() == 3
+    assert s.store.read(INGESTION_LOG).count() == 1
+
+    # replay the same batch content with its committed batch_id → skip
+    batch = (
+        spark.read.format("json").schema(s.schema)
+        .option("multiLine", "true").load(uploads + "/*/*.json")
+        .withColumn("_src_file", F.lit("patient_person_0_20250103141949.json"))
+        .withColumn("_src_facility", F.lit("FAC001"))
+    )
+    s._process_batch(batch, 0)
+    assert s.store.read("stg_patient_person").count() == 3
+    assert s.store.read(INGESTION_LOG).count() == 1
+
+    # crash-replay: marker missing but partial rows present → purged, redone
+    s.store.read(s.COMMITS)  # marker table exists
+    import shutil
+
+    shutil.rmtree(s.store.path(s.COMMITS))
+    s._process_batch(batch, 0)
+    assert s.store.read("stg_patient_person").count() == 3  # not 6
+    assert s.store.read(INGESTION_LOG).count() == 1
+    assert s._is_committed(0)
+
+
+def test_late_events_dropped_within_watermark_retained(spark, tmp_path):
+    """Late-data semantics, one file per micro-batch (mtime-ordered):
+    an event arriving AFTER its window was evicted is dropped (no
+    duplicate emission, count unchanged), while a late-but-still-open
+    window event merges into state and is counted on eviction."""
+    import json as _json
+    import os
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def put(name, rows, mt):
+        p = os.path.join(str(src), name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    # b0: 00:30 + 02:45 → commit watermark 01:45
+    put("a.json", [
+        {"event_id": 1, "ts": "2024-01-01 00:30:00"},
+        {"event_id": 2, "ts": "2024-01-01 02:45:00"},
+    ], 1_000_000)
+    # b1 (start wm 01:45): EVICTS window 00:00 with n=1 → commit wm 02:00
+    put("b.json", [{"event_id": 3, "ts": "2024-01-01 03:00:00"}], 2_000_000)
+    # b2 (start wm 02:00): 00:20 targets the ALREADY-EVICTED 00:00 window
+    # → must be dropped (else a duplicate 00:00 row would emit later);
+    # 02:30 is late but window 02:00 is still open (end 03:00 > wm) →
+    # retained; 04:30 advances wm
+    put("c.json", [
+        {"event_id": 4, "ts": "2024-01-01 00:20:00"},
+        {"event_id": 5, "ts": "2024-01-01 02:30:00"},
+        {"event_id": 6, "ts": "2024-01-01 04:30:00"},
+    ], 3_000_000)
+    # b3: drives eviction of window 02:00
+    put("d.json", [{"event_id": 7, "ts": "2024-01-01 06:00:00"}], 4_000_000)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = tmp_path / "late_out"
+    q = (
+        stream.select(F.col("window.start").alias("ws"), "n")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(out)).collect()
+    by_ws = {}
+    for r in rows:
+        by_ws.setdefault(str(r["ws"]), []).append(r["n"])
+    # dropped: window 00:00 emitted exactly once, count excludes the
+    # post-eviction late event (would be a second row or n=2 otherwise)
+    assert by_ws["2024-01-01 00:00:00"] == [1]
+    # retained: the late-but-open 02:30 merged with 02:45 before eviction
+    assert by_ws["2024-01-01 02:00:00"] == [2]
