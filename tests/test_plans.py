@@ -162,3 +162,41 @@ def test_range_join_is_bucketed_broadcast_hash(spark, queries):
     plan = plan_of(queries["range_join_ship_periods"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staging_partition_pruning_by_facility(spark, tmp_path):
+    """stg_* is written partitioned by facility (stg_datim_id): a
+    per-facility read prunes to that facility's partition directories —
+    PartitionFilters in the scan, not a post-scan Filter over all data."""
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+        IngestionEngine,
+    )
+    from tests.test_ingest_engine import patient, write_json
+
+    uploads = str(tmp_path / "up")
+    for fac in ("FAC001", "FAC002", "FAC003"):
+        write_json(uploads, fac, "patient_person_0_20250103141949.json",
+                   [patient(i) for i in range(3)])
+    eng = IngestionEngine(spark, str(tmp_path / "wh"))
+    eng.run(uploads)
+
+    # hive-style partition directories on disk
+    stg_dir = eng.store.path("stg_patient_person")
+    assert sorted(d for d in os.listdir(stg_dir) if d.startswith("stg_datim_id=")) == [
+        "stg_datim_id=FAC001", "stg_datim_id=FAC002", "stg_datim_id=FAC003",
+    ]
+
+    df = eng.store.read("stg_patient_person").filter(
+        F.col("stg_datim_id") == "FAC001"
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    # the facility predicate is a partition filter on the scan...
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "stg_datim_id" in pf
+    # ...and the scan reads only the pruned partition
+    assert df.count() == 3
