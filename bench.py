@@ -66,6 +66,47 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
+#: the pair-generating / iterative ops whose scaling behavior carries the
+#: 100 TB claim — everything else is scan-shaped
+SCALE_OPS = (
+    "minhash_lsh_near_dup",
+    "ngram_jaccard_pairs",
+    "duplicate_clusters",
+    "embedding_near_dup_ivf",
+    "embedding_near_dup_lsh",
+    "simhash_fingerprint",
+)
+SCALE_SMALL_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_SMALL_DIR", "/root/testdata/sf0.01"
+)
+
+
+def bench_scale(spark, big: dict[str, float]) -> dict:
+    """Empirical scale curve for the bucketed ops: time at the small SF
+    vs the (already-measured) big SF. Data grows 10x between the driver's
+    SFs; a bucketed design should grow far closer to 10x (linear) than
+    100x (quadratic/all-pairs). ``ratio`` = t_big / t_small."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, dict] = {}
+    for name in SCALE_OPS:
+        if name not in qs or name not in big:
+            continue
+        best = float("inf")
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SCALE_SMALL_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = {
+            "small_sec": round(best, 4),
+            "big_sec": big[name],
+            "ratio": round(big[name] / best, 2) if best > 0 else None,
+        }
+    return out
+
+
 def _make_upload_tree(uploads: str, n_files: int, rows_per_file: int) -> None:
     for i in range(n_files):
         fac = f"FAC{i % 8:03d}"
@@ -129,6 +170,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=CPUS)
     queries = bench_queries(spark)
+    scale = bench_scale(spark, queries)
     ingest = bench_ingest(spark)
     total = round(sum(queries.values()), 4)
     print(
@@ -141,6 +183,12 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
                 "n_queries": len(queries),
+                "scale": {
+                    "small_sf": _sf_of(SCALE_SMALL_DIR),
+                    "big_sf": _sf_of(SF_DIR),
+                    "data_ratio": 10.0,
+                    "ops": scale,
+                },
                 "ingest": ingest,
             }
         )
