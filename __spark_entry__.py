@@ -59,6 +59,7 @@ _PRIORITY_FIRST = [
     "multires_rollup_events",
     # new in round 3
     "media_dimensions",
+    "ngram_jaccard_capped",
 ]
 
 

@@ -308,6 +308,81 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# df-capped inverted index (the skew guard, contract-verified)
+# ---------------------------------------------------------------------------
+
+#: boilerplate blast: 40 identical documents with a vocabulary disjoint
+#: from the test corpus — their shingles have df=40
+_BOILER = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+)
+CAPPED_DF_CAP = 30
+CAPPED_CORPUS_SQL = f"""
+    {NEAR_DUP_CORPUS_SQL}
+    UNION ALL
+    SELECT 90000 + i AS doc_id, '{_BOILER}' AS text FROM range(40) t(i)
+"""
+
+
+def _jaccard_capped_sql(corpus_sql: str, n: int, threshold: float, df_cap: int) -> str:
+    """DuckDB twin of ``jaccard_pairs(df_cap=...)``: drop shingles with
+    document frequency above the cap from index AND per-doc counts."""
+    parts = " || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(n))
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tok AS (
+        SELECT doc_id, {TOK_SQL.format(c='text')} AS toks FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(toks) - {n - 1}),
+                                            i -> {parts})) AS sh
+        FROM tok WHERE len(toks) >= {n}
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    keep AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {df_cap}),
+    kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN keep USING (s)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pair AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter / (na.n + nb.n - inter) AS jaccard
+    FROM pair
+    JOIN nn na ON na.doc_id = id_a
+    JOIN nn nb ON nb.doc_id = id_b
+    WHERE inter / (na.n + nb.n - inter) >= {threshold}
+    """
+
+
+@query(
+    "ngram_jaccard_capped",
+    oracle=_jaccard_capped_sql(
+        CAPPED_CORPUS_SQL, 4, JACCARD_NGRAM_THRESHOLD, CAPPED_DF_CAP
+    ),
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-cap skew guard as a contract-verified query: the corpus is
+    the near-dup corpus plus a 40-document boilerplate blast; with
+    df_cap=30 every boilerplate shingle (df=40) is dropped before the
+    self-join, so the 40*39/2 = 780 boilerplate pairs never exist and
+    the output equals the genuine near-dup pairs — which is exactly what
+    the oracle's capped inverted index computes. This is the 100 TB
+    posture: mass-duplicated content is excluded from pairwise Jaccard
+    (the exact-dedup path owns it) instead of quadratically exploding
+    the index join."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    boiler = (
+        spark.range(40)
+        .select((F.col("id") + 90000).alias("doc_id"), F.lit(_BOILER).alias("text"))
+    )
+    return jaccard_pairs(
+        corpus.unionByName(boiler), 4, JACCARD_NGRAM_THRESHOLD, df_cap=CAPPED_DF_CAP
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

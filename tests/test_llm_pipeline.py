@@ -317,7 +317,15 @@ def test_ivf_centroids_trained_and_balanced(spark):
     cent = train_ivf_centroids(e)
     rows = cent.collect()
     assert len(rows) > 1
-    seeds = {r["cid"]: r["cv"] for r in _seed_centroids(e, 32).collect()}
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        TRAIN_SAMPLE_BELOW,
+    )
+
+    sample = e.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+        < TRAIN_SAMPLE_BELOW
+    )
+    seeds = {r["cid"]: r["cv"] for r in _seed_centroids(sample, 32).collect()}
     moved = [r for r in rows if r["cid"] in seeds and list(r["cv"]) != list(seeds[r["cid"]])]
     assert moved  # Lloyd updates changed the seed vectors
 
