@@ -25,6 +25,7 @@ if _REPO_DIR not in sys.path:
 # Importing the operator modules populates the registry.
 from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: E402
     asof,  # noqa: F401
+    corpus,  # noqa: F401
     dedup,  # noqa: F401
     multimodal,  # noqa: F401
     relational,  # noqa: F401
@@ -60,6 +61,11 @@ _PRIORITY_FIRST = [
     # new in round 3
     "media_dimensions",
     "ngram_jaccard_capped",
+    "dataset_split_assign",
+    "benchmark_decontamination",
+    "repetition_ratio",
+    "pii_redact_text",
+    "source_capped_sample",
 ]
 
 

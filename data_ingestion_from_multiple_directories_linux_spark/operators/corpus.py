@@ -1,0 +1,315 @@
+"""Training-corpus governance operators (LLM-pipeline family).
+
+The steps between "cleaned documents" and "training mixture" that a
+large-scale pipeline runs on every refresh:
+
+* **Dataset splitting** — deterministic hash-based train/val/test
+  assignment (no RNG state, reproducible across engines and re-runs);
+* **Benchmark decontamination** — drop training documents sharing long
+  n-gram shingles with an evaluation set (inverted-index semi-join —
+  the same bucketed shape as near-dup detection, so no all-pairs);
+* **Repetition ratio** — Gopher-style intra-document repetition signal
+  (most-frequent n-gram share of all n-gram occurrences);
+* **PII text redaction** — regex scrubbing of emails/phones inside the
+  text column (map-only), the text-side sibling of the reference's
+  column-level PII masking (file_loader.py:523-536);
+* **Per-source capped sampling** — bound any single source's document
+  count in the mixture (window rank by content hash, deterministic).
+
+All are registered queries with DuckDB oracles; determinism comes from
+md5 hashes (identical string arithmetic in both engines) — the same
+trick the IVF seeding and exact-dedup operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+#: hex-prefix split boundaries: 0-b → train (12/16), c-d → val (2/16),
+#: e-f → test (2/16)
+SPLIT_TRAIN_BELOW = "c"
+SPLIT_VAL_BELOW = "e"
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{SPLIT_TRAIN_BELOW}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '{SPLIT_VAL_BELOW}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment by md5 hex
+    prefix of the document id: reproducible across runs, engines and
+    cluster sizes (no RNG, no shuffle — a pure projection), and stable
+    under corpus growth (a document's split never changes when others
+    are added — the property random splits lack)."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_BELOW, "train")
+        .when(h < SPLIT_VAL_BELOW, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+#: every 31st document plays the benchmark/eval set
+DECON_EVAL_MOD = 31
+DECON_NGRAM = 8
+
+_TOK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SH8 = " || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(DECON_NGRAM))
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(toks) - {DECON_NGRAM - 1}),
+                                            i -> {_SH8})) AS sh
+        FROM tok WHERE len(toks) >= {DECON_NGRAM}
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    eval_sh AS (
+        SELECT DISTINCT s FROM ex WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ),
+    hits AS (
+        SELECT ex.doc_id, COUNT(*) AS n_shared
+        FROM ex JOIN eval_sh USING (s)
+        WHERE ex.doc_id % {DECON_EVAL_MOD} <> 0
+        GROUP BY ex.doc_id
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared FROM hits
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by the eval set: documents (outside
+    the eval slice) sharing at least one 8-gram shingle with any eval
+    document, with the shared-shingle count.
+
+    Shape: distinct eval shingles form the (small) build side of an
+    equi-join on the shingle — an inverted-index SEMI join plus count,
+    never doc×doc pairs. At 100 TB the eval side is benchmarks (MBs):
+    it broadcasts, and decontamination is a map-side hash probe per
+    shingle — the standard industrial design (e.g. GPT-3's 13-gram
+    overlap filter)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tokd = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= DECON_NGRAM
+    )
+    sh = tokd.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - DECON_NGRAM),
+                lambda i: F.concat_ws(
+                    " ", *[F.col("toks")[i + k] for k in range(DECON_NGRAM)]
+                ),
+            )
+        ).alias("sh"),
+    )
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    eval_sh = (
+        ex.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
+    )
+    return (
+        ex.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 4
+
+
+@query(
+    "repetition_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(len(toks) - {REP_NGRAM - 1}),
+                              i -> {" || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(REP_NGRAM))})
+                   AS sh
+        FROM tok WHERE len(toks) >= {REP_NGRAM}
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    per AS (
+        SELECT doc_id, s, COUNT(*) AS c FROM ex GROUP BY doc_id, s
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the most frequent 4-gram's share of
+    all 4-gram occurrences (Gopher repetition rules family). High values
+    flag boilerplate/spam for removal before training.
+
+    Two-level aggregation — (doc, ngram) counts then per-doc max/sum —
+    both stages partial-aggregating, keys never leave their doc's hash
+    partition on the second stage (it groups a subset of the first
+    stage's key), so the heavy explode output is reduced map-side."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tokd = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= REP_NGRAM
+    )
+    sh = tokd.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - REP_NGRAM),
+            lambda i: F.concat_ws(
+                " ", *[F.col("toks")[i + k] for k in range(REP_NGRAM)]
+            ),
+        ).alias("sh"),
+    )
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    per = ex.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_ngram_count"),
+        F.sum("c").cast("long").alias("n_ngrams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII text redaction (map-only scrub)
+# ---------------------------------------------------------------------------
+
+#: synthesized PII tail appended per doc (both engines build the same)
+PII_CORPUS_SQL = """
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+"""
+#: subset regex syntax identical in Java (Spark) and RE2 (DuckDB)
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+PHONE_RE = "[+]1-555-[0-9]+"
+
+
+@query(
+    "pii_redact_text",
+    oracle=f"""
+    WITH corpus AS ({PII_CORPUS_SQL}),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM corpus
+    )
+    SELECT doc_id, redacted,
+           CAST(len(regexp_extract_all(redacted, '\\[EMAIL\\]|\\[PHONE\\]'))
+                AS BIGINT) AS n_redactions
+    FROM red
+    """,
+)
+def pii_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction inside the text column — the text-side
+    sibling of the reference's column-level PII masking (P4/C10/C11;
+    file_loader.py:523-536 masks whole columns, a training pipeline must
+    also scrub free text). Pure projection: two codegen'd regexp_replace
+    passes and a count, zero shuffle at any scale; the synthesized PII
+    tail makes the redaction observable and oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    red = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        "redacted",
+        F.size(
+            F.expr(r"regexp_extract_all(redacted, '\\[EMAIL\\]|\\[PHONE\\]', 0)")
+        ).cast("long").alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source capped sampling
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 10
+
+
+@query(
+    "source_capped_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents)
+    WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: keep at most SOURCE_CAP documents per source,
+    chosen by md5 rank (a deterministic uniform sample — same documents
+    every run, regardless of partitioning). One window partitioned by
+    source; at 100 TB sources are coarse (hundreds), so the rank runs
+    per-source-partition with no global sort — and a two-phase
+    rank-then-filter over pre-aggregated per-source counts is the
+    fallback if a single source dwarfs executor memory."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+    )
+    return d.withColumn("rn", rn).filter(F.col("rn") <= SOURCE_CAP).select(
+        "doc_id", "source"
+    )

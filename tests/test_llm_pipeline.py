@@ -334,3 +334,39 @@ def test_ivf_centroids_trained_and_balanced(spark):
     # the quadratic pair term is sum(s^2); balanced cells keep the max
     # cell well under a constant fraction of the corpus
     assert max(sizes) < 0.2 * n
+
+
+def test_corpus_governance_ops(spark):
+    """Sanity on the corpus-governance family (oracle parity is the
+    driver's job; these check the semantics are meaningful)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus import (
+        SOURCE_CAP,
+        benchmark_decontamination,
+        dataset_split_assign,
+        pii_redact_text,
+        repetition_ratio,
+        source_capped_sample,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    splits = dataset_split_assign(spark, SF).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in splits}
+    n = sum(by.values())
+    # 12/2/2 sixteenths with hash noise
+    assert 0.6 < by["train"] / n < 0.9
+    assert set(by) == {"train", "val", "test"}
+
+    rep = repetition_ratio(spark, SF).collect()
+    assert all(0.0 < r["repetition_ratio"] <= 1.0 for r in rep)
+    assert all(r["top_ngram_count"] <= r["n_ngrams"] for r in rep)
+
+    red = pii_redact_text(spark, SF).collect()
+    assert all(r["n_redactions"] == 2 for r in red)  # 1 email + 1 phone
+    assert all("[EMAIL]" in r["redacted"] and "[PHONE]" in r["redacted"] for r in red)
+    assert all("@example.com" not in r["redacted"] for r in red)
+
+    cap = source_capped_sample(spark, SF).groupBy("source").count().collect()
+    assert all(r["count"] <= SOURCE_CAP for r in cap)
+
+    dec = benchmark_decontamination(spark, SF).collect()
+    assert all(r["n_shared"] >= 1 for r in dec)
