@@ -66,6 +66,7 @@ _PRIORITY_FIRST = [
     "repetition_ratio",
     "pii_redact_text",
     "source_capped_sample",
+    "media_audio_stats",
 ]
 
 

@@ -116,6 +116,58 @@ def parse_image_header(payload: bytes) -> dict | None:
     return None
 
 
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Pure-Python WAV (RIFF) header parse: walk chunks, read ``fmt ``
+    for channels/sample-rate/bit-depth and ``data`` for the payload
+    size; n_samples = data_bytes / (channels * bits/8). Returns
+    {format, channels, sample_rate, bits, n_samples} or None."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        tag = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif tag == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    frame = fmt["channels"] * max(fmt["bits"] // 8, 1)
+    return {
+        "format": "wav",
+        "channels": fmt["channels"],
+        "sample_rate": fmt["sample_rate"],
+        "bits": fmt["bits"],
+        "n_samples": data_size // frame if frame else 0,
+    }
+
+
+def make_wav(sample_rate: int, channels: int, n_samples: int, bits: int = 16) -> bytes:
+    """Minimal well-formed PCM WAV: RIFF/WAVE + fmt + silent data."""
+    import struct
+
+    frame = channels * bits // 8
+    data = b"\x00" * (n_samples * frame)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * frame, frame, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def real_decode(payload: bytes, media_type: str) -> dict:
     """Header-level decode: PNG/JPEG dimensions via
     :func:`parse_image_header` (pure Python, no codec library). Pixel
@@ -318,3 +370,80 @@ def media_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
     )
+
+
+@query(
+    "media_audio_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST(100 + doc_id % 50 AS DOUBLE)
+               / (8000 * (1 + doc_id % 3)) AS duration_secs
+    FROM documents
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata from real WAV containers, end to end: per doc_id a
+    REAL PCM WAV payload is synthesized (channels/rate/length derived
+    arithmetically from the id), then :func:`parse_wav_header` walks the
+    RIFF chunks back out of the bytes — both hops Arrow-batched
+    mapInPandas over binary columns, no audio library involved. The
+    oracle predicts every field from the synthesis rule, so chunk-walk
+    or endianness bugs fail the value hash. Narrow plan, no shuffle."""
+
+    audio_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("channels", T.LongType(), True),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_secs", T.DoubleType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_wav(
+                            8000 * (1 + i % 3), 1 + i % 2, 100 + i % 50
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdrs = [
+                parse_wav_header(bytes(p) if p is not None else b"") or {}
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "channels": [h.get("channels") for h in hdrs],
+                    "sample_rate": [h.get("sample_rate") for h in hdrs],
+                    "n_samples": [h.get("n_samples") for h in hdrs],
+                    "duration_secs": [
+                        (h["n_samples"] / h["sample_rate"])
+                        if h.get("sample_rate")
+                        else None
+                        for h in hdrs
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, audio_schema).mapInPandas(parse, out_schema)

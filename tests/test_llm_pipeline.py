@@ -370,3 +370,20 @@ def test_corpus_governance_ops(spark):
 
     dec = benchmark_decontamination(spark, SF).collect()
     assert all(r["n_shared"] >= 1 for r in dec)
+
+
+def test_wav_header_roundtrip():
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        make_wav,
+        parse_wav_header,
+    )
+
+    h = parse_wav_header(make_wav(16000, 2, 1234))
+    assert h == {
+        "format": "wav", "channels": 2, "sample_rate": 16000,
+        "bits": 16, "n_samples": 1234,
+    }
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"short") is None
+    # fmt-less RIFF: None, not a crash
+    assert parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") is None
