@@ -30,6 +30,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     multimodal,  # noqa: F401
     relational,  # noqa: F401
     similarity,  # noqa: F401
+    sketches,  # noqa: F401
     text_analysis,  # noqa: F401
     windows,  # noqa: F401
 )
@@ -67,6 +68,8 @@ _PRIORITY_FIRST = [
     "pii_redact_text",
     "source_capped_sample",
     "media_audio_stats",
+    "kmv_distinct_users",
+    "table_fingerprint",
 ]
 
 

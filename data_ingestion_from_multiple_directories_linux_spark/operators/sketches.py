@@ -1,0 +1,139 @@
+"""Deterministic sketch & validation operators.
+
+Two ops that are normally "approximate" made exactly reproducible — the
+trick is a fixed md5-derived uniform hash, so Spark and DuckDB compute
+bit-identical results and the correctness gate can hash-compare them
+(the same determinism device the IVF seeding and dataset-split ops use):
+
+* **KMV distinct-count sketch** — the k-minimum-values estimator
+  (Bar-Yossef et al.): keep the k smallest hash values of the distinct
+  keys; estimate = (k-1)/u_k where u_k is the k-th smallest normalized
+  hash. Unlike HLL (whose register layout is engine-specific), KMV over
+  a fixed hash is a pure dataflow: distinct → k-smallest (a top-k, so
+  TakeOrderedAndProject — per-partition heaps, no global sort) → one
+  aggregate. At 100 TB the distinct pre-shuffle is the only wide stage,
+  and the sketch itself is k numbers.
+* **Table fingerprint** — order-independent per-group content checksum:
+  sum over rows of a 60-bit md5 prefix of the canonical row string.
+  Integer sums commute, so the fingerprint is partitioning- and
+  order-independent — the cross-engine migration-validation primitive
+  (this repo's own correctness driver is the use case: "does the Spark
+  copy of a warehouse table equal the source?").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+#: 15 hex chars = 60 bits — fits BIGINT in both engines
+HASH_SCALE = float(1 << 60)
+KMV_K = 64
+
+
+def _h60(col) -> F.Column:
+    """60-bit integer from the md5 of a value's decimal-string form —
+    identical in Spark (conv base-16) and DuckDB ('0x' cast)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+_SQL_H60 = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (
+        SELECT CAST({_SQL_H60.format(c='user_id')} AS DOUBLE)
+               / {HASH_SCALE!r} AS hv
+        FROM u
+    ),
+    kth AS (
+        SELECT MAX(hv) AS kth_hash, COUNT(*) AS k
+        FROM (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})
+    ),
+    ex AS (SELECT COUNT(*) AS exact_distinct FROM u)
+    SELECT CAST(kth.k AS BIGINT) AS k,
+           kth.kth_hash AS kth_hash,
+           CAST(kth.k - 1 AS DOUBLE) / kth.kth_hash AS estimate_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM kth, ex
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate over events, next to the exact count.
+
+    Plan: distinct user_ids (one partial-agg shuffle) → md5-uniform
+    hash projection → k-smallest via orderBy+limit (plans as
+    TakeOrderedAndProject: per-partition heaps of size k, driver merges
+    k rows) → single-row aggregate; the exact count joins in as a 1-row
+    broadcast (deliberate BNLJ of a scalar, the same pattern as
+    tf_idf's corpus size). Expected relative error ~1/sqrt(k-1) ≈ 13%
+    at k=64 — and because the hash is fixed, the estimate is a VALUE
+    the oracle reproduces exactly, not a distribution."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    h = u.select(
+        (_h60(F.col("user_id")).cast("double") / F.lit(HASH_SCALE)).alias("hv")
+    )
+    kth = (
+        h.orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("kth_hash"), F.count("*").alias("k"))
+    )
+    ex = u.agg(F.count("*").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(ex)).select(
+        F.col("k").cast("long").alias("k"),
+        "kth_hash",
+        ((F.col("k") - 1).cast("double") / F.col("kth_hash")).alias(
+            "estimate_distinct"
+        ),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
+@query(
+    "table_fingerprint",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({_SQL_H60.format(
+               c="CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority"
+           )} AS DECIMAL(38,0))) AS DOUBLE) AS content_hash
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum of orders.
+
+    Canonical row string (keys + a payload column, '|'-joined) → 60-bit
+    md5 prefix → integer SUM per group (commutative: any partitioning,
+    any row order, same fingerprint), widened to DECIMAL(38,0) so the
+    sum is exact at any cardinality, surfaced as DOUBLE. Map-side
+    partial sums reduce the shuffle to one row per (partition, group).
+    This is the anti-entropy primitive for validating a migrated or
+    replicated table without moving data: ship the per-group
+    fingerprints, not the rows."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), _h60(row_str).alias("h"))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("double").alias(
+                "content_hash"
+            ),
+        )
+    )

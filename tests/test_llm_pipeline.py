@@ -387,3 +387,27 @@ def test_wav_header_roundtrip():
     assert parse_wav_header(b"short") is None
     # fmt-less RIFF: None, not a crash
     assert parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_kmv_and_fingerprint_semantics(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.sketches import (
+        kmv_distinct_users,
+        table_fingerprint,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    r = kmv_distinct_users(spark, SF).collect()[0]
+    # k-th hash in (0,1); estimate within the ~1/sqrt(k-1) error regime
+    assert 0.0 < r["kth_hash"] < 1.0
+    assert abs(r["estimate_distinct"] - r["exact_distinct"]) / r["exact_distinct"] < 0.5
+
+    fp = {row["status"]: row for row in table_fingerprint(spark, SF).collect()}
+    # fingerprint is order/partitioning independent: recompute on a
+    # differently-partitioned scan and compare
+    fp2 = {
+        row["status"]: row
+        for row in table_fingerprint(spark, SF).repartition(7).collect()
+    }
+    assert {k: (v["n_rows"], v["content_hash"]) for k, v in fp.items()} == {
+        k: (v["n_rows"], v["content_hash"]) for k, v in fp2.items()
+    }
