@@ -296,3 +296,53 @@ def test_late_events_dropped_within_watermark_retained(spark, tmp_path):
     assert by_ws["2024-01-01 00:00:00"] == [1]
     # retained: the late-but-open 02:30 merged with 02:45 before eviction
     assert by_ws["2024-01-01 02:00:00"] == [2]
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming twin of exact dedup (L1): dropDuplicatesWithinWatermark
+    drops a re-arriving doc_id across micro-batches while state for
+    watermark-expired keys is evicted (bounded state — the 100 TB
+    requirement plain dropDuplicates lacks)."""
+    import json as _json
+    import os
+
+    src = tmp_path / "dedup_events"
+    src.mkdir()
+
+    def put(name, rows, mt):
+        p = os.path.join(str(src), name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (mt, mt))
+
+    put("a.json", [
+        {"doc_id": 1, "ts": "2024-01-01 00:00:00"},
+        {"doc_id": 2, "ts": "2024-01-01 00:10:00"},
+    ], 1_000_000)
+    # batch 2: doc_id 1 re-arrives within the watermark -> dropped
+    put("b.json", [
+        {"doc_id": 1, "ts": "2024-01-01 00:05:00"},
+        {"doc_id": 3, "ts": "2024-01-01 00:20:00"},
+    ], 2_000_000)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    out = tmp_path / "dedup_out"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 3]
