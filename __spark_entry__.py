@@ -70,6 +70,8 @@ _PRIORITY_FIRST = [
     "media_audio_stats",
     "kmv_distinct_users",
     "table_fingerprint",
+    "document_chunks",
+    "sequence_packing",
 ]
 
 

@@ -313,3 +313,118 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("rn", rn).filter(F.col("rn") <= SOURCE_CAP).select(
         "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + sequence packing
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 32  #: tokens per chunk
+CHUNK_S = 24  #: stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+PACK_BUDGET = 512  #: tokens per packed training sequence
+
+
+@query(
+    "document_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+    ch AS (
+        SELECT doc_id, n, i AS chunk_idx, i * {CHUNK_S} AS st
+        FROM t, (SELECT unnest(range(10000)) AS i) ix
+        WHERE i <= (n - 1) / {CHUNK_S}
+    )
+    SELECT ch.doc_id,
+           CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(LEAST({CHUNK_W}, ch.n - ch.st) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(t.toks, ch.st + 1, ch.st + {CHUNK_W}), ' ')
+               AS chunk_text
+    FROM ch JOIN t ON ch.doc_id = t.doc_id
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: every document becomes
+    overlapping CHUNK_W-token chunks at stride CHUNK_S (8-token overlap
+    preserves cross-boundary context) with positional lineage — the step
+    that turns cleaned documents into model-ingestible windows.
+
+    Plan: tokenization + chunk-index explode + slice are all narrow
+    (scan-parallel, no shuffle); output rows ≈ n_tokens/stride per doc.
+    At 100 TB chunking is embarrassingly parallel and the only knob is
+    output file sizing."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") >= 1)
+    ch = t.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("n") - 1) / CHUNK_S).cast("long"),
+                ),
+                lambda i: i * CHUNK_S,
+            )
+        ).alias("chunk_idx", "st"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("st")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.concat_ws(" ", F.slice("toks", F.col("st") + 1, CHUNK_W)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET} AS BIGINT) AS seq_id
+    FROM tok
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out on a
+    global token tape (cumulative offset in doc_id order) and assigned
+    to the PACK_BUDGET-token training sequence their start offset lands
+    in — the standard packing that wastes no pad tokens.
+
+    The cumulative sum here is a single global-order window (fine at
+    test scale, matches the oracle exactly). At 100 TB the same
+    assignment runs as a two-phase prefix sum: per-partition token
+    subtotals (one tiny driver-side scan), then each partition adds its
+    exclusive prefix as a constant — identical output, no single-
+    partition window."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        off.cast("long").alias("start_offset"),
+        F.floor(off / PACK_BUDGET).cast("long").alias("seq_id"),
+    )

@@ -411,3 +411,42 @@ def test_kmv_and_fingerprint_semantics(spark):
     assert {k: (v["n_rows"], v["content_hash"]) for k, v in fp.items()} == {
         k: (v["n_rows"], v["content_hash"]) for k, v in fp2.items()
     }
+
+
+def test_chunking_and_packing_semantics(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus import (
+        CHUNK_S,
+        CHUNK_W,
+        PACK_BUDGET,
+        document_chunks,
+        sequence_packing,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    ch = document_chunks(spark, SF).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in list(by_doc.items())[:20]:
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices; chunk i holds min(W, n - i*S) tokens
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        n_tokens = rows[0]["n_chunk_tokens"] if len(rows) == 1 else None
+        last_start = (len(rows) - 1) * CHUNK_S
+        n_tokens = last_start + rows[-1]["n_chunk_tokens"]
+        for r in rows:
+            expect = min(CHUNK_W, n_tokens - r["chunk_idx"] * CHUNK_S)
+            assert r["n_chunk_tokens"] == expect
+            assert len(r["chunk_text"].split()) == r["n_chunk_tokens"]
+        # consecutive chunks overlap by W - S tokens
+        if len(rows) > 1:
+            a = rows[0]["chunk_text"].split()
+            b = rows[1]["chunk_text"].split()
+            assert a[CHUNK_S:] == b[: CHUNK_W - CHUNK_S]
+
+    pk = sorted(sequence_packing(spark, SF).collect(), key=lambda r: r["doc_id"])
+    off = 0
+    for r in pk:
+        assert r["start_offset"] == off
+        assert r["seq_id"] == off // PACK_BUDGET
+        off += r["n_tokens"]
