@@ -77,7 +77,13 @@ def test_no_accidental_cartesian_products(spark, queries):
     broadcast-size side (1 query vector / K centroids / the 1-row corpus
     count); everything else must be free of cartesian or
     broadcast-nested-loop joins."""
-    allowed = {"cosine_topk", "embedding_near_dup_ivf", "tf_idf_scores"}
+    allowed = {
+        "cosine_topk",
+        "embedding_near_dup_ivf",
+        "tf_idf_scores",
+        # kmv joins its 1-row exact-count scalar — same deliberate pattern
+        "kmv_distinct_users",
+    }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
         if name in allowed:
@@ -89,7 +95,8 @@ def test_no_accidental_cartesian_products(spark, queries):
 def test_similarity_cross_joins_are_broadcast(spark, queries):
     """The intentional cross joins must broadcast the tiny side — a
     shuffled cartesian against the corpus would not scale."""
-    for name in ("cosine_topk", "embedding_near_dup_ivf", "tf_idf_scores"):
+    for name in ("cosine_topk", "embedding_near_dup_ivf", "tf_idf_scores",
+                 "kmv_distinct_users"):
         plan = plan_of(queries[name](spark, SF_SMALL))
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "CartesianProduct" not in plan, name
