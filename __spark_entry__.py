@@ -72,6 +72,7 @@ _PRIORITY_FIRST = [
     "table_fingerprint",
     "document_chunks",
     "sequence_packing",
+    "media_video_stats",
 ]
 
 

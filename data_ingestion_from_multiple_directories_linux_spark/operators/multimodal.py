@@ -168,6 +168,65 @@ def make_wav(sample_rate: int, channels: int, n_samples: int, bits: int = 16) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """Pure-Python MP4/ISO-BMFF box walk: top-level boxes until ``moov``,
+    then ``mvhd`` (version-0: timescale/duration at payload offsets
+    12/16, big-endian) and one count per ``trak`` child. Returns
+    {format, timescale, duration_units, n_tracks} or None."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            tag = buf[i + 4 : i + 8]
+            if size < 8 or i + size > end:
+                return
+            yield tag, i + 8, i + size
+            i += size
+
+    for tag, b0, b1 in walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        timescale = duration = None
+        n_tracks = 0
+        for ctag, c0, c1 in walk(payload, b0, b1):
+            if ctag == b"mvhd" and c1 - c0 >= 20 and payload[c0] == 0:
+                timescale = int.from_bytes(payload[c0 + 12 : c0 + 16], "big")
+                duration = int.from_bytes(payload[c0 + 16 : c0 + 20], "big")
+            elif ctag == b"trak":
+                n_tracks += 1
+        if timescale is None:
+            return None
+        return {
+            "format": "mp4",
+            "timescale": timescale,
+            "duration_units": duration,
+            "n_tracks": n_tracks,
+        }
+    return None
+
+
+def make_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + n empty trak boxes)."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/next_track_id padding
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
 def real_decode(payload: bytes, media_type: str) -> dict:
     """Header-level decode: PNG/JPEG dimensions via
     :func:`parse_image_header` (pure Python, no codec library). Pixel
@@ -447,3 +506,79 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(synth, audio_schema).mapInPandas(parse, out_schema)
+
+
+@query(
+    "media_video_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(30000 + doc_id % 1000 AS BIGINT) AS duration_units,
+           CAST(30000 + doc_id % 1000 AS DOUBLE)
+               / (1000 * (1 + doc_id % 4)) AS duration_secs,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+    FROM documents
+    """,
+)
+def media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata from real MP4 containers: per doc_id a minimal
+    ISO-BMFF payload (ftyp + moov/mvhd + trak boxes) is synthesized and
+    the box walk parses timescale/duration/track-count back out —
+    completing the image/audio/video triple on the same Arrow-batched
+    binary-column path. Oracle predicts every field from the synthesis
+    rule; box-size arithmetic or offset bugs fail the hash."""
+
+    video_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("timescale", T.LongType(), True),
+            T.StructField("duration_units", T.LongType(), True),
+            T.StructField("duration_secs", T.DoubleType(), True),
+            T.StructField("n_tracks", T.LongType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_mp4(
+                            1000 * (1 + i % 4), 30000 + i % 1000, 1 + i % 3
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hdrs = [
+                parse_mp4_header(bytes(p) if p is not None else b"") or {}
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "timescale": [h.get("timescale") for h in hdrs],
+                    "duration_units": [h.get("duration_units") for h in hdrs],
+                    "duration_secs": [
+                        (h["duration_units"] / h["timescale"])
+                        if h.get("timescale")
+                        else None
+                        for h in hdrs
+                    ],
+                    "n_tracks": [h.get("n_tracks") for h in hdrs],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, video_schema).mapInPandas(parse, out_schema)

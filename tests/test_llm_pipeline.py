@@ -450,3 +450,46 @@ def test_chunking_and_packing_semantics(spark):
         assert r["start_offset"] == off
         assert r["seq_id"] == off // PACK_BUDGET
         off += r["n_tokens"]
+
+
+def test_mp4_header_roundtrip():
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        make_mp4,
+        parse_mp4_header,
+    )
+
+    h = parse_mp4_header(make_mp4(24000, 720000, 2))
+    assert h == {
+        "format": "mp4", "timescale": 24000,
+        "duration_units": 720000, "n_tracks": 2,
+    }
+    assert parse_mp4_header(b"not a video") is None
+    assert parse_mp4_header(b"\x00\x00\x00\x08ftyp") is None  # no moov
+
+
+def test_media_parsers_never_crash_on_fuzz():
+    """Property: every container parser returns a dict or None on
+    arbitrary byte strings — never raises (quarantine depends on it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        parse_image_header,
+        parse_mp4_header,
+        parse_wav_header,
+    )
+
+    # seed with magic prefixes so the fuzz actually reaches the walkers
+    prefix = st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"RIFFxxxxWAVE",
+         b"\x00\x00\x00\x14ftyp", b"\x00\x00\x00\x08ftyp"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(pre=prefix, body=st.binary(max_size=256))
+    def run(pre, body):
+        for parser in (parse_image_header, parse_wav_header, parse_mp4_header):
+            out = parser(pre + body)
+            assert out is None or isinstance(out, dict)
+
+    run()
