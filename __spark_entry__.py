@@ -73,6 +73,8 @@ _PRIORITY_FIRST = [
     "document_chunks",
     "sequence_packing",
     "media_video_stats",
+    "mixture_schedule",
+    "length_bucketed_batches",
 ]
 
 

@@ -428,3 +428,100 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         off.cast("long").alias("start_offset"),
         F.floor(off / PACK_BUDGET).cast("long").alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture scheduling + length-bucketed batching
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = 8  #: docs per length-bucketed batch
+LEN_BUCKET = 16  #: tokens per length bucket
+
+
+@query(
+    "mixture_schedule",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(rk AS BIGINT) AS rank_in_source,
+           CAST(w AS BIGINT) AS weight,
+           CAST(rk AS DOUBLE) / w AS virtual_time
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk,
+               1 + length(source) % 3 AS w
+        FROM documents)
+    """,
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled source mixing: each source gets a weight, each
+    document a deterministic within-source rank (md5 order), and
+    virtual_time = rank/weight — consuming documents in virtual_time
+    order yields the weighted interleave (a source with weight 2 appears
+    twice as often), the standard way training mixtures are scheduled
+    without materializing a shuffled copy.
+
+    Scale shape: ONE window partitioned by source (hash-partitioned, no
+    global sort — the consumer sorts by virtual_time only within the
+    batches it draws). Weights here derive arithmetically from the
+    source name so the oracle reproduces them; production supplies a
+    weights table and broadcast-joins it."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+    )
+    w = 1 + F.length("source") % 3
+    return d.select(
+        "doc_id",
+        "source",
+        rk.cast("long").alias("rank_in_source"),
+        w.cast("long").alias("weight"),
+        (rk.cast("double") / w).alias("virtual_time"),
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({_TOK}) AS n_tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens // {LEN_BUCKET} AS BIGINT) AS bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // {LEN_BUCKET}
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) - 1)
+                // {BATCH_SIZE} AS BIGINT) AS batch_idx
+    FROM tok
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: documents are grouped into
+    LEN_BUCKET-token length buckets and assigned batch indices within
+    their bucket (BATCH_SIZE docs per batch, md5-shuffled order) — the
+    padding-minimization step before collation (batchmates have similar
+    length, so pad waste is bounded by the bucket width).
+
+    Integer bucket arithmetic (n // 16), not log2: float log2 can differ
+    in the last ulp across engines and flip a floor at power-of-two
+    boundaries. One window partitioned by bucket — hash-partitioned,
+    no global sort, scale-safe."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    bucket = F.floor(F.col("n_tokens") / LEN_BUCKET)
+    rk = F.row_number().over(
+        Window.partitionBy(bucket).orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bucket.cast("long").alias("bucket"),
+        F.floor((rk - 1) / BATCH_SIZE).cast("long").alias("batch_idx"),
+    )
