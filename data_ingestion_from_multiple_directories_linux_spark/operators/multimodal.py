@@ -582,3 +582,58 @@ def media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(synth, video_schema).mapInPandas(parse, out_schema)
+
+
+ResizeFn = Callable[[bytes, str, int, int], bytes]
+
+
+def real_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Pixel resize needs a codec (PIL). STUB in this container — wire
+    PIL.Image.resize here on a cluster with codecs; the Spark-side
+    plumbing (schema, batching, partition spreading) is real and tested
+    via :func:`fake_resize`."""
+    raise NotImplementedError(
+        "pixel resize requires an image codec not shipped in this container"
+    )
+
+
+def fake_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in: re-synthesize a container of the target
+    dimensions (PNG in → PNG out), preserving the real byte-level shape
+    a resize produces."""
+    return make_png(width, height)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: ResizeFn = real_resize,
+) -> DataFrame:
+    """Resize every image payload to (width, height) via Arrow-batched
+    mapInPandas — same narrow, binary-column path as decode. Output
+    keeps MEDIA_SCHEMA with the resized payload and refreshed
+    meta.n_bytes; giant-asset stragglers are spread by repartitioning on
+    a content hash upstream (module docstring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_fn(bytes(p) if p is not None else b"", mt or "", width, height)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": resized,
+                    "meta": [
+                        {"source": m.get("source") if m else None, "n_bytes": len(p)}
+                        for m, p in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload", "meta").mapInPandas(
+        run, MEDIA_SCHEMA
+    )

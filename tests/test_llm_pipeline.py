@@ -493,3 +493,24 @@ def test_media_parsers_never_crash_on_fuzz():
             assert out is None or isinstance(out, dict)
 
     run()
+
+
+def test_resize_media_plumbing(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        fake_resize,
+        parse_image_header,
+        real_resize,
+        resize_media,
+        synth_media_from_documents,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    media = synth_media_from_documents(docs)
+    out = resize_media(media, 64, 48, resize_fn=fake_resize).collect()
+    assert out
+    for r in out:
+        hdr = parse_image_header(bytes(r["payload"]))
+        assert (hdr["width"], hdr["height"]) == (64, 48)
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+    with pytest.raises(NotImplementedError):
+        real_resize(b"x", "image/png", 2, 2)
