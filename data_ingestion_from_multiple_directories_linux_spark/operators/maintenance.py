@@ -96,12 +96,30 @@ class RetentionReport:
     records_counted: int = 0
 
 
+def _delete_one(uploads_root: str, file_name: str, facility_id: str) -> tuple:
+    """Re-count then delete one source file; returns its deletion-log row.
+    Pure function of the filesystem so it runs identically on the driver
+    or inside an executor task."""
+    path = os.path.join(uploads_root, facility_id, file_name)
+    if not os.path.exists(path):
+        return (file_name, facility_id, 0, "missing")
+    # re-count records before deletion (automate_file_delete.py:41-57)
+    try:
+        with open(path) as f:
+            n = len(json.load(f))
+    except Exception:
+        n = 0
+    os.remove(path)
+    return (file_name, facility_id, n, "deleted")
+
+
 def delete_processed_files(
     spark: SparkSession,
     store: TableStore,
     ingestion_log: DataFrame,
     uploads_root: str,
     batch_cap: int = DELETE_BATCH_CAP,
+    distributed: bool = False,
 ) -> RetentionReport:
     """Remove source files whose ingestion reached a terminal state and
     that are not yet in the deletion log.
@@ -112,6 +130,14 @@ def delete_processed_files(
     JSON records for the log, delete the file, insert a log row. File
     ops touch metadata + the files themselves — row data never reaches
     the driver.
+
+    ``distributed=True`` fans the re-count+delete out to executors via
+    ``mapPartitions`` over the todo frame — the 100 TB path when the
+    uploads root is shared storage (object store / NFS) reachable from
+    every executor: the driver never opens a file, only the capped
+    metadata and the result rows move. Default is the driver-side loop
+    (correct for the reference's 13k cap; required when only the driver
+    mounts the uploads root, e.g. local test trees).
     """
     terminal = ingestion_log.filter(
         F.col("status").isin("success", "failed")
@@ -125,23 +151,27 @@ def delete_processed_files(
         .limit(batch_cap)
     )
     rep = RetentionReport()
-    rows = []
-    for r in todo.collect():  # file metadata only, capped at 13k
-        path = os.path.join(uploads_root, r["facility_id"], r["file_name"])
-        if not os.path.exists(path):
+    if distributed:
+        root = uploads_root
+
+        def part(it):
+            for r in it:
+                yield _delete_one(root, r["file_name"], r["facility_id"])
+
+        # executors do the fs work; only (file, facility, n, status)
+        # rows return — one small collect of the capped batch's results
+        rows = todo.rdd.mapPartitions(part).collect()
+    else:
+        rows = [
+            _delete_one(uploads_root, r["file_name"], r["facility_id"])
+            for r in todo.collect()  # file metadata only, capped at 13k
+        ]
+    for _fn, _fac, n, status in rows:
+        if status == "missing":
             rep.files_missing += 1
-            rows.append((r["file_name"], r["facility_id"], 0, "missing"))
-            continue
-        # re-count records before deletion (automate_file_delete.py:41-57)
-        try:
-            with open(path) as f:
-                n = len(json.load(f))
-        except Exception:
-            n = 0
-        os.remove(path)
-        rep.files_deleted += 1
-        rep.records_counted += n
-        rows.append((r["file_name"], r["facility_id"], n, "deleted"))
+        else:
+            rep.files_deleted += 1
+            rep.records_counted += n
     if rows:
         log_df = spark.createDataFrame(
             [(*row, None) for row in rows],

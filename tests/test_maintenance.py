@@ -135,3 +135,39 @@ def test_size_pretty_and_table_sizes(spark, tmp_path):
     sizes = table_sizes_pretty(store)
     assert [s[0] for s in sizes] == ["t1", "t2"]  # ordered by size desc
     assert all(isinstance(s[1], int) and s[2].endswith(("bytes", "kB", "MB")) for s in sizes)
+
+
+def test_retention_distributed_matches_driver_side(spark, tmp_path):
+    """distributed=True fans re-count+delete to executors (local mode
+    shares the fs) and produces the same deletions and log rows."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        FILE_DELETION_LOG,
+        delete_processed_files,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    up = tmp_path / "up"
+    rows = []
+    for fac in ("FAC001", "FAC002"):
+        (up / fac).mkdir(parents=True)
+        for i in range(3):
+            fn = f"patient_person_{i}_2025010314{i:04d}.json"
+            (up / fac / fn).write_text(_json.dumps([{"id": k} for k in range(i + 1)]))
+            rows.append((fn, fac, "success"))
+    rows.append(("gone.json", "FAC001", "failed"))  # missing on disk
+    log = spark.createDataFrame(rows, "file_name string, facility_id string, status string")
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    rep = delete_processed_files(spark, store, log, str(up), distributed=True)
+    assert rep.files_deleted == 6
+    assert rep.files_missing == 1
+    assert rep.records_counted == 2 * (1 + 2 + 3)
+    assert not any((up / "FAC001").iterdir())
+    logged = store.read(FILE_DELETION_LOG).collect()
+    assert len(logged) == 7
+    assert {r["status"] for r in logged} == {"deleted", "missing"}
