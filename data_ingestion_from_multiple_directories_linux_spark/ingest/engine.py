@@ -252,7 +252,11 @@ class IngestionEngine:
         Decision per (file_name, facility_id) — keyed exactly as
         file_loader.py:328-336 — based on the LATEST log row:
         no row → select (new); 'requeued' → select; 'success' → skip;
-        'failed' → select only if mtime > load_end_time. Queue fairness
+        'failed' → select only if mtime > that attempt's load_START_time
+        (start, not end: a file re-uploaded while the failing attempt was
+        mid-flight has mtime between start and end — comparing against
+        end would terminally skip content the attempt never read). Queue
+        fairness
         orders by the filename's 14-digit timestamp then name (O1,
         file_loader.py:254), capped per run (O2, LIMIT 50000).
 
@@ -297,7 +301,7 @@ class IngestionEngine:
                 "file_name",
                 "facility_id",
                 F.col("status").alias("_status"),
-                F.col("load_end_time").alias("_attempt_ts"),
+                F.col("load_start_time").alias("_attempt_ts"),
             )
         )
         joined = cat.join(latest, ["file_name", "facility_id"], "left")
@@ -336,9 +340,11 @@ class IngestionEngine:
         (file_ingestion_summary_report.sql:63-67;
         stg_monitoring_summary.sql:21-23 ``SET processed='N' WHERE
         processed='F'``) as a read-rewrite-overwrite of the log: failed →
-        'requeued'. Failed files already auto-retry (``_select_work``);
-        this is the analyst-facing bulk-requeue parity operation.
-        Returns the number of rows requeued."""
+        'requeued'. This is the manual reopening mechanism for failed
+        files: ``_select_work`` treats an UNCHANGED failed file as
+        terminal (only a file modified after its failing attempt
+        auto-retries), so permanently-bad files re-enter the queue only
+        through this requeue. Returns the number of rows requeued."""
         if not self.store.exists(INGESTION_LOG):
             return 0
         log = self.store.read(INGESTION_LOG)

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import tokens
 from .registry import query
+from .text_analysis import TOK_SQL
 
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split
@@ -75,7 +77,10 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_EVAL_MOD = 31
 DECON_NGRAM = 8
 
-_TOK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+#: DuckDB whitespace tokenizer — the SHARED definition (text_analysis.
+#: TOK_SQL), not a local copy, so corpus-governance oracles can never
+#: drift from the dedup/text-analysis family's tokenization
+_TOK = TOK_SQL.format(c="text")
 _SH8 = " || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(DECON_NGRAM))
 
 
@@ -116,7 +121,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle — the standard industrial design (e.g. GPT-3's 13-gram
     overlap filter)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens("text")
     tokd = d.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= DECON_NGRAM
     )
@@ -186,7 +191,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition on the second stage (it groups a subset of the first
     stage's key), so the heavy explode output is reduced map-side."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens("text")
     tokd = d.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= REP_NGRAM
     )
@@ -332,9 +337,10 @@ PACK_BUDGET = 512  #: tokens per packed training sequence
     ),
     t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
     ch AS (
-        SELECT doc_id, n, i AS chunk_idx, i * {CHUNK_S} AS st
-        FROM t, (SELECT unnest(range(10000)) AS i) ix
-        WHERE i <= (n - 1) / {CHUNK_S}
+        SELECT doc_id, n, chunk_idx, chunk_idx * {CHUNK_S} AS st FROM (
+            SELECT doc_id, n,
+                   unnest(range((n - 1) // {CHUNK_S} + 1)) AS chunk_idx
+            FROM t)
     )
     SELECT ch.doc_id,
            CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
@@ -355,7 +361,7 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB chunking is embarrassingly parallel and the only knob is
     output file sizing."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens("text")
     t = d.select("doc_id", toks.alias("toks")).withColumn(
         "n", F.size("toks")
     ).filter(F.col("n") >= 1)
@@ -415,7 +421,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive prefix as a constant — identical output, no single-
     partition window."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens("text")
     t = d.select("doc_id", F.size(toks).alias("n_tokens"))
     w = (
         Window.orderBy("doc_id")
@@ -511,7 +517,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries. One window partitioned by bucket — hash-partitioned,
     no global sort, scale-safe."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = tokens("text")
     t = d.select("doc_id", F.size(toks).alias("n_tokens"))
     bucket = F.floor(F.col("n_tokens") / LEN_BUCKET)
     rk = F.row_number().over(

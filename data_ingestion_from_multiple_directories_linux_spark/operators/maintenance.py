@@ -96,21 +96,20 @@ class RetentionReport:
     records_counted: int = 0
 
 
-def _delete_one(uploads_root: str, file_name: str, facility_id: str) -> tuple:
-    """Re-count then delete one source file; returns its deletion-log row.
-    Pure function of the filesystem so it runs identically on the driver
-    or inside an executor task."""
+def _count_one(uploads_root: str, file_name: str, facility_id: str) -> tuple:
+    """Re-count one source file's JSON records (read-only, so safe under
+    Spark task retry/speculation — a retried partition recounts, it
+    cannot corrupt state). Returns (file, facility, n, exists)."""
     path = os.path.join(uploads_root, facility_id, file_name)
     if not os.path.exists(path):
-        return (file_name, facility_id, 0, "missing")
+        return (file_name, facility_id, 0, False)
     # re-count records before deletion (automate_file_delete.py:41-57)
     try:
         with open(path) as f:
             n = len(json.load(f))
     except Exception:
         n = 0
-    os.remove(path)
-    return (file_name, facility_id, n, "deleted")
+    return (file_name, facility_id, n, True)
 
 
 def delete_processed_files(
@@ -131,13 +130,17 @@ def delete_processed_files(
     ops touch metadata + the files themselves — row data never reaches
     the driver.
 
-    ``distributed=True`` fans the re-count+delete out to executors via
-    ``mapPartitions`` over the todo frame — the 100 TB path when the
-    uploads root is shared storage (object store / NFS) reachable from
-    every executor: the driver never opens a file, only the capped
-    metadata and the result rows move. Default is the driver-side loop
-    (correct for the reference's 13k cap; required when only the driver
-    mounts the uploads root, e.g. local test trees).
+    ``distributed=True`` fans the RE-COUNT (the I/O-heavy part — it
+    reads every file's contents) out to executors via ``mapPartitions``
+    over the todo frame — the 100 TB path when the uploads root is
+    shared storage (object store / NFS) reachable from every executor.
+    The count pass is read-only, so Spark task retry/speculation cannot
+    corrupt the audit trail; the actual ``os.remove`` unlinks (cheap
+    metadata ops) then run once on the driver from the collected counts
+    — deleting inside a task would re-log already-deleted files as
+    'missing' when a partition is retried. Default is the fully
+    driver-side loop (fine at the reference's 13k cap; required when
+    only the driver mounts the uploads root, e.g. local test trees).
     """
     terminal = ingestion_log.filter(
         F.col("status").isin("success", "failed")
@@ -156,22 +159,31 @@ def delete_processed_files(
 
         def part(it):
             for r in it:
-                yield _delete_one(root, r["file_name"], r["facility_id"])
+                yield _count_one(root, r["file_name"], r["facility_id"])
 
-        # executors do the fs work; only (file, facility, n, status)
-        # rows return — one small collect of the capped batch's results
-        rows = todo.rdd.mapPartitions(part).collect()
+        # executors do the file READS (idempotent); only
+        # (file, facility, n, exists) rows return
+        counted = todo.rdd.mapPartitions(part).collect()
     else:
-        rows = [
-            _delete_one(uploads_root, r["file_name"], r["facility_id"])
+        counted = [
+            _count_one(uploads_root, r["file_name"], r["facility_id"])
             for r in todo.collect()  # file metadata only, capped at 13k
         ]
-    for _fn, _fac, n, status in rows:
-        if status == "missing":
+    rows = []
+    for fn, fac, n, exists in counted:
+        if not exists:
             rep.files_missing += 1
-        else:
-            rep.files_deleted += 1
-            rep.records_counted += n
+            rows.append((fn, fac, 0, "missing"))
+            continue
+        try:
+            os.remove(os.path.join(uploads_root, fac, fn))
+        except FileNotFoundError:
+            rep.files_missing += 1
+            rows.append((fn, fac, 0, "missing"))
+            continue
+        rep.files_deleted += 1
+        rep.records_counted += n
+        rows.append((fn, fac, n, "deleted"))
     if rows:
         log_df = spark.createDataFrame(
             [(*row, None) for row in rows],

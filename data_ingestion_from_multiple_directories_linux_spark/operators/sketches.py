@@ -97,14 +97,24 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: canonical row encoding: NULL → chr(1) sentinel, fields joined by the
+#: chr(31) unit separator — unambiguous for values containing ordinary
+#: text (a value containing chr(31) itself would need escaping upstream)
+_SQL_CANON = (
+    "COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(31) || "
+    "COALESCE(CAST(o_custkey AS VARCHAR), chr(1)) || chr(31) || "
+    "COALESCE(o_orderpriority, chr(1))"
+)
+
+
 @query(
     "table_fingerprint",
     oracle=f"""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST({_SQL_H60.format(
-               c="CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority"
-           )} AS DECIMAL(38,0))) AS DOUBLE) AS content_hash
+           CAST(CAST(SUM(CAST({_SQL_H60.format(c=_SQL_CANON)}
+                              AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                AS VARCHAR) AS content_hash
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -112,28 +122,38 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-group content checksum of orders.
 
-    Canonical row string (keys + a payload column, '|'-joined) → 60-bit
-    md5 prefix → integer SUM per group (commutative: any partitioning,
-    any row order, same fingerprint), widened to DECIMAL(38,0) so the
-    sum is exact at any cardinality, surfaced as DOUBLE. Map-side
-    partial sums reduce the shuffle to one row per (partition, group).
-    This is the anti-entropy primitive for validating a migrated or
-    replicated table without moving data: ship the per-group
-    fingerprints, not the rows."""
+    Canonical row string (keys + a payload column) → 60-bit md5 prefix
+    → integer SUM per group (commutative: any partitioning, any row
+    order, same fingerprint), widened to DECIMAL(38,0) so the sum is
+    exact at any cardinality, surfaced as its DIGIT STRING — not a
+    DOUBLE: decimal→double rounding differs between engines in the last
+    ulp for some 22-digit sums (observed on this very table), and a
+    fingerprint must be exact by definition. The canonical form is
+    NULL-safe and unambiguous: each field is COALESCE'd to a chr(1)
+    sentinel and fields join on the chr(31) unit separator — concat_ws
+    was rejected (it SKIPS nulls, so ('a', NULL) and ('a',) collide,
+    and DuckDB's || would instead null the whole row out of the SUM),
+    and '|' was rejected as a separator that real payloads contain.
+    Map-side partial sums reduce the shuffle to one row per
+    (partition, group). This is the anti-entropy primitive for
+    validating a migrated or replicated table without moving data: ship
+    the per-group fingerprints, not the rows."""
     o = load_table(spark, sf_dir, "orders")
-    row_str = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderpriority"),
+    sep = F.lit("\x1f")
+    nul = F.lit("\x01")
+    row_str = F.concat(
+        F.coalesce(F.col("o_orderkey").cast("string"), nul), sep,
+        F.coalesce(F.col("o_custkey").cast("string"), nul), sep,
+        F.coalesce(F.col("o_orderpriority"), nul),
     )
     return (
         o.select(F.col("o_orderstatus").alias("status"), _h60(row_str).alias("h"))
         .groupBy("status")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.col("h").cast("decimal(38,0)")).cast("double").alias(
-                "content_hash"
-            ),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_hash"),
         )
     )

@@ -45,6 +45,7 @@ from ..ingest.engine import (
     _default_transforms,
     cleanse_and_split,
     finalize_lineage,
+    local_df,
 )
 from ..sources.json_dir import CORRUPT_COL
 from ..sources.schemas import schema_for_table
@@ -116,18 +117,31 @@ class StreamingIngestion:
         return self.store.read(self.COMMITS).filter(hit).limit(1).count() > 0
 
     def _mark_committed(self, batch_id: int) -> None:
-        row = self.spark.createDataFrame(
-            [(f"stg_{self.table}", batch_id)], "table_name string, batch_id long"
+        # single-slice local frame: coalesce(1) on a local relation is
+        # the measured ~10x pathology local_df exists to avoid
+        row = local_df(
+            self.spark,
+            [(f"stg_{self.table}", batch_id)],
+            "table_name string, batch_id long",
         ).withColumn("committed_at", F.current_timestamp())
-        self.store.append(self.COMMITS, row.coalesce(1))
+        self.store.append(self.COMMITS, row)
 
     def _purge_batch_rows(self, files: list[tuple[str, str]]) -> None:
         """Crash-replay repair: drop any rows a half-committed attempt of
         this batch already appended, keyed on the batch's (file,
         facility) pairs — the file source assigns each file to exactly
-        one batch_id, so the key is exact."""
+        one batch_id, so the key is exact.
+
+        The pair list joins as a broadcast frame, NOT an OR-chain
+        predicate: a 13k-file batch would otherwise build a 13k-term
+        binary expression tree that Catalyst re-analyzes per table
+        (driver minutes / StackOverflow territory); the anti-join is
+        linear and the probe stays a hash lookup per row."""
         if not files:
             return
+        pairs = local_df(
+            self.spark, sorted(files), "file_name string, facility_id string"
+        )
         for store_table, fcol, faccol in (
             (f"stg_{self.table}", "stg_file_name", "stg_datim_id"),
             (f"stg_{self.table}_bad_dates", "stg_file_name", "stg_datim_id"),
@@ -136,14 +150,23 @@ class StreamingIngestion:
             if not self.store.exists(store_table):
                 continue
             cur = self.store.read(store_table)
-            hit = F.lit(False)
-            for f, fac in sorted(files):
-                hit = hit | ((F.col(fcol) == f) & (F.col(faccol) == fac))
             if store_table == INGESTION_LOG:
-                hit = hit & (F.col("table_name") == f"stg_{self.table}")
-            if cur.filter(hit).limit(1).count() == 0:
+                scoped = cur.filter(F.col("table_name") == f"stg_{self.table}")
+                # rows of OTHER tables are never purge candidates
+                keep_always = cur.filter(F.col("table_name") != f"stg_{self.table}")
+            else:
+                scoped = cur
+                keep_always = None
+            # qualify both sides: the audit log's own columns are also
+            # named file_name/facility_id
+            on = (scoped[fcol] == pairs["file_name"]) & (
+                scoped[faccol] == pairs["facility_id"]
+            )
+            if scoped.join(F.broadcast(pairs), on, "left_semi").limit(1).count() == 0:
                 continue
-            remaining = cur.filter(~hit)
+            remaining = scoped.join(F.broadcast(pairs), on, "left_anti")
+            if keep_always is not None:
+                remaining = remaining.unionByName(keep_always)
             if remaining.limit(1).count() == 0:
                 self.store.drop(store_table)
             else:
