@@ -41,40 +41,43 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.registry imp
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# The round-2 correctness run recorded exactly the first 50 registered
-# entries (of 59) in registration order — the driver caps the number of
-# checked entries. Entries listed here are emitted FIRST so queries that
-# have not yet appeared in a CORRECTNESS_r*.json (the 9 absent from r02,
-# plus anything newly added this round) get contract-verified before the
-# cap truncates the tail; the tail is filled with entries already green
-# in round 2.
+# The driver caps how many entries get a correctness row per round
+# (50 of 74+ in rounds 2-3), in registration order. Entries listed here
+# are emitted FIRST. The list rotates each round so every query's newest
+# driver row stays at most one round old: round 4 front-loads the 24
+# entries displaced from CORRECTNESS_r03 (all green in r02 and in the
+# local 74-way oracle-parity suite, but whose driver evidence would
+# otherwise go stale), then any queries newly added this round; the tail
+# is the 50 entries already green in CORRECTNESS_r03.
 _PRIORITY_FIRST = [
-    # absent from CORRECTNESS_r02.json (driver cap) — judge-verified green
-    "bulk_update_requeue",
-    "cosine_topk",
-    "embedding_near_dup_ivf",
-    "embedding_near_dup_lsh",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "session_window_stats",
-    "event_gaps_lag",
-    "multires_rollup_events",
-    # new in round 3
-    "media_dimensions",
-    "ngram_jaccard_capped",
-    "dataset_split_assign",
-    "benchmark_decontamination",
-    "repetition_ratio",
-    "pii_redact_text",
-    "source_capped_sample",
-    "media_audio_stats",
-    "kmv_distinct_users",
-    "table_fingerprint",
-    "document_chunks",
-    "sequence_packing",
-    "media_video_stats",
-    "mixture_schedule",
-    "length_bucketed_batches",
+    # displaced from CORRECTNESS_r03.json by the driver cap — renew now
+    "update_join_propagate",
+    "count_distinct_users",
+    "minmax_priority_window",
+    "top_spender_subquery_agg",
+    "top_k_orders",
+    "union_pipeline_summary",
+    "distinct_status_priority",
+    "salted_skew_counts",
+    "except_open_not_failed",
+    "intersect_repeat_customers",
+    "rollup_status_priority",
+    "cube_status_priority",
+    "notin_priority_counts",
+    "regex_part_filter",
+    "filename_parse_lineage",
+    "null_normalization",
+    "date_validation_split",
+    "pii_mask_constant",
+    "json_extract_props",
+    "struct_field_mask",
+    "struct_to_json",
+    "substring_truncate",
+    "concat_runid_format",
+    "session_duration_secs",
+    # new in round 4
+    "media_pixel_stats",
+    "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 
 

@@ -56,9 +56,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1 ignores a RUNTIME nanosAsLong set (builder-time
+            # works) and reads TIMESTAMP(NANOS) as µs-truncated NTZ.
+            # Rebuild the same LTZ instant DuckDB sees (naive ≙ UTC)
+            # without going through the session timezone: µs since the
+            # NTZ epoch → timestamp_micros. A plain cast(ntz AS
+            # timestamp) would shift by the session tz offset.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))

@@ -327,6 +327,7 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_W = 32  #: tokens per chunk
 CHUNK_S = 24  #: stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
 PACK_BUDGET = 512  #: tokens per packed training sequence
+PACK_NBUCKETS = 256  #: range buckets for the two-phase prefix sum
 
 
 @query(
@@ -414,21 +415,59 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the PACK_BUDGET-token training sequence their start offset lands
     in — the standard packing that wastes no pad tokens.
 
-    The cumulative sum here is a single global-order window (fine at
-    test scale, matches the oracle exactly). At 100 TB the same
-    assignment runs as a two-phase prefix sum: per-partition token
-    subtotals (one tiny driver-side scan), then each partition adds its
-    exclusive prefix as a constant — identical output, no single-
-    partition window."""
+    The global cumulative sum runs as a TWO-PHASE PREFIX SUM, never a
+    single-partition window:
+
+    1. deterministic range-bucket doc_id into PACK_NBUCKETS buckets
+       (boundaries from exact min/max — no sampling, so every pass
+       agrees on the assignment);
+    2. per-bucket token subtotals (one groupBy → ≤ PACK_NBUCKETS rows,
+       a bounded metadata collect) → exclusive bucket prefixes,
+       broadcast back as a tiny join side;
+    3. within-bucket exclusive cumsum via a window PARTITIONED by
+       bucket (hash-shuffled across the cluster, ~1/PACK_NBUCKETS of
+       the data per window partition); start_offset = bucket prefix +
+       within-bucket cumsum.
+
+    Identical output to the naive global-order window (the oracle is
+    unchanged), but the heaviest per-task slice is a bucket, not the
+    whole table — the plan contains no ``Exchange SinglePartition``
+    (asserted in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens("text")
     t = d.select("doc_id", F.size(toks).alias("n_tokens"))
+
+    empty_shape = (
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("start_offset"),
+        F.lit(0).cast("long").alias("seq_id"),
+    )
+    bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if bounds["lo"] is None:  # empty corpus: schema-stable empty result
+        return t.select(*empty_shape)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = (hi - lo) // PACK_NBUCKETS + 1  # ≥1; exact integer arithmetic
+    bucket = F.expr(f"CAST((doc_id - {lo}) DIV {width} AS BIGINT)")
+    t = t.withColumn("_b", bucket)
+
+    # Phase 2: bucket subtotals — ≤ PACK_NBUCKETS rows of metadata.
+    subs = t.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    running = 0
+    prefix_rows = []
+    for row in sorted(subs, key=lambda r: r["_b"]):
+        prefix_rows.append((int(row["_b"]), running))
+        running += int(row["s"])
+    pref = spark.createDataFrame(prefix_rows, "_b bigint, _pref bigint")
+
+    # Phase 3: within-bucket exclusive cumsum, bucket-partitioned.
     w = (
-        Window.orderBy("doc_id")
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
+    off = F.col("_pref") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.join(F.broadcast(pref), "_b").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         off.cast("long").alias("start_offset"),

@@ -207,3 +207,15 @@ def test_staging_partition_pruning_by_facility(spark, tmp_path):
     assert "stg_datim_id" in pf
     # ...and the scan reads only the pruned partition
     assert df.count() == 3
+
+
+def test_sequence_packing_no_single_partition_exchange(spark, queries):
+    """The packing cumsum is a two-phase prefix sum: no stage of the
+    physical plan may funnel the table through one partition (the
+    classic global-order-window scale killer)."""
+    df = queries["sequence_packing"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort either
+    # the cumsum window is partitioned by the range bucket
+    assert "Window" in plan and "hashpartitioning(_b" in plan
