@@ -9,10 +9,12 @@ executors each open their own cursor over a key range or predicate slice,
 so extraction parallelism scales with the cluster instead of one Python
 process.
 
-No JDBC endpoint exists in this sandbox, so the builder is exercised by
-construction-level tests (options, predicate slicing, URL/driver
-mapping); pointing it at a real warehouse is a config change, not new
-code. Driver jars ship with the cluster (``spark.jars.packages``).
+Exercised end-to-end against embedded Apache Derby (the jars Spark
+ships for its Hive metastore): tests/test_jdbc_derby.py round-trips
+rows through ``format("jdbc")`` in both slicing modes and asserts the
+partition counts. Pointing it at a production warehouse is a config
+change (URL + driver jar via ``spark.jars.packages``), not new code;
+construction-level tests cover the option/URL/predicate mapping.
 
 At 100 TB: prefer ``partition_column`` on an indexed monotonic key
 (primary key, ingest timestamp) — the database executes N range scans.
