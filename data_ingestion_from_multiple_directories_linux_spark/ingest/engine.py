@@ -309,8 +309,14 @@ class IngestionEngine:
             F.col("_status").isNull()
             | (F.col("_status") == "requeued")
             | (
+                # 2s slack: filesystem mtimes are often whole-second
+                # truncated, so a file re-uploaded moments after the
+                # failing attempt started could land just below the
+                # attempt timestamp and be terminally skipped. An
+                # occasional extra retry is idempotent (purge-before-
+                # re-append), a terminal skip is data loss.
                 (F.col("_status") == "failed")
-                & (F.col("mtime") > F.col("_attempt_ts").cast("double"))
+                & (F.col("mtime") > F.col("_attempt_ts").cast("double") - F.lit(2.0))
             )
         )
         # retry hygiene applies to files failed OR bulk-requeued: either

@@ -85,6 +85,9 @@ class StreamingIngestion:
         self.max_files_per_trigger = max_files_per_trigger
         self.transforms = _default_transforms()
         self.partition_cols = ("stg_datim_id",) if partition_by_facility else ()
+        #: committed batch ids for this stream identity, loaded once per
+        #: run (see _load_committed)
+        self._committed: set[int] | None = None
 
     # ------------------------------------------------------------------
 
@@ -105,26 +108,83 @@ class StreamingIngestion:
             "_src_facility", F.element_at(parts, -2)
         )
 
-    #: sink-side commit log: (table_name, batch_id) per committed batch
+    #: sink-side commit log: (table_name, checkpoint, batch_id) per
+    #: committed batch. The CHECKPOINT column scopes markers to one
+    #: stream identity: foreachBatch batch ids restart at 0 when a
+    #: checkpoint is cleared (and are shared by any other query writing
+    #: the same table), so an unscoped (table, batch_id) marker would
+    #: silently skip a genuinely NEW batch as a "replay" — data loss.
     COMMITS = "_stream_commits"
 
-    def _is_committed(self, batch_id: int) -> bool:
+    #: compact the marker table once it fragments past this many files
+    #: (one tiny parquet file is appended per micro-batch)
+    COMMITS_COMPACT_FILES = 64
+
+    def _commit_scope(self) -> str:
+        return os.path.abspath(self.checkpoint)
+
+    def _load_committed(self) -> set[int]:
+        """One scan at stream start; per-batch checks are then O(1)
+        in-memory (the previous shape re-read the whole marker table
+        every micro-batch — linear growth with stream lifetime)."""
         if not self.store.exists(self.COMMITS):
-            return False
-        hit = (F.col("table_name") == f"stg_{self.table}") & (
-            F.col("batch_id") == batch_id
-        )
-        return self.store.read(self.COMMITS).filter(hit).limit(1).count() > 0
+            return set()
+        df = self.store.read(self.COMMITS)
+        cond = F.col("table_name") == f"stg_{self.table}"
+        if "checkpoint" in df.columns:
+            # legacy rows (written before checkpoint scoping) stay
+            # recognized: they can only describe this table's history
+            cond &= F.col("checkpoint").isNull() | (
+                F.col("checkpoint") == self._commit_scope()
+            )
+        return {
+            int(r["batch_id"])
+            for r in df.filter(cond).select("batch_id").collect()
+        }
+
+    def _is_committed(self, batch_id: int) -> bool:
+        if self._committed is None:
+            self._committed = self._load_committed()
+        return batch_id in self._committed
 
     def _mark_committed(self, batch_id: int) -> None:
+        if self.store.exists(self.COMMITS):
+            cur = self.store.read(self.COMMITS)
+            if "checkpoint" not in cur.columns:
+                # one-time migration of a pre-scoping marker table so
+                # appends never mix parquet schemas (tiny: one row per
+                # past micro-batch)
+                self.store.overwrite(
+                    self.COMMITS,
+                    cur.withColumn("checkpoint", F.lit(None).cast("string")),
+                )
         # single-slice local frame: coalesce(1) on a local relation is
         # the measured ~10x pathology local_df exists to avoid
         row = local_df(
             self.spark,
-            [(f"stg_{self.table}", batch_id)],
-            "table_name string, batch_id long",
+            [(f"stg_{self.table}", self._commit_scope(), batch_id)],
+            "table_name string, checkpoint string, batch_id long",
         ).withColumn("committed_at", F.current_timestamp())
         self.store.append(self.COMMITS, row)
+        if self._committed is None:
+            self._committed = self._load_committed()
+        self._committed.add(batch_id)
+
+    def _compact_commits(self) -> None:
+        """Rewrite the marker table when its one-file-per-batch append
+        pattern has fragmented it (bounds the per-run startup scan; the
+        write-temp-swap overwrite keeps it atomic)."""
+        if not self.store.exists(self.COMMITS):
+            return
+        n_files = sum(
+            1
+            for f in os.listdir(self.store.path(self.COMMITS))
+            if f.endswith(".parquet")
+        )
+        if n_files > self.COMMITS_COMPACT_FILES:
+            self.store.overwrite(
+                self.COMMITS, self.store.read(self.COMMITS).coalesce(1)
+            )
 
     def _purge_batch_rows(self, files: list[tuple[str, str]]) -> None:
         """Crash-replay repair: drop any rows a half-committed attempt of
@@ -216,12 +276,11 @@ class StreamingIngestion:
 
             # audit: one row per file in this micro-batch (G6); ALL
             # per-file counts come from ONE pass over the row-preserving
-            # flagged frame — no join of two aggregations. Divergence
-            # from the batch engine's G4: a ZERO-ROW file produces no
-            # rows, hence no group, hence no audit row — the streaming
-            # source tracks such files only in its checkpoint (the batch
-            # engine, which walks file metadata, audits them 'failed /
-            # JSON file is empty').
+            # flagged frame — no join of two aggregations. A ZERO-ROW
+            # file produces no rows, hence no group, hence no audit row
+            # HERE — run_available_now reconciles those after the stream
+            # drains (G4 parity with the batch engine's 'JSON file is
+            # empty' row).
             key = ["_src_file", "_src_facility"]
             is_live = ~F.col("_is_corrupt") & ~F.col("_all_null")
             stats = flagged.groupBy(*key).agg(
@@ -267,10 +326,71 @@ class StreamingIngestion:
 
     # ------------------------------------------------------------------
 
+    def _audit_empty_files(self, snapshot: list[tuple[str, str]]) -> int:
+        """G4 parity: files that parse to ZERO rows (``[]`` / empty
+        payload) never appear in any micro-batch, so the row-driven sink
+        can't audit them. After the stream drains, any snapshot file
+        with no INGESTION_LOG row for this table gets the batch engine's
+        'failed / JSON file is empty' row — once (later runs see the
+        row). ``snapshot`` is listed BEFORE the stream starts so a file
+        arriving mid-run is left for the next tick, not misflagged.
+
+        Driver-side file METADATA only (same bounded listing the file
+        source itself performs); returns the number of rows added."""
+        if not snapshot:
+            return 0
+        from ..functions.naming import batch_of
+
+        disk = local_df(
+            self.spark, sorted(set(snapshot)), "file_name string, facility_id string"
+        )
+        if self.store.exists(INGESTION_LOG):
+            seen = (
+                self.store.read(INGESTION_LOG)
+                .filter(F.col("table_name") == f"stg_{self.table}")
+                .select("file_name", "facility_id")
+            )
+            missing = disk.join(seen, ["file_name", "facility_id"], "left_anti")
+        else:
+            missing = disk
+        audit = missing.select(
+            "file_name",
+            "facility_id",
+            F.lit(f"stg_{self.table}").alias("table_name"),
+            batch_of(F.col("file_name")).alias("batch_id"),
+            F.lit("failed").alias("status"),
+            F.lit(0).cast("long").alias("json_rec_count"),
+            F.lit(0).cast("long").alias("bad_rec_count"),
+            F.lit("JSON file is empty").alias("error_message"),
+            F.current_timestamp().alias("load_start_time"),
+            F.current_timestamp().alias("load_end_time"),
+        )
+        rows = audit.coalesce(1).persist()
+        try:
+            n = rows.count()
+            if n:
+                self.store.append(INGESTION_LOG, rows)
+            return n
+        finally:
+            rows.unpersist()
+
+    def _snapshot_files(self) -> list[tuple[str, str]]:
+        import glob
+
+        return [
+            (os.path.basename(p), os.path.basename(os.path.dirname(p)))
+            for p in glob.glob(
+                os.path.join(self.root, "*", f"{self.table}_*.json")
+            )
+        ]
+
     def run_available_now(self) -> None:
         """One cron tick: ingest every pending file, then stop (G7 —
         the checkpoint refuses concurrent runs; rerun = no-op unless new
-        files arrived)."""
+        files arrived). Afterwards: audit zero-row files the sink never
+        saw, and compact the commit-marker table if fragmented."""
+        self._committed = None  # fresh view of the marker table per run
+        snapshot = self._snapshot_files()
         q = (
             self._source()
             .writeStream.foreachBatch(self._process_batch)
@@ -279,3 +399,5 @@ class StreamingIngestion:
             .start()
         )
         q.awaitTermination()
+        self._audit_empty_files(snapshot)
+        self._compact_commits()

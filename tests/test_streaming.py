@@ -346,3 +346,95 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 3]
+
+
+def test_new_checkpoint_identity_not_skipped_by_old_markers(spark, tmp_path, uploads):
+    """Commit markers are scoped by stream identity (checkpoint path):
+    after a checkpoint reset, batch ids restart at 0 — an unscoped
+    marker from the old identity must NOT cause the new batch 0 to be
+    skipped as a replay (that's silent data loss), and the purge path
+    keeps the re-offered files exactly-once."""
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0), patient(1)])
+    wh = str(tmp_path / "wh")
+    s1 = StreamingIngestion(spark, wh, uploads, "patient_person",
+                            checkpoint_dir=str(tmp_path / "cp1"))
+    s1.run_available_now()
+    assert s1.store.read("stg_patient_person").count() == 2
+
+    # checkpoint reset (new identity) + a new file: the source re-offers
+    # EVERYTHING as batch 0, which collides with cp1's committed batch 0
+    write_json(uploads, "FAC001", "patient_person_1_20250103142050.json",
+               [patient(5)])
+    s2 = StreamingIngestion(spark, wh, uploads, "patient_person",
+                            checkpoint_dir=str(tmp_path / "cp2"))
+    s2.run_available_now()
+    stg = s2.store.read("stg_patient_person")
+    assert stg.count() == 3  # old file deduped by purge, new file ingested
+    assert stg.filter(F.col("stg_file_name")
+                      == "patient_person_1_20250103142050.json").count() == 1
+
+
+def test_zero_row_file_gets_empty_audit_row(spark, tmp_path, uploads):
+    """G4 parity with the batch engine: a file that parses to zero rows
+    ('[]') never reaches the row-driven sink, but still gets a
+    'failed / JSON file is empty' audit row — exactly once."""
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json", [])
+    write_json(uploads, "FAC002", "patient_person_1_20250103142050.json",
+               [patient(1)])
+    s = _stream(spark, tmp_path, uploads)
+    s.run_available_now()
+    log = s.store.read(INGESTION_LOG)
+    assert log.count() == 2
+    empty = log.filter(F.col("facility_id") == "FAC001").collect()[0]
+    assert empty["status"] == "failed"
+    assert empty["error_message"] == "JSON file is empty"
+    assert empty["json_rec_count"] == 0 and empty["bad_rec_count"] == 0
+
+    s.run_available_now()  # idempotent: no duplicate audit rows
+    assert s.store.read(INGESTION_LOG).count() == 2
+
+
+def test_commit_marker_table_stays_compact(spark, tmp_path, uploads):
+    """The marker table appends one tiny file per micro-batch; once it
+    fragments past COMMITS_COMPACT_FILES it is rewritten, so startup
+    scans stay O(compacted) instead of O(stream lifetime)."""
+    import os as _os
+
+    s = _stream(spark, tmp_path, uploads)
+    s.COMMITS_COMPACT_FILES = 2
+    for i in range(4):
+        write_json(uploads, "FAC001",
+                   f"patient_person_{i}_2025010314194{i}.json", [patient(i)])
+        s.run_available_now()
+    commits_dir = s.store.path(s.COMMITS)
+    n_files = sum(1 for f in _os.listdir(commits_dir) if f.endswith(".parquet"))
+    assert n_files <= 2
+    # compaction must not forget history: rerun is still a no-op
+    s.run_available_now()
+    assert s.store.read("stg_patient_person").count() == 4
+
+
+def test_legacy_marker_table_migrates_to_scoped_schema(spark, tmp_path, uploads):
+    """A marker table written before checkpoint scoping (no 'checkpoint'
+    column) is migrated in place on the next commit; its rows stay
+    recognized as committed history for this table."""
+    from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+        local_df,
+    )
+
+    s = _stream(spark, tmp_path, uploads)
+    legacy = local_df(
+        spark, [("stg_patient_person", 99)], "table_name string, batch_id long"
+    ).withColumn("committed_at", F.current_timestamp())
+    s.store.append(s.COMMITS, legacy)
+
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(0)])
+    s.run_available_now()
+    commits = s.store.read(s.COMMITS)
+    assert "checkpoint" in commits.columns
+    rows = {r["batch_id"]: r["checkpoint"] for r in commits.collect()}
+    assert rows[99] is None  # legacy row preserved, null scope
+    assert any(v is not None for v in rows.values())  # new row scoped
+    assert 99 in s._load_committed()  # legacy rows still count
