@@ -5,9 +5,11 @@ with a typed metadata struct (SURVEY-extension; BASELINE.json north
 star). The Spark-side contract is real and tested — schema, partitioning,
 Arrow batch shape, UDF signatures — and the decode step is pluggable via
 ``decode_fn``: :func:`real_decode` parses PNG IHDR / JPEG SOF container
-headers in pure Python (no codec library needed) for format + dimensions;
-pixel-level features still require a codec the container does not ship,
-so ``feature`` extraction is exercised with :func:`fake_decode`
+headers in pure Python, and for PNG goes all the way to PIXELS (stdlib
+zlib inflate + scanline unfilter, ``functions.png_codec``) — per-channel
+means as ``feature`` and real nearest-neighbor :func:`real_resize`.
+JPEG entropy decode still needs a codec the container does not ship, so
+JPEG feature extraction is exercised with :func:`fake_decode`
 (deterministic, byte-derived).
 
 Design for 100 TB of media:
@@ -228,19 +230,34 @@ def make_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
-    """Header-level decode: PNG/JPEG dimensions via
-    :func:`parse_image_header` (pure Python, no codec library). Pixel
-    decode — and therefore ``feature`` — still needs a codec (PIL /
-    libav), which this container does not ship: ``feature`` is None.
-    Unparseable payloads yield None dimensions (quarantine upstream)."""
+    """Real decode, no codec library: PNG/JPEG dimensions via
+    :func:`parse_image_header`, and for PNG payloads a FULL pixel decode
+    (stdlib zlib inflate + scanline unfilter,
+    ``functions.png_codec.decode_png``) with ``feature`` = per-channel
+    pixel means. JPEG entropy decode genuinely needs a codec, so JPEG
+    rows keep header dimensions with ``feature`` None; unparseable
+    payloads yield all-None (quarantine upstream)."""
     hdr = parse_image_header(payload) if payload else None
     if hdr is None:
         return {"width": None, "height": None, "n_frames": None, "feature": None}
+    feature = None
+    if hdr["format"] == "png":
+        from ..functions.png_codec import decode_png
+
+        px = decode_png(payload)
+        if px is not None:
+            n = px.shape[0] * px.shape[1]
+            # exact integer sums → float division: bit-identical to any
+            # engine computing avg over the same integers
+            feature = [
+                float(int(px[:, :, c].sum(dtype="int64"))) / n
+                for c in range(px.shape[2])
+            ]
     return {
         "width": hdr["width"],
         "height": hdr["height"],
         "n_frames": 1,
-        "feature": None,
+        "feature": feature,
     }
 
 
@@ -584,17 +601,117 @@ def media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth, video_schema).mapInPandas(parse, out_schema)
 
 
+def make_png_gradient(doc_id: int) -> bytes:
+    """A REAL pixel PNG per doc_id: grayscale, width = 4 + id % 60,
+    height = 4 + id % 40, row y holding the constant value
+    ``id % 200 + y`` (never wraps: 199 + 39 < 256). Encoded with filter
+    type 2 (Up) on every row after the first, so decoding requires a
+    genuine unfilter pass — a decoder bug shifts every value and fails
+    the oracle hash."""
+    import numpy as np
+
+    from ..functions.png_codec import encode_png
+
+    w, h = 4 + doc_id % 60, 4 + doc_id % 40
+    base = doc_id % 200
+    rows = (base + np.arange(h, dtype=np.uint8))[:, None]
+    return encode_png(np.broadcast_to(rows, (h, w)).copy())
+
+
+@query(
+    "media_pixel_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 60 AS BIGINT) AS width,
+           CAST(4 + doc_id % 40 AS BIGINT) AS height,
+           CAST(doc_id % 200 + (3 + doc_id % 40) / 2.0 AS DOUBLE) AS mean_px,
+           CAST(doc_id % 200 AS BIGINT) AS min_px,
+           CAST(doc_id % 200 + 3 + doc_id % 40 AS BIGINT) AS max_px
+    FROM documents
+    """,
+)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-level image statistics, fully real end to end: per doc_id a
+    grayscale PNG with a known vertical gradient is synthesized
+    (:func:`make_png_gradient`, Up-filtered scanlines), then the pure-
+    stdlib codec inflates + unfilters the actual IDAT bytes and the
+    stats come from the decoded pixel array. The oracle predicts
+    mean/min/max in closed form from the synthesis rule (row y = base+y
+    ⇒ mean = base + (h-1)/2, exact in IEEE doubles), so any codec bug —
+    zlib framing, filter reconstruction, row order — fails the value
+    hash. Narrow plan: scan → mapInPandas → mapInPandas, no shuffle."""
+    import numpy as np
+
+    from ..functions.png_codec import decode_png
+
+    png_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("mean_px", T.DoubleType(), True),
+            T.StructField("min_px", T.LongType(), True),
+            T.StructField("max_px", T.LongType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_png_gradient(i) for i in ids],
+                }
+            )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("width", "height", "mean_px", "min_px", "max_px")}
+            for p in pdf["payload"]:
+                px = decode_png(bytes(p) if p is not None else b"")
+                if px is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                h, w, _ = px.shape
+                total = int(px.sum(dtype=np.int64))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_px"].append(float(total) / (h * w))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+            yield pd.DataFrame({"media_id": pdf["media_id"].values, **out})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, png_schema).mapInPandas(stats, out_schema)
+
+
 ResizeFn = Callable[[bytes, str, int, int], bytes]
 
 
 def real_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
-    """Pixel resize needs a codec (PIL). STUB in this container — wire
-    PIL.Image.resize here on a cluster with codecs; the Spark-side
-    plumbing (schema, batching, partition spreading) is real and tested
-    via :func:`fake_resize`."""
-    raise NotImplementedError(
-        "pixel resize requires an image codec not shipped in this container"
-    )
+    """Real pixel resize for PNG payloads: decode (stdlib zlib +
+    unfilter) → nearest-neighbor resample (numpy index arithmetic) →
+    re-encode. The output round-trips through both
+    :func:`parse_image_header` and ``png_codec.decode_png`` (asserted
+    e2e in tests). JPEG re-encode genuinely needs an entropy codec this
+    container does not ship — wire PIL here on a cluster that has it."""
+    from ..functions.png_codec import decode_png, encode_png, resize_nearest
+
+    px = decode_png(payload) if payload else None
+    if px is None:
+        raise NotImplementedError(
+            "pixel resize is implemented for PNG; other formats require "
+            "an image codec not shipped in this container"
+        )
+    return encode_png(resize_nearest(px, width, height))
 
 
 def fake_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
