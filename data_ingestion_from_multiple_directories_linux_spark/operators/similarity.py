@@ -197,31 +197,65 @@ def train_ivf_centroids(
         base.unpersist()
 
 
-def _assign_cells(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (nprobe=1): broadcast the K centroids,
-    score K cosines per vector, keep the argmax (ties → smallest cid).
-    The argmax is a partial-aggregating ``max(struct(ccos, -cid))`` — a
-    map-side combine instead of a per-vector window sort, so the only
-    shuffle carries one pre-reduced row per (partition, vec_id). Norms
-    are computed once per vector/centroid and carried along — the pair
-    stage reuses ``nv`` instead of recomputing norms per pair."""
+def _assign_cells(
+    corpus: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, score K
+    cosines per vector, keep the ``nprobe`` best cells (ties → smallest
+    cid). Output is (vec_id, v, nv, cell) — one row per probed cell, so
+    nprobe=1 keeps the classic IVF shape and nprobe>1 duplicates each
+    vector into its runner-up cells, trading nprobe× pair-stage compute
+    for boundary recall (vectors near a Voronoi face meet their
+    neighbors across it).
+
+    Both paths pre-reduce map-side — never a per-vector window sort over
+    the n·K scored rows: the argmax is a partial-aggregating
+    ``max(struct(ccos, -cid))``; the top-nprobe generalizes it to
+    ``slice(array_sort(collect_list(...)), -nprobe)`` with K small
+    structs per vector riding the combine. Norms are computed once per
+    vector/centroid and carried along — the pair stage reuses ``nv``
+    instead of recomputing norms per pair."""
     scored = corpus.crossJoin(F.broadcast(centroids))
     cos = cosine_q(dot_q("v", "cv"), F.col("nv"), F.col("ncv"))
-    best = (
-        scored.select("vec_id", "v", "nv", "cid", cos.alias("ccos"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
-            ).alias("m"),
-            # v/nv are functionally dependent on vec_id — first() is
-            # deterministic here (every row in the group carries them)
-            F.first("v").alias("v"),
-            F.first("nv").alias("nv"),
+    scored = scored.select("vec_id", "v", "nv", "cid", cos.alias("ccos"))
+    if nprobe == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+                ).alias("m"),
+                # v/nv are functionally dependent on vec_id — first() is
+                # deterministic here (every row in the group carries them)
+                F.first("v").alias("v"),
+                F.first("nv").alias("nv"),
+            )
+            .select("vec_id", "v", "nv", (-F.col("m.ncid")).alias("cell"))
         )
-        .select("vec_id", "v", "nv", (-F.col("m.ncid")).alias("cell"))
+    # ascending sort keeps (ccos, -cid) ordering consistent with the
+    # argmax (larger cosine wins, then smaller cid); take the LAST
+    # nprobe elements — start index clamps to 1 so K < nprobe keeps
+    # every cell instead of slicing past the front
+    ranked = F.array_sort(
+        F.collect_list(F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid")))
     )
-    return best
+    return (
+        scored.groupBy("vec_id")
+        .agg(ranked.alias("ranked"), F.first("v").alias("v"), F.first("nv").alias("nv"))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            F.explode(
+                F.slice(
+                    "ranked",
+                    F.greatest(F.lit(1), F.size("ranked") - F.lit(nprobe - 1)),
+                    nprobe,
+                )
+            ).alias("t"),
+        )
+        .select("vec_id", "v", "nv", (-F.col("t.ncid")).alias("cell"))
+    )
 
 
 def _sql_assign(cent: str, src: str, out: str) -> str:
@@ -309,6 +343,19 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry is an exact check of the full train+assign+search pipeline,
     not a recall estimate.
     """
+    return ivf_near_dup_pairs(spark, sf_dir, nprobe=1)
+
+
+def ivf_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
+    """The IVF pipeline with a tunable probe width. nprobe=1 is the
+    oracle-exact registered query; nprobe>1 probes each vector's
+    runner-up cells too, recovering pairs that straddle a Voronoi
+    boundary at nprobe× pair-stage cost (recall measured in
+    tests/test_scale_techniques.py). Cross-cell duplicate candidates
+    (two vectors sharing several probed cells) are reduced to one row
+    per pair, keeping the output a pair list for every nprobe."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -322,8 +369,8 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
     centroids = train_ivf_centroids(base)
     # assigned feeds both sides of the pair join — persist so the
-    # assignment chain (K cosines per vector + argmax window) runs once
-    assigned = _assign_cells(corpus, centroids).persist()
+    # assignment chain (K cosines per vector + top-nprobe) runs once
+    assigned = _assign_cells(corpus, centroids, nprobe=nprobe).persist()
 
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
@@ -337,10 +384,17 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
     )
     cos = cosine_q(dot_q("va", "vb"), F.col("na"), F.col("nb"))
-    return (
+    out = (
         pairs.select("id_a", "id_b", "cell", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
+    if nprobe > 1:
+        # same pair can surface from several shared cells — keep one
+        # (smallest cell id; cosine identical by construction)
+        out = out.groupBy("id_a", "id_b").agg(
+            F.min("cell").alias("cell"), F.first("cosine").alias("cosine")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,60 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert got == plain
+
+
+def test_ivf_nprobe_recall(spark):
+    """nprobe>1 probes each vector's runner-up cells: candidate pairs
+    can only GROW (the argmax cell is always among the top-nprobe), IVF
+    never invents pairs (it only prunes the exact pair set), and recall
+    vs the brute-force truth is monotone in nprobe."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        NEAR_DUP_COSINE,
+        cosine_q,
+        dot_q,
+        ivf_near_dup_pairs,
+        norm_sq_q,
+        to_double_array,
+    )
+    from tests.conftest import SF_SMALL
+
+    # brute-force ground truth over the same corpus (base + synthesized
+    # near-dups), same quantized cosine arithmetic
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("nv").alias("na"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("nv").alias("nb"))
+    cos = cosine_q(dot_q("va", "vb"), F.col("na"), F.col("nb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("c"))
+        .filter(F.col("c") >= NEAR_DUP_COSINE)
+        .collect()
+    }
+    assert truth  # the synthesized dups guarantee a non-empty pair set
+
+    p1 = {(r["id_a"], r["id_b"])
+          for r in ivf_near_dup_pairs(spark, SF_SMALL, nprobe=1).collect()}
+    p3 = {(r["id_a"], r["id_b"])
+          for r in ivf_near_dup_pairs(spark, SF_SMALL, nprobe=3).collect()}
+
+    assert p1 <= p3          # candidates only grow with probe width
+    assert p3 <= truth       # blocking never invents pairs
+    r1, r3 = len(p1) / len(truth), len(p3) / len(truth)
+    assert 0 < r1 <= r3
+    print(f"IVF recall: nprobe=1 {r1:.3f} -> nprobe=3 {r3:.3f} "
+          f"({len(p1)}/{len(p3)}/{len(truth)} pairs)")
