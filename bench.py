@@ -107,6 +107,185 @@ def bench_scale(spark, big: dict[str, float]) -> dict:
     return out
 
 
+AMP_COPIES = int(os.environ.get("SPARK_GRAFT_AMP_COPIES", "10"))
+
+
+def _amplified_dir(spark, tmp: str) -> str:
+    """Materialize a ~AMP_COPIES× corpus from $SF_DIR's documents +
+    embeddings (the only tables the SCALE_OPS read) for the 100×-vs-
+    small scale point. Amplification preserves WITHIN-copy duplicate
+    structure without inventing cross-copy near-dups:
+
+    * documents: per-copy substitution cipher (``translate`` with a
+      rotated alphabet) — bijective, so within-copy shingle overlap is
+      identical, while cross-copy shingle sets are disjoint;
+    * embeddings: per-copy ±1 sign pattern (period k+1) — an orthogonal
+      transform, so within-copy inner products are EXACT, while
+      cross-copy cosines collapse toward 0 (roughly half the dims flip
+      relative sign).
+
+    So dup density per row stays constant while rows grow ~10×: the fair
+    setup for measuring how the bucketed ops scale with data volume."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+
+    out = os.path.join(tmp, "sf_amp")
+    os.makedirs(out, exist_ok=True)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+
+    docs = load_table(spark, SF_DIR, "documents")
+    doc_copies = []
+    for k in range(AMP_COPIES):
+        rot = letters[k:] + letters[:k]
+        cipher = F.translate(
+            "text", letters + letters.upper(), rot + rot.upper()
+        )
+        doc_copies.append(
+            docs.select(
+                (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+                (cipher if k else F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    amp_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        amp_docs = amp_docs.unionByName(c)
+    amp_docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    def _sign_flip(k):
+        # closure (not a default arg: pyspark reads the lambda's arity)
+        def f(x, i):
+            return x * (1 - 2 * (F.floor(i / F.lit(k + 1)) % 2)).cast("float")
+
+        return f
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb_copies = []
+    for k in range(AMP_COPIES):
+        sign = _sign_flip(k)
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
+                F.transform("embedding", sign).alias("embedding"),
+            )
+        )
+    amp_emb = emb_copies[0]
+    for c in emb_copies[1:]:
+        amp_emb = amp_emb.unionByName(c)
+    amp_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def bench_scale_100x(spark, small: dict) -> dict:
+    """Third scale point: SCALE_OPS on the amplified corpus (~100× the
+    small SF's data). A bucketed design should stay orders of magnitude
+    under the ~10000× a quadratic all-pairs would cost; ``ratio_100x``
+    = t_amplified / t_small."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    tmp = tempfile.mkdtemp(prefix="bench_amp_")
+    out: dict[str, dict] = {}
+    try:
+        amp = _amplified_dir(spark, tmp)
+        for name in SCALE_OPS:
+            if name not in qs or name not in small:
+                continue
+            t0 = time.perf_counter()
+            df = qs[name](spark, amp)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            small_sec = small[name]["small_sec"]
+            out[name] = {
+                "amp_sec": round(dt, 4),
+                "ratio_100x": round(dt / small_sec, 2) if small_sec > 0 else None,
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+#: boilerplate-blast sizes for the skew-guard bench: copies of one
+#: document — its shingles' df equals the copy count, so the uncapped
+#: inverted index joins copies² rows per boilerplate shingle. Two
+#: points expose the growth LAW, not just one ratio: 4× more copies
+#: must cost the uncapped join ~16× (quadratic) but the capped one ~4×
+#: (linear scan + df-count; the blast never reaches its self-join).
+SKEW_POINTS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SKEW_COPIES", "4000,16000").split(",")
+)
+
+
+def bench_skew_guard(spark) -> dict:
+    """The df_cap stop-shingle guard, measured: exact n-gram Jaccard
+    over $SF_DIR documents + a boilerplate blast, capped (df_cap=1000
+    drops the blast's shingles before the self-join) vs uncapped, at
+    each SKEW_POINTS blast size."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        JACCARD_NGRAM_THRESHOLD,
+        jaccard_pairs,
+    )
+
+    boiler_text = (
+        "all rights reserved unauthorized reproduction of this document "
+        "is strictly prohibited contact the publisher for permissions"
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    points = []
+    for copies in SKEW_POINTS:
+        boiler = spark.range(copies).select(
+            (F.col("id") + 90_000_000).alias("doc_id"),
+            F.lit(boiler_text).alias("text"),
+        )
+        corpus = docs.unionByName(boiler)
+
+        def timed(df_cap):
+            t0 = time.perf_counter()
+            jaccard_pairs(
+                corpus, 4, JACCARD_NGRAM_THRESHOLD, df_cap=df_cap
+            ).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        capped, uncapped = timed(1000), timed(None)
+        points.append(
+            {
+                "boiler_copies": copies,
+                "capped_sec": round(capped, 4),
+                "uncapped_sec": round(uncapped, 4),
+                "uncapped_over_capped": round(uncapped / capped, 2)
+                if capped > 0
+                else None,
+            }
+        )
+    out: dict = {"points": points}
+    if len(points) >= 2:
+        first, last = points[0], points[-1]
+        out["copies_growth"] = round(
+            last["boiler_copies"] / first["boiler_copies"], 2
+        )
+        if first["uncapped_sec"] > 0:
+            out["uncapped_growth"] = round(
+                last["uncapped_sec"] / first["uncapped_sec"], 2
+            )
+        if first["capped_sec"] > 0:
+            out["capped_growth"] = round(
+                last["capped_sec"] / first["capped_sec"], 2
+            )
+    return out
+
+
 def _make_upload_tree(uploads: str, n_files: int, rows_per_file: int) -> None:
     for i in range(n_files):
         fac = f"FAC{i % 8:03d}"
@@ -171,6 +350,8 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=CPUS)
     queries = bench_queries(spark)
     scale = bench_scale(spark, queries)
+    scale_100x = bench_scale_100x(spark, scale)
+    skew = bench_skew_guard(spark)
     ingest = bench_ingest(spark)
     total = round(sum(queries.values()), 4)
     print(
@@ -188,7 +369,10 @@ def main() -> None:
                     "big_sf": _sf_of(SF_DIR),
                     "data_ratio": 10.0,
                     "ops": scale,
+                    "amp_copies": AMP_COPIES,
+                    "ops_100x": scale_100x,
                 },
+                "skew_guard": skew,
                 "ingest": ingest,
             }
         )
