@@ -77,6 +77,8 @@ _PRIORITY_FIRST = [
     "session_duration_secs",
     # new in round 4
     "media_pixel_stats",
+    "span_dedup_reassemble",
+    "minhash_incremental_near_dup",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

@@ -476,6 +476,124 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Span-level exact dedup with document reassembly (Dolma/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 16  #: tokens per dedup span (non-overlapping)
+
+
+@query(
+    "span_dedup_reassemble",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+    sp AS (
+        SELECT doc_id, span_idx,
+               array_to_string(list_slice(toks, span_idx * {SPAN_W} + 1,
+                                          span_idx * {SPAN_W} + {SPAN_W}),
+                               ' ') AS span_text
+        FROM (SELECT doc_id, toks,
+                     unnest(range((n - 1) // {SPAN_W} + 1)) AS span_idx
+              FROM t)
+    ),
+    kept AS (
+        SELECT doc_id, span_idx, span_text FROM (
+            SELECT doc_id, span_idx, span_text,
+                   ROW_NUMBER() OVER (PARTITION BY span_text
+                                      ORDER BY doc_id, span_idx) AS rn
+            FROM sp)
+        WHERE rn = 1
+    ),
+    reasm AS (
+        SELECT doc_id,
+               array_to_string(list(span_text ORDER BY span_idx), ' ')
+                   AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST((t.n - 1) // {SPAN_W} + 1 AS BIGINT) AS n_spans,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_spans_kept
+    FROM t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+    """,
+)
+def span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup with reassembly — the Dolma/RefinedWeb
+    paragraph-dedup shape for corpora without structural delimiters:
+    documents split into non-overlapping SPAN_W-token spans, every
+    later copy of a span already seen anywhere in the corpus dropped
+    (first occurrence by (doc_id, span_idx) wins), surviving spans
+    reassembled in order into the cleaned document. Output keeps every
+    document with its span bookkeeping, so the drop rate is auditable
+    per doc.
+
+    Scale shape: the only wide stages are one hash shuffle on the span
+    text (the first-occurrence window — at 100 TB partition on a span
+    digest instead of the raw text so the shuffle carries 16 bytes per
+    span, the sha-groupBy trick exact_dedup_documents uses) and the
+    per-document regroup for reassembly. Both are plain hash
+    partitions; no global order anywhere."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    t = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    spans = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("n") - 1) / SPAN_W).cast("long"),
+                ),
+                lambda i: i * SPAN_W,
+            )
+        ).alias("span_idx", "st"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.concat_ws(" ", F.slice("toks", F.col("st") + 1, SPAN_W)).alias(
+            "span_text"
+        ),
+    )
+    first = F.row_number().over(
+        Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    )
+    kept = spans.withColumn("rn", first).filter(F.col("rn") == 1)
+    reasm = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        t.select(
+            "doc_id",
+            (F.floor((F.col("n") - 1) / SPAN_W) + 1).cast("long").alias("n_spans"),
+        )
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_spans_kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mixture scheduling + length-bucketed batching
 # ---------------------------------------------------------------------------
 

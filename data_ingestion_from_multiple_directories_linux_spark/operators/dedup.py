@@ -224,6 +224,109 @@ def minhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted band index
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(corpus: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingle_sets) — the two halves of a persistable MinHash
+    index: (doc_id, band, bucket) rows for candidate generation and
+    (doc_id, sh, n_sh) shingle sets for exact verification. Same
+    signature arithmetic as :func:`minhash_pairs`, split out so the
+    index can be WRITTEN once and joined against by every later batch —
+    the production shape where yesterday's corpus is never re-shingled."""
+    sh = _shingle_sets(corpus, n)
+    ex = _explode_shingles(sh, [])
+    sig = ex.groupBy("doc_id").agg(*minhash_signature_aggs("s", 64))
+    bands = sig.select(
+        "doc_id", F.posexplode(band_buckets(32, 2)).alias("band", "bucket")
+    )
+    return bands, sh
+
+
+def minhash_incremental_pairs(
+    new_bands: DataFrame,
+    new_sh: DataFrame,
+    index_bands: DataFrame,
+    index_sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch (new×indexed ∪ new×new),
+    against a pre-built index: the incremental-ingest dedup step. Only
+    the new batch is shingled/signed; the indexed corpus contributes
+    its stored band rows and shingle sets. Because MinHash banding is
+    deterministic per document, the candidate set (and hence the
+    verified result) is identical to a full recompute restricted to
+    pairs touching the new batch — asserted in tests.
+
+    Scale: per batch the cost is new_n × (signature + band join); the
+    index side is an equi-join on (band, bucket) — at 100 TB store the
+    band table bucketed by (band, bucket) so the join co-locates
+    without a shuffle of the historical index."""
+    all_bands = index_bands.unionByName(new_bands)
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sh = index_sh.unionByName(new_sh)
+    sa = all_sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = all_sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+@query(
+    "minhash_incremental_near_dup",
+    oracle=f"""
+    SELECT id_a, id_b, jaccard FROM (
+        {_jaccard_inverted_index_sql(NEAR_DUP_CORPUS_SQL, 3, JACCARD_MINHASH_THRESHOLD)}
+    ) WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    """,
+)
+def minhash_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup, contract-verified: the corpus is split
+    into an 'indexed' history (doc_id % 4 != 0) and a 'new batch'
+    (doc_id % 4 == 0); the new batch is deduped against the history's
+    band index plus itself. The oracle is the exact inverted-index
+    Jaccard over the WHOLE corpus restricted to pairs touching the new
+    batch — so this entry proves the incremental path loses nothing vs
+    a full recompute (on this corpus, where LSH recall is exact)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") % 4 != 0)
+    new = corpus.filter(F.col("doc_id") % 4 == 0)
+    index_bands, index_sh = minhash_band_index(old, 3)
+    new_bands, new_sh = minhash_band_index(new, 3)
+    # each shingle frame feeds banding + verification — persist both
+    index_sh = index_sh.persist()
+    new_sh = new_sh.persist()
+    return minhash_incremental_pairs(
+        new_bands, new_sh, index_bands, index_sh, JACCARD_MINHASH_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard via inverted index (exact, bucketed by shingle)
 # ---------------------------------------------------------------------------
 

@@ -514,3 +514,49 @@ def test_resize_media_plumbing(spark):
         assert r["meta"]["n_bytes"] == len(r["payload"])
     with pytest.raises(NotImplementedError):
         real_resize(b"x", "image/png", 2, 2)
+
+
+def test_minhash_incremental_index_roundtrip(spark, tmp_path):
+    """The incremental path against an index PERSISTED to parquet (the
+    real production shape: yesterday's band table + shingle sets on
+    disk, today's batch joined against them) equals a full recompute
+    restricted to pairs touching the new batch."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        JACCARD_MINHASH_THRESHOLD,
+        _near_dup_corpus,
+        minhash_band_index,
+        minhash_incremental_pairs,
+        minhash_pairs,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    corpus = _near_dup_corpus(spark, SF_SMALL)
+    old = corpus.filter(F.col("doc_id") % 4 != 0)
+    new = corpus.filter(F.col("doc_id") % 4 == 0)
+
+    # day 0: build + persist the index
+    bands, sh = minhash_band_index(old, 3)
+    store.append("_minhash_bands", bands)
+    store.append("_minhash_shingles", sh)
+
+    # day 1: dedup the new batch against the stored index
+    new_bands, new_sh = minhash_band_index(new, 3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_incremental_pairs(
+            new_bands,
+            new_sh,
+            store.read("_minhash_bands"),
+            store.read("_minhash_shingles"),
+            JACCARD_MINHASH_THRESHOLD,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs(corpus, 3, JACCARD_MINHASH_THRESHOLD).collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    }
+    assert got == full and got  # identical pair set, non-empty
