@@ -79,6 +79,7 @@ _PRIORITY_FIRST = [
     "media_pixel_stats",
     "span_dedup_reassemble",
     "minhash_incremental_near_dup",
+    "ivf_topk_neighbors",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

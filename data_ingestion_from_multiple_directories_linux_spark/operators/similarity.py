@@ -289,7 +289,10 @@ def _sql_lloyd_update(assigned: str, out: str) -> str:
     )"""
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_train_assign_ctes() -> str:
+    """The CTE prefix shared by every IVF oracle: base/corpus norms,
+    md5-seeded centroids, LLOYD_ROUNDS train iterations, and the final
+    nearest-centroid assignment of the corpus (CTE name ``assigned``)."""
     train = []
     cent = "cent0"
     for r in range(LLOYD_ROUNDS):
@@ -314,7 +317,12 @@ def _ivf_oracle_sql() -> str:
         WHERE rn <= {N_CENTROIDS}
     ),
     {train_ctes},
-    {_sql_assign(cent, "corpus", "assigned")},
+    {_sql_assign(cent, "corpus", "assigned")}"""
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+    {_ivf_train_assign_ctes()},
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
                {sql_cosine_q(sql_dot_q('a.v', 'b.v'), 'a.nv', 'b.nv')} AS cosine
@@ -395,6 +403,86 @@ def ivf_near_dup_pairs(
             F.min("cell").alias("cell"), F.first("cosine").alias("cosine")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k neighbor search (the ANN query path, vs cosine_topk brute force)
+# ---------------------------------------------------------------------------
+
+TOPK_NEIGHBORS = 5  #: neighbors returned per query vector
+TOPK_QUERY_MOD = 50  #: every TOPK_QUERY_MOD-th corpus vector is a query
+
+
+def _ivf_topk_oracle_sql() -> str:
+    cos = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
+    return f"""
+    {_ivf_train_assign_ctes()},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rnk
+        FROM assigned q JOIN assigned c
+          ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine
+    FROM scored WHERE rnk <= {TOPK_NEIGHBORS}
+    """
+
+
+@query("ivf_topk_neighbors", oracle=_ivf_topk_oracle_sql())
+def ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbors per query vector via IVF cell pruning —
+    the ANN *search* path (``cosine_topk`` is the brute-force baseline:
+    exact but O(corpus) per query; this scans only the query's cell,
+    O(corpus/K) per query at the cost of cell-boundary misses, which
+    nprobe>1 recovers — see :func:`_assign_cells`).
+
+    Queries are the corpus vectors with vec_id % TOPK_QUERY_MOD == 0
+    (deterministic, so the oracle replicates the query set); candidates
+    are their cell-mates from the SAME trained assignment the pair
+    queries use; ranking is (cosine desc, neighbor_id) per query. The
+    per-query window runs over in-cell candidates only (~n/K rows), and
+    the whole pipeline — training included — is replicated exactly by
+    the DuckDB oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    base = e.withColumn("nv", norm_sq_q("v"))
+    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    centroids = train_ivf_centroids(base)
+    assigned = _assign_cells(corpus, centroids).persist()
+
+    q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"), "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"), F.col("cell").alias("cell_c"),
+    )
+    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
+    scored = q.join(
+        c,
+        (F.col("cell") == F.col("cell_c"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", rnk.cast("long"))
+        .filter(F.col("rank") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
