@@ -80,6 +80,7 @@ _PRIORITY_FIRST = [
     "span_dedup_reassemble",
     "minhash_incremental_near_dup",
     "ivf_topk_neighbors",
+    "global_shuffle_rank",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

@@ -476,6 +476,58 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic global shuffle rank (two-phase, no global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "global_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                   doc_id) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def global_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: every document gets a global 0-based
+    position in md5(doc_id) order — reproducible across engines, runs
+    and cluster sizes (no RNG state), the standard way a training
+    pipeline fixes its epoch order without materializing a shuffled
+    copy.
+
+    A global ROW_NUMBER is the textbook single-partition trap; here it
+    runs as the same TWO-PHASE shape as sequence_packing: the first hex
+    byte of the hash is a 256-way ORDERED bucketing, so per-bucket
+    counts (one tiny groupBy → broadcast exclusive prefixes) plus a
+    within-bucket row_number (window PARTITIONED by bucket) compose the
+    exact global rank — no ``Exchange SinglePartition`` anywhere
+    (asserted in tests/test_plans.py)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    t = d.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("_b"))
+
+    counts = t.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    running = 0
+    prefix_rows = []
+    for row in sorted(counts, key=lambda r: r["_b"]):
+        prefix_rows.append((row["_b"], running))
+        running += int(row["c"])
+    if not prefix_rows:  # empty corpus: schema-stable empty result
+        return t.select("doc_id", F.lit(0).cast("long").alias("shuffle_rank"))
+    pref = spark.createDataFrame(prefix_rows, "_b string, _pref bigint")
+
+    rn = F.row_number().over(Window.partitionBy("_b").orderBy("h", "doc_id"))
+    return (
+        t.join(F.broadcast(pref), "_b")
+        .select(
+            "doc_id",
+            (F.col("_pref") + rn - 1).cast("long").alias("shuffle_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Span-level exact dedup with document reassembly (Dolma/RefinedWeb-style)
 # ---------------------------------------------------------------------------
 

@@ -219,3 +219,13 @@ def test_sequence_packing_no_single_partition_exchange(spark, queries):
     assert "rangepartitioning" not in plan.lower()  # no global sort either
     # the cumsum window is partitioned by the range bucket
     assert "Window" in plan and "hashpartitioning(_b" in plan
+
+
+def test_global_shuffle_rank_no_single_partition_exchange(spark, queries):
+    """Global rank composes bucket prefixes + a bucket-partitioned
+    window — same two-phase shape as sequence_packing, same guarantee."""
+    df = queries["global_shuffle_rank"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" in plan and "hashpartitioning(_b" in plan
