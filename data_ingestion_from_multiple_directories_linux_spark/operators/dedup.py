@@ -297,6 +297,51 @@ def minhash_incremental_pairs(
     )
 
 
+#: table names of the persisted streaming dedup state
+MINHASH_INDEX_BANDS = "_minhash_index_bands"
+MINHASH_INDEX_SHINGLES = "_minhash_index_shingles"
+MINHASH_PAIRS_TABLE = "_near_dup_pairs"
+
+
+def incremental_dedup_batch(
+    store,
+    batch_docs: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_MINHASH_THRESHOLD,
+) -> None:
+    """One micro-batch of the STREAMING dedup loop (a ``foreachBatch``
+    body): sign the batch, emit near-dup pairs of batch×(index ∪ batch)
+    into MINHASH_PAIRS_TABLE, then append the batch's bands + shingle
+    sets to the index — so every later batch dedups against all history
+    without ever re-shingling it.
+
+    ``store`` is a :class:`~...sources.table_store.TableStore`. Exactly-
+    once across crash-replays needs the commit-marker pattern the
+    ingestion sink uses (streaming.stream_ingest._mark_committed) around
+    this body; the availableNow file source already assigns each file to
+    exactly one batch."""
+    new_bands, new_sh = minhash_band_index(batch_docs, n)
+    new_bands = new_bands.persist()
+    new_sh = new_sh.persist()
+    try:
+        if store.exists(MINHASH_INDEX_BANDS):
+            index_bands = store.read(MINHASH_INDEX_BANDS)
+            index_sh = store.read(MINHASH_INDEX_SHINGLES)
+        else:
+            index_bands = new_bands.limit(0)
+            index_sh = new_sh.limit(0)
+        pairs = minhash_incremental_pairs(
+            new_bands, new_sh, index_bands, index_sh, threshold
+        )
+        if not pairs.isEmpty():
+            store.append(MINHASH_PAIRS_TABLE, pairs)
+        store.append(MINHASH_INDEX_BANDS, new_bands)
+        store.append(MINHASH_INDEX_SHINGLES, new_sh)
+    finally:
+        new_bands.unpersist()
+        new_sh.unpersist()
+
+
 @query(
     "minhash_incremental_near_dup",
     oracle=f"""

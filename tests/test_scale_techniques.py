@@ -170,3 +170,48 @@ def test_ivf_nprobe_recall(spark):
     assert 0 < r1 <= r3
     print(f"IVF recall: nprobe=1 {r1:.3f} -> nprobe=3 {r3:.3f} "
           f"({len(p1)}/{len(p3)}/{len(truth)} pairs)")
+
+
+def test_minhash_band_index_bucketed_join_skips_index_shuffle(spark, tmp_path):
+    """The incremental-dedup docstring's 100 TB claim, as a plan test:
+    a band index STORED BUCKETED on (band, bucket) joins a new batch's
+    bands without re-shuffling the historical index — only the (small)
+    new side exchanges."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        _near_dup_corpus,
+        minhash_band_index,
+    )
+    from tests.conftest import SF_SMALL
+
+    corpus = _near_dup_corpus(spark, SF_SMALL)
+    index_bands, _ = minhash_band_index(corpus.filter(F.col("doc_id") % 4 != 0), 3)
+    new_bands, _ = minhash_band_index(corpus.filter(F.col("doc_id") % 4 == 0), 3)
+    write_bucketed(index_bands, "bt_band_index", ["band", "bucket"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def join_against(idx):
+            return new_bands.alias("a").join(
+                idx.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+
+        bucketed = join_against(read_bucketed(spark, "bt_band_index"))
+        plan = plan_of(bucketed)
+        assert "Bucketed: true" in plan
+        # control: the same index MATERIALIZED but unbucketed (plain
+        # parquet) — its scan must re-shuffle to meet the join, the one
+        # exchange bucketing eliminates (the probe side's own
+        # signature-agg exchanges are common to both plans)
+        plain = str(tmp_path / "band_index_plain")
+        index_bands.write.mode("overwrite").parquet(plain)
+        control_plan = plan_of(join_against(spark.read.parquet(plain)))
+        n_bucketed = plan.count("Exchange hashpartitioning")
+        n_control = control_plan.count("Exchange hashpartitioning")
+        assert n_bucketed == n_control - 1
+        assert bucketed.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "bt_band_index")

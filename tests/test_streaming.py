@@ -438,3 +438,76 @@ def test_legacy_marker_table_migrates_to_scoped_schema(spark, tmp_path, uploads)
     assert rows[99] is None  # legacy row preserved, null scope
     assert any(v is not None for v in rows.values())  # new row scoped
     assert 99 in s._load_committed()  # legacy rows still count
+
+
+def test_streaming_incremental_minhash_dedup(spark, tmp_path):
+    """The streaming dedup loop e2e: documents arrive as JSON files
+    across two availableNow ticks; each micro-batch dedups against the
+    persisted band index and extends it. Cross-batch near-dups (a tick-2
+    document near-duplicating a tick-1 document) must surface, and the
+    cumulative pair table must equal a full batch recompute."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        JACCARD_MINHASH_THRESHOLD,
+        MINHASH_PAIRS_TABLE,
+        incremental_dedup_batch,
+        minhash_pairs,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def doc(i, extra=""):
+        base = " ".join(words[(i + j) % len(words)] for j in range(12))
+        return {"doc_id": i, "text": (base + " " + extra).strip()}
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def tick():
+        q = (
+            spark.readStream.format("json").schema(schema)
+            .option("multiLine", "true")
+            .load(str(docs_dir) + "/*.json")
+            .writeStream.foreachBatch(
+                lambda b, _id: incremental_dedup_batch(store, b)
+            )
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [doc(i) for i in range(10)] + [doc(0, "zz")]          # in-batch dup
+    batch1[-1]["doc_id"] = 1000
+    (docs_dir / "b1.json").write_text(_json.dumps(batch1))
+    tick()
+    batch2 = [doc(i) for i in range(100, 110)] + [doc(5, "qq")]    # cross-batch dup
+    batch2[-1]["doc_id"] = 2000
+    (docs_dir / "b2.json").write_text(_json.dumps(batch2))
+    tick()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in store.read(MINHASH_PAIRS_TABLE).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in batch1 + batch2], schema
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs(all_docs, 3, JACCARD_MINHASH_THRESHOLD).collect()
+    }
+    assert got == full and got
+    assert (0, 1000) in got and (5, 2000) in got  # in-batch + cross-batch
