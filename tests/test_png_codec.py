@@ -138,3 +138,49 @@ def test_real_decode_pixel_features():
     got = real_decode(encode_png(rgb), "image/png")
     expect = [float(rgb[:, :, c].sum(dtype=np.int64)) / 48 for c in range(3)]
     assert got["feature"] == expect
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def images(draw):
+    h = draw(st.integers(1, 10))
+    w = draw(st.integers(1, 10))
+    c = draw(st.sampled_from([1, 3]))
+    data = draw(
+        st.lists(st.integers(0, 255), min_size=h * w * c, max_size=h * w * c)
+    )
+    return np.array(data, dtype=np.uint8).reshape(h, w, c)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=images(), data=st.data())
+def test_png_roundtrip_property(img, data):
+    """decode(encode(x)) == x for arbitrary images and per-row filter
+    choices — the codec must be lossless whatever the filter mix."""
+    h = img.shape[0]
+    filters = data.draw(
+        st.lists(st.sampled_from([0, 1, 2]), min_size=h, max_size=h)
+    )
+    assert np.array_equal(decode_png(encode_png(img, row_filters=filters)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(img=images(), w2=st.integers(1, 16), h2=st.integers(1, 16))
+def test_resize_nearest_property(img, w2, h2):
+    """Resize output has the target shape and every pixel is an actual
+    source pixel from a monotone row/column mapping."""
+    out = resize_nearest(img, w2, h2)
+    assert out.shape == (h2, w2, img.shape[2])
+    ys = np.minimum(((np.arange(h2) + 0.5) * img.shape[0] / h2).astype(int),
+                    img.shape[0] - 1)
+    xs = np.minimum(((np.arange(w2) + 0.5) * img.shape[1] / w2).astype(int),
+                    img.shape[1] - 1)
+    assert np.array_equal(out, img[ys][:, xs])
+    assert (np.diff(ys) >= 0).all() and (np.diff(xs) >= 0).all()
