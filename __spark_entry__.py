@@ -81,6 +81,9 @@ _PRIORITY_FIRST = [
     "minhash_incremental_near_dup",
     "ivf_topk_neighbors",
     "global_shuffle_rank",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

@@ -31,7 +31,8 @@ def queries():
 
 def test_topk_plans_take_ordered(spark, queries):
     for name in ("top_k_orders", "work_queue_dequeue", "top_spender_subquery_agg",
-                 "token_frequency_topk", "cosine_topk"):
+                 "token_frequency_topk", "cosine_topk",
+                 "q3_shipping_priority", "q10_returned_items"):
         plan = plan_of(queries[name](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
         assert "GlobalSort" not in plan, f"{name}: global sort"
@@ -53,8 +54,10 @@ def test_column_pruning_reaches_scan(spark, queries):
 
 
 def test_broadcast_dimension_join(spark, queries):
-    plan = plan_of(queries["broadcast_brand_revenue"](spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan
+    for name in ("broadcast_brand_revenue", "q5_local_supplier_volume",
+                 "q10_returned_items"):
+        plan = plan_of(queries[name](spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, f"{name}: dims not broadcast"
 
 
 def test_anti_semi_joins_hash_based(spark, queries):
@@ -80,6 +83,7 @@ def test_no_accidental_cartesian_products(spark, queries):
     allowed = {
         "cosine_topk",
         "embedding_near_dup_ivf",
+        "ivf_topk_neighbors",  # same ≤32-row centroid broadcast as the pair query
         "tf_idf_scores",
         # kmv joins its 1-row exact-count scalar — same deliberate pattern
         "kmv_distinct_users",
