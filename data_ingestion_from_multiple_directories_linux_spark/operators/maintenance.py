@@ -239,3 +239,88 @@ def table_sizes_pretty(store: TableStore, top_n: int = 100) -> list[tuple[str, i
     return [
         (name, size, size_pretty(size)) for name, size in store.table_sizes(top_n)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (the append-heavy-table maintenance job)
+# ---------------------------------------------------------------------------
+
+#: target bytes per parquet file after compaction (~HDFS-block sized at
+#: scale; small here so tests exercise multi-file outputs)
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class CompactionReport:
+    table: str
+    files_before: int
+    files_after: int
+    bytes: int
+
+
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_table(
+    store: TableStore,
+    name: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    min_files: int = 8,
+    partition_by: tuple[str, ...] = (),
+) -> CompactionReport | None:
+    """Rewrite an append-fragmented table into ~target_bytes files.
+
+    Every appending component (per-batch audit rows, streaming commit
+    markers, incremental dedup indexes) adds small parquet files; at
+    scale the file count, not the byte count, dominates scan planning
+    and listing cost. This is the standard compaction job: skip if the
+    table has fewer than ``min_files`` fragments, else rewrite through
+    the TableStore's atomic write-temp-swap (M7) with one file per
+    ``target_bytes`` of on-disk data (partitioned tables compact within
+    partitions — pass ``partition_by`` to preserve pruning).
+
+    Returns a report, or None when no compaction was needed. Driver
+    touches file METADATA only; the rewrite is a distributed job."""
+    if not store.exists(name):
+        return None
+    root = store.path(name)
+    files = _parquet_files(root)
+    if len(files) < min_files:
+        return None
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = store.read(name)
+    if partition_by:
+        # spread within partitions; the writer splits per partition dir
+        df = df.repartition(int(n_out), *[F.col(c) for c in partition_by])
+    else:
+        df = df.coalesce(int(n_out))
+    store.overwrite(name, df, partition_by)
+    return CompactionReport(
+        table=name,
+        files_before=len(files),
+        files_after=len(_parquet_files(store.path(name))),
+        bytes=int(total),
+    )
+
+
+def compact_all(
+    store: TableStore,
+    pattern: str | None = None,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    min_files: int = 8,
+) -> list[CompactionReport]:
+    """Compact every table (optionally LIKE-filtered, reference-style
+    ``stg_%`` patterns) — the scheduled maintenance sweep."""
+    reports = []
+    for name in store.list_tables(pattern):
+        rep = compact_table(store, name, target_bytes, min_files)
+        if rep is not None:
+            reports.append(rep)
+    return reports

@@ -171,3 +171,68 @@ def test_retention_distributed_matches_driver_side(spark, tmp_path):
     logged = store.read(FILE_DELETION_LOG).collect()
     assert len(logged) == 7
     assert {r["status"] for r in logged} == {"deleted", "missing"}
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        _parquet_files,
+        compact_all,
+        compact_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # 12 appends → ≥12 fragments (the audit-log / commit-marker shape)
+    for i in range(12):
+        store.append(
+            "frag_log",
+            spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k"),
+        )
+    before_files = _parquet_files(store.path("frag_log"))
+    assert len(before_files) >= 12
+    before_rows = sorted(r["k"] for r in store.read("frag_log").collect())
+
+    rep = compact_table(store, "frag_log", target_bytes=1 << 30, min_files=8)
+    assert rep is not None
+    assert rep.files_after < rep.files_before
+    assert rep.files_after == 1  # everything fits one target-sized file
+    assert sorted(r["k"] for r in store.read("frag_log").collect()) == before_rows
+
+    # already compact → no-op
+    assert compact_table(store, "frag_log", min_files=8) is None
+    # sweep honors the name pattern
+    assert compact_all(store, pattern="^nomatch") == []
+
+
+def test_compact_table_partitioned_preserves_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        compact_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    for i in range(10):
+        df = spark.range(i * 5, (i + 1) * 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("part"),
+        )
+        store.append("frag_part", df, ("part",))
+    rep = compact_table(
+        store, "frag_part", target_bytes=1 << 30, min_files=4,
+        partition_by=("part",),
+    )
+    assert rep is not None and rep.files_after < rep.files_before
+    # hive-style partition dirs survive → pruning still works
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(store.path("frag_part")) if d.startswith("part=")
+    )
+    assert dirs == ["part=0", "part=1"]
+    assert store.read("frag_part").filter(F.col("part") == "0").count() == 25
