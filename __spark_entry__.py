@@ -84,6 +84,8 @@ _PRIORITY_FIRST = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "dedup_materialize_canonical",
+    "hard_negative_mining",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

@@ -812,3 +812,47 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
     comp = connected_components(edges)
     return comp.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def _dedup_materialize_oracle_sql() -> str:
+    pairs = _jaccard_inverted_index_sql(
+        CLUSTER_CORPUS_SQL, 4, JACCARD_CLUSTER_THRESHOLD
+    )
+    return f"""
+    WITH RECURSIVE
+    pairq AS ({pairs}),
+    und AS (
+        SELECT id_a AS node, id_b AS peer FROM pairq
+        UNION ALL
+        SELECT id_b AS node, id_a AS peer FROM pairq
+    ),
+    reach(node, lbl) AS (
+        SELECT node, node FROM (SELECT DISTINCT node FROM und)
+        UNION
+        SELECT u.node, r.lbl FROM und u JOIN reach r ON r.node = u.peer
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    drop_ids AS (SELECT node FROM comp WHERE node != cluster_id)
+    SELECT c.doc_id, c.text FROM ({CLUSTER_CORPUS_SQL}) c
+    WHERE c.doc_id NOT IN (SELECT node FROM drop_ids)
+    """
+
+
+@query("dedup_materialize_canonical", oracle=_dedup_materialize_oracle_sql())
+def dedup_materialize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of the dedup pipeline: find pairs → cluster →
+    MATERIALIZE the deduped corpus, keeping one canonical document
+    (cluster-min id) per near-dup cluster and every unclustered
+    document untouched. This is the operator that actually produces the
+    training set; pairs and clusters are its intermediates.
+
+    Scale shape: pair generation dominates (inverted-index, bucketed);
+    the cluster labels are a tiny frame joined back as a LEFT ANTI hash
+    join on doc_id — no new wide stage over the corpus text."""
+    corpus = _cluster_corpus(spark, sf_dir)
+    edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
+    comp = connected_components(edges)
+    drop = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti")

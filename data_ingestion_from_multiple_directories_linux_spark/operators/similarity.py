@@ -620,3 +620,83 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data from the IVF cells)
+# ---------------------------------------------------------------------------
+
+NEG_COS_LO = 0.1  #: negatives must be at least this similar ("hard")
+NEG_PER_QUERY = 3  #: negatives kept per query vector
+
+
+def _hard_negative_oracle_sql() -> str:
+    cos = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
+    return f"""
+    {_ivf_train_assign_ctes()},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+               {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rnk
+        FROM assigned q JOIN assigned c
+          ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+          AND {cos} >= {NEG_COS_LO} AND {cos} < {NEAR_DUP_COSINE}
+    )
+    SELECT query_id, negative_id, CAST(rnk AS BIGINT) AS rank, cosine
+    FROM scored WHERE rnk <= {NEG_PER_QUERY}
+    """
+
+
+@query("hard_negative_mining", oracle=_hard_negative_oracle_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: per query vector, the
+    most-similar in-cell candidates INSIDE the band
+    [NEG_COS_LO, NEAR_DUP_COSINE) — similar enough to be informative,
+    below the near-dup line so they aren't positives mislabeled as
+    negatives. Same trained IVF assignment as the pair/top-k queries;
+    the band filter rides the in-cell join, and the per-query ranking
+    window runs over the banded candidates only. Oracle replicates the
+    full pipeline — training, banding, ranking — exactly."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    base = e.withColumn("nv", norm_sq_q("v"))
+    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    assigned = _assign_cells(corpus, train_ivf_centroids(base)).persist()
+
+    q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"), "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("negative_id"), F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"), F.col("cell").alias("cell_c"),
+    )
+    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
+    scored = (
+        q.join(
+            c,
+            (F.col("cell") == F.col("cell_c"))
+            & (F.col("negative_id") != F.col("query_id")),
+        )
+        .select("query_id", "negative_id", cos.alias("cosine"))
+        .filter(
+            (F.col("cosine") >= NEG_COS_LO) & (F.col("cosine") < NEAR_DUP_COSINE)
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), "negative_id")
+    )
+    return (
+        scored.withColumn("rank", rnk.cast("long"))
+        .filter(F.col("rank") <= NEG_PER_QUERY)
+        .select("query_id", "negative_id", "rank", "cosine")
+    )

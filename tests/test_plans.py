@@ -84,6 +84,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "cosine_topk",
         "embedding_near_dup_ivf",
         "ivf_topk_neighbors",  # same ≤32-row centroid broadcast as the pair query
+        "hard_negative_mining",  # ditto
         "tf_idf_scores",
         # kmv joins its 1-row exact-count scalar — same deliberate pattern
         "kmv_distinct_users",
