@@ -197,6 +197,30 @@ def train_ivf_centroids(
         base.unpersist()
 
 
+#: trained-centroid memo per (Spark app, corpus dir): three registered
+#: queries (pairs, top-k, hard negatives) train on the IDENTICAL base
+#: frame — training is deterministic, so the ≤K-row localCheckpointed
+#: centroid frame is safely shared within a session instead of running
+#: the Lloyd rounds three times. (At 100 TB the same role is played by
+#: persisting the centroid table between jobs.)
+_CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cent = _CENTROID_CACHE.get(key)
+    if cent is None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", to_double_array("embedding").alias("v")
+        )
+        base = e.withColumn("nv", norm_sq_q("v"))
+        cent = train_ivf_centroids(base)
+        _CENTROID_CACHE[key] = cent
+    return cent
+
+
 def _assign_cells(
     corpus: DataFrame, centroids: DataFrame, nprobe: int = 1
 ) -> DataFrame:
@@ -375,7 +399,7 @@ def ivf_near_dup_pairs(
     )
     base = e.withColumn("nv", norm_sq_q("v"))
     corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-    centroids = train_ivf_centroids(base)
+    centroids = _trained_centroids(spark, sf_dir)
     # assigned feeds both sides of the pair join — persist so the
     # assignment chain (K cosines per vector + top-nprobe) runs once
     assigned = _assign_cells(corpus, centroids, nprobe=nprobe).persist()
@@ -458,7 +482,7 @@ def ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = e.withColumn("nv", norm_sq_q("v"))
     corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-    centroids = train_ivf_centroids(base)
+    centroids = _trained_centroids(spark, sf_dir)
     assigned = _assign_cells(corpus, centroids).persist()
 
     q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
@@ -670,7 +694,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = e.withColumn("nv", norm_sq_q("v"))
     corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-    assigned = _assign_cells(corpus, train_ivf_centroids(base)).persist()
+    assigned = _assign_cells(corpus, _trained_centroids(spark, sf_dir)).persist()
 
     q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
