@@ -86,6 +86,8 @@ _PRIORITY_FIRST = [
     "q10_returned_items",
     "dedup_materialize_canonical",
     "hard_negative_mining",
+    "moving_avg_user_value",
+    "funnel_conversion",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

@@ -215,3 +215,133 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_hours"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving aggregates + sequential funnel (product-analytics shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "moving_avg_user_value",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS v5_sum,
+           CAST(COUNT(*)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS v5_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_sum
+    FROM events
+    """,
+)
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving window (5-row sum + count) and running total over
+    the event stream — the rolling-feature shape every behavioral model
+    pipeline computes. Sums accumulate as DECIMAL so both engines agree
+    bit-for-bit (float running sums drift between engines); the caller
+    divides v5_sum/v5_n for the average. One hash-partitioned window per
+    user, (ts, event_id) tiebreak keeps frames deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w5 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(dec).over(w5).cast("double").alias("v5_sum"),
+        F.count("*").over(w5).cast("long").alias("v5_n"),
+        F.sum(dec).over(wc).cast("double").alias("cum_sum"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click → purchase, strictly ordered in
+    time): per user, the deepest stage reached where each step must
+    happen AFTER the first occurrence of the previous step — the
+    product-analytics conversion query (and the event-sequence shape
+    behavioral filtering of training data uses).
+
+    Scale: three filtered min-aggregations and three joins, all
+    hash-partitioned on user_id — co-partitioned joins, no window over
+    the full stream, no per-user collect. At 100 TB the same plan holds;
+    a repartition(user_id) before the first agg co-locates all stages."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select("user_id", stage.cast("long").alias("funnel_stage"))
+    )
