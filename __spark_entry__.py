@@ -88,6 +88,8 @@ _PRIORITY_FIRST = [
     "hard_negative_mining",
     "moving_avg_user_value",
     "funnel_conversion",
+    "normalized_exact_dedup",
+    "user_value_outliers",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
 ]
 

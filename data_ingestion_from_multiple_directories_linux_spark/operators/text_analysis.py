@@ -463,3 +463,62 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= 0.05)
         & (F.col("punct_ratio") <= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-keyed exact dedup (case/punctuation-invariant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "normalized_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000 AS doc_id, upper(text) || ' !!' AS text
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    normed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key
+        FROM corpus
+    )
+    SELECT norm_key,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM normed GROUP BY norm_key
+    """,
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a NORMALIZED key: lowercase, strip non-alphanumerics,
+    collapse whitespace, then hash — catching the case/punctuation
+    variants plain byte-exact dedup misses (the first normalization pass
+    of CCNet/RefinedWeb-style pipelines). Variants are synthesized
+    deterministically (every 9th doc gets an uppercased copy with
+    punctuation noise at doc_id+30000) so groups of ≥2 exist; both
+    engines run the identical normalize → md5 → groupBy.
+
+    Scale: map-only normalization; the shuffle carries (16-byte hash,
+    id) — never text — and the groupBy partial-aggregates map-side,
+    exactly the L1 exact-dedup shape."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        corpus.select("doc_id", F.md5(norm.cast("binary")).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )

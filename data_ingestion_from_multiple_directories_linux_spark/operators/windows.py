@@ -345,3 +345,69 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.select("user_id", "t_purchase"), "user_id", "left")
         .select("user_id", stage.cast("long").alias("funnel_stage"))
     )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id,
+               CAST(CAST(floor(value * 1000000) AS BIGINT)
+                    AS DECIMAL(10,0)) AS qv
+        FROM events
+    ),
+    st AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS DECIMAL(9,0)) AS n,
+               CAST(SUM(qv) AS DECIMAL(13,0)) AS s,
+               CAST(SUM(CAST(qv AS DECIMAL(19,0)) * qv) AS DECIMAL(22,0)) AS ss
+        FROM q GROUP BY user_id
+    ),
+    d AS (
+        SELECT q.user_id, q.event_id,
+               CAST(st.n * q.qv - st.s AS DECIMAL(13,0)) AS dev,
+               st.n, st.s, st.ss
+        FROM q JOIN st ON q.user_id = st.user_id
+    )
+    SELECT user_id, event_id FROM d
+    WHERE CAST(dev AS DECIMAL(19,0)) * dev
+          > 4 * (n * ss - CAST(s AS DECIMAL(19,0)) * s)
+    """,
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|value - mean| > 2·stddev), computed
+    ENTIRELY in integer arithmetic so both engines agree exactly: values
+    quantize to micro-units and the z-test (v - mean)² > 4·var becomes
+    (n·qv - s)² > 4·(n·ss - s²) after multiplying through by n² — no
+    float sqrt, no variance drift. DECIMAL widths are tuned, not
+    maximal: DuckDB executes products of width ≤ 18 in int64 (runtime
+    overflow for these magnitudes) and refuses products wider than 38,
+    so every multiplication is arranged to land in (19, 38] — the
+    int128 window. The shape every data-quality pass needs (flag
+    anomalous numeric rows per entity) with cross-engine-reproducible
+    output.
+
+    Scale: one partial-agg groupBy per user for (n, s, ss), then a
+    co-partitioned join back — no window, no collect; the stats frame is
+    |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000)
+        .cast("long")
+        .cast("decimal(10,0)")
+        .alias("qv"),
+    )
+    st = q.groupBy("user_id").agg(
+        F.count("*").cast("decimal(9,0)").alias("n"),
+        F.sum("qv").cast("decimal(13,0)").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("decimal(22,0)").alias("ss"),
+    )
+    j = q.join(st, "user_id").withColumn(
+        "dev", (F.col("n") * F.col("qv") - F.col("s")).cast("decimal(13,0)")
+    )
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return j.filter(F.col("dev") * F.col("dev") > 4 * var_n2).select(
+        "user_id", "event_id"
+    )
