@@ -91,6 +91,20 @@ _PRIORITY_FIRST = [
     "normalized_exact_dedup",
     "user_value_outliers",
     "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
+    # r03-green entries whose implementing files CHANGED this round
+    # (similarity: centroid memo; dedup/text_analysis/windows: appended
+    # code; catalog: events NTZ fix) — renew their driver rows so no
+    # green evidence rests on a stale file state
+    "cosine_topk",
+    "embedding_near_dup_ivf",
+    "embedding_near_dup_lsh",
+    "minhash_lsh_near_dup",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "duplicate_clusters",
+    "tumbling_window_counts",
+    "event_gaps_lag",
+    "multires_rollup_events",
 ]
 
 
