@@ -27,11 +27,15 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     asof,  # noqa: F401
     corpus,  # noqa: F401
     dedup,  # noqa: F401
+    matching,  # noqa: F401
     multimodal,  # noqa: F401
+    profiling,  # noqa: F401
     relational,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
     text_analysis,  # noqa: F401
+    tpch,  # noqa: F401
+    warehouse,  # noqa: F401
     windows,  # noqa: F401
 )
 from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (  # noqa: E402
@@ -44,13 +48,48 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver caps how many entries get a correctness row per round
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
-# driver row stays at most one round old: round 4 front-loads the 24
-# entries displaced from CORRECTNESS_r03 (all green in r02 and in the
-# local 74-way oracle-parity suite, but whose driver evidence would
-# otherwise go stale), then any queries newly added this round; the tail
-# is the 50 entries already green in CORRECTNESS_r03.
+# driver row stays at most one round old. Round-4 allocation of the 50
+# slots: the 26 queries added THIS round (no driver row exists for them
+# at all — they come first so they are covered even if the cap shrinks),
+# then the 24 entries displaced from CORRECTNESS_r03 (green in r02, but
+# relational.py gained code this round, so their r02 evidence needs a
+# fresh row). 26 + 24 = 50 exactly. Everything r03 already covered sits
+# in the tail; queries in files that only gained appended code this
+# round (similarity/dedup/windows/text_analysis) are re-verified at
+# HEAD by the local oracle-parity suite (VERIFY_LOCAL_r04.txt, all
+# green) and are first in line for round-5 rotation — see the list
+# trailing comment.
 _PRIORITY_FIRST = [
-    # displaced from CORRECTNESS_r03.json by the driver cap — renew now
+    # new in round 4, second batch (tpch/warehouse/matching/profiling)
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q4_late_shipment_priority",
+    "scd2_user_state_intervals",
+    "cohort_retention",
+    "fuzzy_part_match",
+    "token_cooccurrence_lift",
+    "key_skew_profile",
+    "stratified_sample_docs",
+    # new in round 4, first batch
+    "media_pixel_stats",
+    "span_dedup_reassemble",
+    "minhash_incremental_near_dup",
+    "ivf_topk_neighbors",
+    "global_shuffle_rank",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "dedup_materialize_canonical",
+    "hard_negative_mining",
+    "moving_avg_user_value",
+    "funnel_conversion",
+    "normalized_exact_dedup",
+    "user_value_outliers",
+    # displaced from CORRECTNESS_r03.json by the driver cap, and their
+    # file (relational.py) gained the TPC-H/bulk-update code this round
+    # — renew now
     "update_join_propagate",
     "count_distinct_users",
     "minmax_priority_window",
@@ -75,26 +114,11 @@ _PRIORITY_FIRST = [
     "substring_truncate",
     "concat_runid_format",
     "session_duration_secs",
-    # new in round 4
-    "media_pixel_stats",
-    "span_dedup_reassemble",
-    "minhash_incremental_near_dup",
-    "ivf_topk_neighbors",
-    "global_shuffle_rank",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "dedup_materialize_canonical",
-    "hard_negative_mining",
-    "moving_avg_user_value",
-    "funnel_conversion",
-    "normalized_exact_dedup",
-    "user_value_outliers",
-    "sequence_packing",  # re-verify: plan rewritten to two-phase prefix-sum
-    # r03-green entries whose implementing files CHANGED this round
-    # (similarity: centroid memo; dedup/text_analysis/windows: appended
-    # code; catalog: events NTZ fix) — renew their driver rows so no
-    # green evidence rests on a stale file state
+    # --- positions 51+ (beyond the round-4 driver cap; round-5 should
+    # front-load these): sequence_packing (plan rewritten to two-phase
+    # prefix-sum this round; r03 row + local suite cover it) and the
+    # r03-green entries in files that gained appended code this round
+    "sequence_packing",
     "cosine_topk",
     "embedding_near_dup_ivf",
     "embedding_near_dup_lsh",

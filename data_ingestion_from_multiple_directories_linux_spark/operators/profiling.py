@@ -1,0 +1,180 @@
+"""Data-profiling operators: key-skew profiling + exact stratified
+sampling (SURVEY.md §2.12a L61/L62).
+
+Skew is the recurring villain of every shuffle in this engine (the
+dedup family's df_cap/bucket_cap guards, the salted aggregation in
+operators/relational.py) — this module adds the operator that *finds*
+it: a per-key distribution profile a planner (or operator parameter
+tuner) reads before choosing salting factors and broadcast thresholds.
+The stratified sampler is its corpus-side sibling: per-stratum
+deterministic sampling that preserves group proportions exactly — the
+shape used for eval-split carve-outs and per-language corpus audits.
+
+Both follow the module-wide determinism rules: md5-derived ordering for
+"randomness", integer-DIV permille ratios instead of floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+__all__ = ["key_skew_profile", "stratified_sample_docs"]
+
+#: how many of the heaviest keys the profile reports
+SKEW_TOP_K = 100
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT o_custkey AS key, COUNT(*) AS n_rows
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_total, COUNT(DISTINCT o_custkey) AS n_keys
+        FROM orders
+    ),
+    top AS (
+        SELECT key, n_rows FROM per_key
+        ORDER BY n_rows DESC, key LIMIT {SKEW_TOP_K}
+    )
+    SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+           key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((1000 * n_rows) // n_total AS BIGINT) AS share_permille,
+           CAST((1000 * SUM(n_rows) OVER (
+               ORDER BY n_rows DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) // n_total AS BIGINT) AS cum_share_permille,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM top, tot
+    WINDOW w AS (ORDER BY n_rows DESC, key)
+    ORDER BY rank
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profile of orders.o_custkey: the top-{SKEW_TOP_K}
+    heaviest keys with each key's share and the cumulative share of the
+    head — the numbers that decide whether a downstream join needs
+    salting (head keys carry a disproportionate share) or a broadcast
+    (n_keys small).
+
+    Plan: one map-side-combined groupBy on the key, then
+    TakeOrderedAndProject for the top-k — per-partition heaps of k,
+    never a global sort of the key histogram. The rank/cumulative
+    window runs AFTER the LIMIT, over exactly {SKEW_TOP_K} rows on one
+    partition — bounded by the constant k, the same deliberately-tiny
+    single-partition tail as top_k_orders (a window over the full
+    histogram would be the scale bug). Totals join in as a 1-row
+    broadcast scalar. Ratios are integer permille (1000·n DIV total)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    top = per_key.orderBy(F.desc("n_rows"), "key").limit(SKEW_TOP_K)
+    tot = o.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), "key")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("(1000 * n_rows) DIV n_total").cast("long").alias(
+                "share_permille"
+            ),
+            F.sum("n_rows")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            "share_permille",
+            F.expr("(1000 * cum_rows) DIV n_total").cast("long").alias(
+                "cum_share_permille"
+            ),
+            "n_keys",
+            "n_total",
+        )
+        .orderBy("rank")
+    )
+
+
+#: sampling rate as a rational: keep ceil(n · NUM/DEN) rows per stratum
+SAMPLE_NUM = 1
+SAMPLE_DEN = 5
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang
+    ),
+    ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source, r.n_chars,
+           CAST(c.n_stratum AS BIGINT) AS n_stratum
+    FROM ranked r JOIN counts c ON r.lang = c.lang
+    WHERE r.rn <= (c.n_stratum * {SAMPLE_NUM} + {SAMPLE_DEN} - 1)
+                  // {SAMPLE_DEN}
+    ORDER BY r.lang, r.doc_id
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample of documents: ceil(20%) of every language
+    stratum, deterministically.
+
+    Proportional allocation is EXACT (ceil(n·1/5) per stratum, integer
+    arithmetic), not expected-value like Bernoulli df.sample() — small
+    strata are never accidentally emptied, and reruns are identical.
+    "Random" order within a stratum is the md5 of the doc id (the
+    fixed-hash uniform device shared with dataset_split_assign): rows
+    are ranked per-stratum by hash and the top ceil-quota kept. Plan:
+    per-stratum counts (tiny, broadcast back), one hash exchange on
+    lang for the rank window — strata process in parallel; no global
+    order. At 100 TB with a skewed stratum the window key gains the
+    same salt-prefix treatment as salted_skew_counts, trading exact
+    rank for per-salt quotas."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_stratum"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang", "source", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    quota = F.expr(
+        f"(n_stratum * {SAMPLE_NUM} + {SAMPLE_DEN} - 1) DIV {SAMPLE_DEN}"
+    )
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .filter(F.col("rn") <= quota)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.col("n_stratum").cast("long").alias("n_stratum"),
+        )
+        .orderBy("lang", "doc_id")
+    )

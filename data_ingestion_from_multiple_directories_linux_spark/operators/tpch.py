@@ -1,0 +1,295 @@
+"""TPC-H-shape analytic queries, second batch (SURVEY.md §2.12a L56).
+
+Round 3 added the q1/q3/q5/q10 join shapes (operators/relational.py);
+this module completes the classic scan/join/agg spectrum with five more
+shapes, chosen for the *physical-plan* property each one exercises:
+
+* q6  — pure scan-side aggregation: every predicate must reach the
+  parquet scan (PushedFilters), zero joins, one partial-agg shuffle of
+  exactly one row per partition.
+* q14 — two-table join + conditional aggregation: CASE WHEN inside SUM
+  computes both branches of a ratio in ONE pass (never two scans).
+* q18 — having-filtered aggregate joined back to facts: the group-by
+  result is itself the join input, and the top-k is
+  TakeOrderedAndProject, never a global sort.
+* q19 — disjunctive multi-branch predicate: the OR of three
+  (brand, size, quantity) branches, with the hoisted common superset
+  predicates applied scan-side so the join input is pruned even though
+  the full disjunction can only run post-join.
+* q4  — EXISTS with a non-equi residual: a left-semi join whose
+  condition mixes the orderkey equi-key with an inequality on columns
+  from BOTH sides (ship date vs. order date) — the residual rides the
+  semi join, no fact-fact full join is ever materialized.
+
+The reference pipeline has no analytic tier (its queries stop at the
+work-queue/audit shapes in reference file_loader.py); this family is
+part of the additive analytics surface that makes the engine a complete
+warehouse target. All money sums are DECIMAL-quantized (registry.dsum)
+so the value hash is byte-stable between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, dsum_sql, query
+
+__all__ = [
+    "q6_forecast_revenue",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q4_late_shipment_priority",
+]
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: forecast-revenue-change — one filtered scan, one
+    global aggregate, no join.
+
+    Scale plan: all three predicates (ship-date range, discount band,
+    quantity cap) are simple comparisons on scan columns, so they push
+    into the parquet reader (PushedFilters + row-group min/max skipping
+    on the date range); the aggregate combines map-side, so the single
+    shuffle moves one partial row per input partition regardless of
+    data size. This is the cheapest possible shape at 100 TB — I/O
+    bound on exactly the row groups the date range admits."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT (100.0 * promo_revenue) / total_revenue AS promo_pct,
+           promo_revenue, total_revenue
+    FROM (
+        SELECT
+            {dsum_sql("CASE WHEN p_type = 'PROMO' "
+                      "THEN l_extendedprice * (1 - l_discount) "
+                      "ELSE 0 END", 4)} AS promo_revenue,
+            {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: share of one month's revenue from PROMO parts.
+
+    The numerator is a CASE WHEN inside the same SUM pass as the
+    denominator — one scan, one join, one aggregate, never two plans
+    unioned. Scale plan: the ship-date month prunes lineitem scan-side
+    BEFORE the join; part is the small side and is explicitly broadcast
+    (2M rows at SF100 ≈ tens of MB of (partkey, type)); the final
+    division happens on two already-quantized scalars, so the ratio is
+    the identical IEEE double in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0), 4).alias(
+                "promo_revenue"
+            ),
+            dsum(rev, 4).alias("total_revenue"),
+        )
+    )
+    return sums.select(
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+#: q18 volume threshold — at the synthetic ~4 lines/order with quantity
+#: U(1,50), sum > 160 selects the top ~15% of orders
+Q18_MIN_QTY = 160
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity', 2)} AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {dsum_sql('l_quantity', 2)} > {Q18_MIN_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: customers behind the largest-volume orders.
+
+    The HAVING aggregate runs FIRST and becomes the join's build input:
+    sum quantity per orderkey (map-side partials, one shuffle), filter
+    to the heavy tail, then join orders and customer. Scale plan: the
+    post-HAVING set is a small fraction of orders, so the subsequent
+    joins move only qualifying keys; the top-50 by total price is
+    TakeOrderedAndProject (per-partition heaps), with o_orderkey as the
+    deterministic tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+#: the three (brand, size-band, quantity-band) branches of q19
+Q19_BRANCHES = (
+    ("Brand#4", 1, 15, 1, 21),
+    ("Brand#2", 10, 30, 10, 30),
+    ("Brand#19", 20, 50, 20, 40),
+)
+
+
+def _q19_branch_sql(b: tuple) -> str:
+    brand, s_lo, s_hi, q_lo, q_hi = b
+    return (
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE {' OR '.join(_q19_branch_sql(b) for b in Q19_BRANCHES)}
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue under an OR of three (brand, size,
+    quantity) branch predicates.
+
+    The full disjunction references columns from both tables, so it can
+    only be evaluated post-join — but each branch's single-table parts
+    have a finite superset, and that superset is hoisted onto the scans
+    explicitly: part is pre-filtered to the three brands (and the size
+    hull), lineitem to the quantity hull. At 100 TB this is the
+    difference between joining 2M part rows and joining the ~12% that
+    can possibly match. The pruned part side is then broadcast; the OR
+    itself runs codegen'd on the join output. The hoisted predicates
+    are redundant with the disjunction (pure supersets), so the oracle
+    states only the disjunction."""
+    q_lo = min(b[3] for b in Q19_BRANCHES)
+    q_hi = max(b[4] for b in Q19_BRANCHES)
+    s_lo = min(b[1] for b in Q19_BRANCHES)
+    s_hi = max(b[2] for b in Q19_BRANCHES)
+    brands = [b[0] for b in Q19_BRANCHES]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(q_lo, q_hi)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(brands) & F.col("p_size").between(s_lo, s_hi)
+    )
+    branch = None
+    for brand, b_s_lo, b_s_hi, b_q_lo, b_q_hi in Q19_BRANCHES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(b_s_lo, b_s_hi)
+            & F.col("l_quantity").between(b_q_lo, b_q_hi)
+        )
+        branch = c if branch is None else (branch | c)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: orders with at least one line shipped >60 days
+    after the order date, counted per priority.
+
+    The EXISTS is a LEFT SEMI join whose condition mixes the orderkey
+    equi-key with a non-equi residual comparing columns from both sides
+    (l_shipdate > o_orderdate + 60 days). Scale plan: the semi join
+    hash-partitions both facts on orderkey (the natural co-location
+    key), evaluates the residual per matched pair, and emits each order
+    AT MOST once — no duplicate-then-distinct, no fact×fact blow-up.
+    The five-row result aggregates map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,150 @@
+"""Warehouse-modeling operators: SCD2 interval build + cohort retention
+(SURVEY.md §2.12a L57/L58).
+
+The reference pipeline lands mutable snapshots and overwrites state in
+place (reference file_loader.py's staged-table update path); a warehouse
+consumer usually wants the *history* instead. These two operators are the
+standard history shapes:
+
+* **SCD2 dimension build** — turn an event stream of state observations
+  into slowly-changing-dimension type-2 validity intervals
+  [effective_from, effective_to) per key, collapsing consecutive
+  duplicates so an interval spans the whole run of an unchanged state.
+* **Cohort retention** — the canonical product-analytics matrix: users
+  bucketed by first-seen week × activity offset week.
+
+Both are pure window/aggregate dataflows partitioned by user_id — the
+one shuffle key the whole module needs, so Spark reuses a single
+Exchange across the chained windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+__all__ = ["scd2_user_state_intervals", "cohort_retention"]
+
+
+@query(
+    "scd2_user_state_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_state
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 type-2 dimension build from the events stream: per-user
+    validity intervals of the observed state (event_type), consecutive
+    duplicates collapsed.
+
+    Two chained windows over the SAME (user_id) partitioning — lag to
+    detect state changes, then lead/row_number over the change rows for
+    the interval close and version number — so the physical plan pays
+    ONE hash exchange on user_id and sorts locally twice. The open
+    interval (effective_to IS NULL, is_current) is the live dimension
+    row. Scale: per-user history fits a partition by construction
+    (users are the partition key); no global order anywhere.
+    (ts, event_id) is the deterministic tiebreak for same-timestamp
+    events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .drop("prev_state")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+#: fixed epoch for week bucketing — integer day arithmetic from a pinned
+#: date is identical in both engines (calendar week truncation is not:
+#: ISO-vs-locale week starts differ across engine settings)
+COHORT_EPOCH = "2024-01-01"
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT
+        datediff('day', DATE '{COHORT_EPOCH}', CAST(f.first_ts AS DATE)) // 7
+            AS cohort_week,
+        datediff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7
+            AS week_offset,
+        CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week
+    (cohort) × how many weeks after their first event they were active.
+
+    Two aggregations over the same user_id key: MIN(ts) per user, then
+    the events⋈firsts join — co-partitioned on user_id, so at scale the
+    join reuses the aggregation's hash partitioning instead of adding a
+    shuffle (locally the tiny firsts side broadcasts). Week buckets are
+    integer day-diffs DIV 7 from a pinned epoch, not calendar
+    date_trunc — truncation week-start conventions differ between
+    engines, integer arithmetic doesn't. COUNT(DISTINCT user_id) per
+    (cohort, offset) cell is Spark's two-phase distinct aggregate —
+    partial distinct map-side, exact, no sketch."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = e.join(firsts, "user_id")
+    return (
+        joined.select(
+            F.expr(
+                f"datediff(CAST(first_ts AS DATE), DATE '{COHORT_EPOCH}') DIV 7"
+            ).alias("cohort_week"),
+            F.expr(
+                "datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) DIV 7"
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
