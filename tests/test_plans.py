@@ -24,6 +24,18 @@ def optimized_of(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def formatted_of(df) -> str:
+    """Full formatted plan — toString() truncates long PushedFilters
+    lists, explain('formatted') does not."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 @pytest.fixture(scope="module")
 def queries():
     return entry_mod.queries()
@@ -88,6 +100,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         "tf_idf_scores",
         # kmv joins its 1-row exact-count scalar — same deliberate pattern
         "kmv_distinct_users",
+        # 1-row totals scalar broadcast (same pattern as kmv/tf_idf)
+        "key_skew_profile",
+        "token_cooccurrence_lift",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -234,3 +249,103 @@ def test_global_shuffle_rank_no_single_partition_exchange(spark, queries):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Window" in plan and "hashpartitioning(_b" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 3: tpch / warehouse / matching / profiling plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_q6_all_predicates_pushed_no_join(spark, queries):
+    """q6 is the pure scan-agg shape: every predicate must reach the
+    parquet reader and the plan must contain no join at all."""
+    df = queries["q6_forecast_revenue"](spark, SF_SMALL)
+    assert "Join" not in plan_of(df)
+    full = formatted_of(df)
+    pushed = full[full.index("PushedFilters"):].splitlines()[0]
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity"):
+        assert frag in pushed, f"q6: {frag} not pushed to scan"
+
+
+def test_q14_single_pass_broadcast(spark, queries):
+    """The promo ratio is ONE scan of lineitem (CASE WHEN inside the
+    aggregate, never two plans) with part broadcast."""
+    plan = plan_of(queries["q14_promo_effect"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2  # lineitem once, part once
+
+
+def test_q18_topk_no_global_sort(spark, queries):
+    plan = plan_of(queries["q18_large_volume_customers"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q19_hoisted_predicates_prune_scans(spark, queries):
+    """The disjunction itself runs post-join, but its single-table
+    supersets must land on both scans: brands+size on part, the
+    quantity hull on lineitem."""
+    df = queries["q19_disjunctive_revenue"](spark, SF_SMALL)
+    assert "BroadcastHashJoin" in plan_of(df)
+    full = formatted_of(df)
+    part_scan = [ln for ln in full.splitlines()
+                 if "PushedFilters" in ln and "p_brand" in ln]
+    assert part_scan and "In(p_brand" in part_scan[0]
+    li_scan = [ln for ln in full.splitlines()
+               if "PushedFilters" in ln and "l_quantity" in ln]
+    assert li_scan and "GreaterThanOrEqual(l_quantity" in li_scan[0]
+
+
+def test_q4_semi_join_with_residual_not_nested_loop(spark, queries):
+    """EXISTS with a non-equi residual must still be a hash/merge semi
+    join on the orderkey equi-key — never a nested loop."""
+    plan = plan_of(queries["q4_late_shipment_priority"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_exchange(spark, queries):
+    """Both chained windows (lag-change-detect, lead/version) partition
+    by user_id — the plan must pay exactly one hash exchange."""
+    plan = plan_of(queries["scd2_user_state_intervals"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_fuzzy_match_blocked_join_is_hash(spark, queries):
+    """The levenshtein pair join must ride the block equi-key (hash
+    join), keeping the pair space per-block — not a nested loop over
+    all name pairs."""
+    plan = plan_of(queries["fuzzy_part_match"](spark, SF_SMALL))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_cooccurrence_vocab_is_broadcast(spark, queries):
+    """The top-V vocabulary must broadcast onto the token stream, and
+    the within-doc pair join must be an equi hash join on doc_id."""
+    plan = plan_of(queries["token_cooccurrence_lift"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # the top-V vocab selection
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_window_after_limit(spark, queries):
+    """The rank/cumulative window may only run AFTER the top-k limit —
+    over the bounded k rows — never over the full key histogram."""
+    df = queries["key_skew_profile"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    # the single-partition exchange must sit above TakeOrderedAndProject
+    # (bounded k rows), which itself bounds everything the window sees
+    win_at = plan.index("Window")
+    take_at = plan.index("TakeOrderedAndProject")
+    assert win_at < take_at  # plan prints top-down: window consumes top-k
+
+
+def test_stratified_sample_parallel_strata(spark, queries):
+    """The per-stratum rank window partitions by lang — strata process
+    in parallel; no single-partition exchange, no global sort."""
+    plan = plan_of(queries["stratified_sample_docs"](spark, SF_SMALL))
+    assert "hashpartitioning(lang" in plan
+    assert "Exchange SinglePartition" not in plan
