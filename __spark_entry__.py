@@ -34,6 +34,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     similarity,  # noqa: F401
     sketches,  # noqa: F401
     text_analysis,  # noqa: F401
+    timeseries,  # noqa: F401
     tpch,  # noqa: F401
     warehouse,  # noqa: F401
     windows,  # noqa: F401
@@ -49,11 +50,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots: the 26 queries added THIS round (no driver row exists for them
+# slots: the 29 queries added THIS round (no driver row exists for them
 # at all — they come first so they are covered even if the cap shrinks),
 # then the 24 entries displaced from CORRECTNESS_r03 (green in r02, but
 # relational.py gained code this round, so their r02 evidence needs a
-# fresh row). 26 + 24 = 50 exactly. Everything r03 already covered sits
+# fresh row). 29 + 21 = 50: the LAST 3 relational renewals fall just
+# past the cap (they keep their r02 rows + local-suite green at HEAD;
+# round 5 front-loads them). Everything r03 already covered sits
 # in the tail; queries in files that only gained appended code this
 # round (similarity/dedup/windows/text_analysis) are re-verified at
 # HEAD by the local oracle-parity suite (VERIFY_LOCAL_r04.txt, all
@@ -72,6 +75,9 @@ _PRIORITY_FIRST = [
     "token_cooccurrence_lift",
     "key_skew_profile",
     "stratified_sample_docs",
+    "time_weighted_avg_value",
+    "gap_fill_hourly_locf",
+    "value_histogram_events",
     # new in round 4, first batch
     "media_pixel_stats",
     "span_dedup_reassemble",

@@ -1,0 +1,244 @@
+"""Time-series operators: time-weighted aggregation, gap-fill with
+carry-forward, fixed-bin histograms (SURVEY.md §2.12a L63-L65).
+
+The events table is an irregular observation stream; these are the three
+hypertable-style primitives consumers ask of one (the shapes TimescaleDB
+ships as ``time_weight``/``locf``/``histogram``), built as pure
+window/join dataflows partitioned by user_id — per-series work stays
+inside one partition, series process in parallel, nothing global.
+
+Determinism devices: durations are integer seconds (unix_micros DIV),
+values quantized to integer milli-units BEFORE multiplication (the
+``floor(x·1e3)`` device shared with functions/vectors.py), and ratios
+divide two exactly-representable-in-double integers — so Spark and
+DuckDB hash-compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+__all__ = [
+    "time_weighted_avg_value",
+    "gap_fill_hourly_locf",
+    "value_histogram_events",
+]
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS vmilli,
+               (epoch_us(lead(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) - epoch_us(ts)) // 1000000 AS dur_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(vmilli * dur_s) AS BIGINT) AS num_milli_sec,
+           CAST(SUM(dur_s) AS BIGINT) AS total_sec,
+           CAST(SUM(vmilli * dur_s) AS DOUBLE)
+               / CAST(SUM(dur_s) AS DOUBLE) AS twa_milli
+    FROM seq
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dur_s) > 0
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user — each observation
+    weighted by how long it was current (until the next event), the
+    correct mean for irregularly-sampled state.
+
+    Plan: one lead() window partitioned by user_id (each series sorts
+    locally inside its partition), then a groupBy on the SAME key — the
+    aggregation reuses the window's hash partitioning, so the whole
+    query pays ONE exchange. Arithmetic: value quantized to integer
+    milli-units, duration to integer seconds; the weighted sum is exact
+    BIGINT (bounded by milli-value·series-span ≈ 1.3e12 per user, far
+    inside both BIGINT and double-exact range), and the final ratio
+    divides two exactly-representable doubles — identical IEEE result
+    in both engines, no decimal→double rounding hazard. The last
+    observation of each series has no successor and drops out (NULL
+    duration), the standard open-interval convention."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vmilli"),
+        F.expr(
+            "(unix_micros(lead(ts) over (partition by user_id"
+            " order by ts, event_id)) - unix_micros(ts)) div 1000000"
+        ).alias("dur_s"),
+    )
+    return (
+        seq.filter(F.col("dur_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vmilli") * F.col("dur_s"))
+            .cast("long")
+            .alias("num_milli_sec"),
+            F.sum("dur_s").cast("long").alias("total_sec"),
+        )
+        .filter(F.col("total_sec") > 0)
+        .select(
+            "user_id",
+            "num_milli_sec",
+            "total_sec",
+            (
+                F.col("num_milli_sec").cast("double")
+                / F.col("total_sec").cast("double")
+            ).alias("twa_milli"),
+        )
+    )
+
+
+#: microseconds per hour — the gap-fill bucket width
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "gap_fill_hourly_locf",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, epoch_us(ts) // {HOUR_US} AS hr, value,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // {HOUR_US}
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    last_per_hr AS (
+        SELECT user_id, hr, value FROM hourly WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
+        FROM last_per_hr GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM spans
+    )
+    SELECT s.user_id, s.hr,
+           last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           (l.value IS NULL) AS is_gap
+    FROM spine s
+    LEFT JOIN last_per_hr l ON s.user_id = l.user_id AND s.hr = l.hr
+    """,
+)
+def gap_fill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill each user's series to a dense hourly grid, filling
+    missing hours by last-observation-carried-forward (LOCF).
+
+    Plan: reduce events to one observation per (user, hour) — the
+    latest, via a per-bucket row_number — then generate each user's
+    dense hour spine with sequence()/explode (bounded by the series'
+    own span, generated in parallel per user, never a global calendar
+    spine), left-join observations back, and run the LOCF as
+    last_value(ignorenulls) over the user-partitioned hour order.
+    Every stage partitions on user_id (the bucket rn adds the hour to
+    the key), so series never cross executors; the filled value is the
+    raw stored double carried unchanged — no arithmetic, no drift.
+    is_gap marks synthesized rows. Leading gaps (before a user's first
+    observation) cannot exist since the spine starts at their first
+    hour."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "hr").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        ),
+    )
+    last_per_hr = hourly.filter(F.col("rn") == 1).select(
+        "user_id", "hr", "value"
+    )
+    spans = last_per_hr.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.expr("sequence(mn, mx)")).alias("hr")
+    )
+    joined = spine.join(last_per_hr, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("value").isNull().alias("is_gap"),
+    )
+
+
+#: histogram geometry: 20 bins of width 25 covering the value domain
+HIST_WIDTH = 25
+HIST_BINS = 20
+
+
+@query(
+    "value_histogram_events",
+    oracle=f"""
+    WITH binned AS (
+        SELECT CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin
+    )
+    SELECT s.bin,
+           CAST(s.bin * {HIST_WIDTH} AS DOUBLE) AS lo,
+           CAST((s.bin + 1) * {HIST_WIDTH} AS DOUBLE) AS hi,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+    ORDER BY s.bin
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram over events, WITH empty bins — the
+    difference between a GROUP BY (which silently omits zero-count
+    bins, breaking downstream plotting/alerting) and a histogram.
+
+    Plan: one map-side-combined groupBy on the bin id (the only
+    shuffle, ≤{HIST_BINS} result rows), then a generated bin spine
+    ({HIST_BINS} rows from one sequence()) left-joins the counts and
+    coalesces absent bins to 0. The bin id is floor(value/width) —
+    a single IEEE divide+floor, identical in both engines. The spine
+    is constant-size, so the join broadcasts it; at any data scale the
+    post-aggregation work is O(bins)."""
+    e = load_table(spark, sf_dir, "events")
+    binned = (
+        e.groupBy(
+            F.floor(F.col("value") / HIST_WIDTH).cast("long").alias("bin")
+        ).agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(1).select(
+        F.explode(F.expr(f"sequence(0, {HIST_BINS - 1})")).alias("bin")
+    )
+    return (
+        spine.join(F.broadcast(binned), "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * HIST_WIDTH).cast("double").alias("lo"),
+            ((F.col("bin") + 1) * HIST_WIDTH).cast("double").alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )

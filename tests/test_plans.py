@@ -349,3 +349,27 @@ def test_stratified_sample_parallel_strata(spark, queries):
     plan = plan_of(queries["stratified_sample_docs"](spark, SF_SMALL))
     assert "hashpartitioning(lang" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_time_weighted_avg_single_exchange(spark, queries):
+    """lead-window and groupBy share the user_id partitioning — one
+    exchange for the whole query."""
+    plan = plan_of(queries["time_weighted_avg_value"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_fill_no_global_stage(spark, queries):
+    """Spine generation and LOCF stay per-user: no single-partition
+    exchange, no global sort anywhere in the gap-fill plan."""
+    plan = plan_of(queries["gap_fill_hourly_locf"](spark, SF_SMALL))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Generate explode" in plan  # the per-user sequence spine
+
+
+def test_histogram_postagg_is_bounded(spark, queries):
+    """The only wide stage is the bin groupBy; the spine join is a
+    broadcast over the <=20-row aggregate."""
+    plan = plan_of(queries["value_histogram_events"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
