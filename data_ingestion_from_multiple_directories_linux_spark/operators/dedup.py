@@ -856,3 +856,89 @@ def dedup_materialize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return corpus.join(drop, "doc_id", "left_anti")
+
+
+def _cluster_size_histogram_oracle_sql() -> str:
+    pairs = _jaccard_inverted_index_sql(
+        CLUSTER_CORPUS_SQL, 4, JACCARD_CLUSTER_THRESHOLD
+    )
+    return f"""
+    WITH RECURSIVE
+    pairq AS ({pairs}),
+    und AS (
+        SELECT id_a AS node, id_b AS peer FROM pairq
+        UNION ALL
+        SELECT id_b AS node, id_a AS peer FROM pairq
+    ),
+    reach(node, lbl) AS (
+        SELECT node, node FROM (SELECT DISTINCT node FROM und)
+        UNION
+        SELECT u.node, r.lbl FROM und u JOIN reach r ON r.node = u.peer
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM comp GROUP BY cluster_id
+    ),
+    hist AS (
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               SUM(cluster_size) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM ({CLUSTER_CORPUS_SQL})),
+    cl AS (SELECT COUNT(*) AS n FROM comp)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM hist
+    UNION ALL
+    SELECT 1, tot.n - cl.n, tot.n - cl.n FROM tot, cl
+    """
+
+
+@query("cluster_size_histogram", oracle=_cluster_size_histogram_oracle_sql())
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup telemetry: the distribution of near-dup cluster sizes,
+    including the singletons (documents in no cluster) as size 1 — the
+    first report a corpus owner reads after a dedup run ("how much is
+    duplicated, and how deep do the copy chains go?"), and the input to
+    choosing the materialization policy (keep-one vs. keep-best).
+
+    Plan: the pair→component machinery is shared with
+    duplicate_clusters; past it everything is tiny — component labels
+    group to cluster sizes, sizes group to the histogram (two groupBys
+    over frames that shrink geometrically), and the singleton row
+    derives from two 1-row counts (corpus total − clustered nodes)
+    broadcast-joined. Every clustered component has ≥2 members by
+    construction (labels only exist for paired nodes), so the size-1
+    row never collides with the histogram rows."""
+    corpus = _cluster_corpus(spark, sf_dir)
+    edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
+    comp = connected_components(edges)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    tot = corpus.agg(F.count("*").alias("n_corpus"))
+    cl = comp.agg(F.count("*").alias("n_clustered"))
+    singleton = (
+        tot.crossJoin(F.broadcast(cl))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_corpus") - F.col("n_clustered"))
+            .cast("long")
+            .alias("n_clusters"),
+            (F.col("n_corpus") - F.col("n_clustered"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+    return hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    ).unionAll(singleton)

@@ -178,3 +178,130 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+#: count-min geometry: 2 independent hash rows × 64 buckets
+CM_DEPTH = 2
+CM_WIDTH = 64
+#: how many of the heaviest true keys to audit against the sketch
+CM_TOP_K = 10
+
+_SQL_CM_H = (
+    "CAST('0x' || substr(md5('cm{j}:' || CAST({c} AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {CM_WIDTH}"
+)
+
+
+def _cm_hash(j: int, col) -> F.Column:
+    """Bucket of the j-th count-min hash row — 60-bit md5 prefix mod
+    width, identical in Spark (conv base-16) and DuckDB ('0x' cast)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"cm{j}:"), col.cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+@query(
+    "count_min_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+        SELECT j, bucket, COUNT(*) AS cell_n
+        FROM (
+            SELECT 0 AS j, {_SQL_CM_H.format(j=0, c='user_id')} AS bucket
+            FROM events
+            UNION ALL
+            SELECT 1 AS j, {_SQL_CM_H.format(j=1, c='user_id')} AS bucket
+            FROM events
+        )
+        GROUP BY j, bucket
+    ),
+    top AS (
+        SELECT user_id, COUNT(*) AS true_n
+        FROM events GROUP BY user_id
+        ORDER BY true_n DESC, user_id LIMIT {CM_TOP_K}
+    )
+    SELECT t.user_id,
+           CAST(t.true_n AS BIGINT) AS true_n,
+           CAST(LEAST(c0.cell_n, c1.cell_n) AS BIGINT) AS cm_estimate,
+           CAST(LEAST(c0.cell_n, c1.cell_n) - t.true_n AS BIGINT)
+               AS overestimate
+    FROM top t
+    JOIN cells c0 ON c0.j = 0
+       AND c0.bucket = {_SQL_CM_H.format(j=0, c='t.user_id')}
+    JOIN cells c1 ON c1.j = 1
+       AND c1.bucket = {_SQL_CM_H.format(j=1, c='t.user_id')}
+    ORDER BY true_n DESC, t.user_id
+    """,
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: the {CM_TOP_K} heaviest event keys with
+    their true counts next to the sketch's estimate (always ≥ true —
+    the one-sided count-min error), over a {CM_DEPTH}×{CM_WIDTH} table.
+
+    Like the KMV sketch (operators/sketches.py), an "approximate"
+    structure made exactly reproducible by fixing the hash family
+    (md5-derived), so the estimate is a VALUE the oracle replicates
+    bit-for-bit, not a distribution. Why it matters at 100 TB: the
+    sketch is {CM_DEPTH}·{CM_WIDTH} integers REGARDLESS of key
+    cardinality, its cells are pure partial counts (map-side combine;
+    cells from different days/sources merge by addition), and the
+    frequency of ANY key is answerable later without re-scanning. Plan:
+    one explode(×{CM_DEPTH}) + groupBy for the cells, one groupBy +
+    top-k for the audit keys, then two broadcast hash joins of the
+    128-cell table onto the {CM_TOP_K}-row audit frame."""
+    e = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    cells = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cm_hash(j, u).alias("bucket"),
+                        )
+                        for j in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(CM_TOP_K)
+    )
+    c0 = cells.filter(F.col("j") == 0).select(
+        F.col("bucket").alias("b0"), F.col("cell_n").alias("n0")
+    )
+    c1 = cells.filter(F.col("j") == 1).select(
+        F.col("bucket").alias("b1"), F.col("cell_n").alias("n1")
+    )
+    est = F.least(F.col("n0"), F.col("n1"))
+    return (
+        top.join(F.broadcast(c0), _cm_hash(0, F.col("user_id")) == F.col("b0"))
+        .join(F.broadcast(c1), _cm_hash(1, F.col("user_id")) == F.col("b1"))
+        .select(
+            "user_id",
+            F.col("true_n").cast("long").alias("true_n"),
+            est.cast("long").alias("cm_estimate"),
+            (est - F.col("true_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_n"), "user_id")
+    )

@@ -242,3 +242,107 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: quantile targets in permille, and the fine histogram geometry the
+#: quantiles are read from (width 0.5 over the value domain [0, 500))
+QUANTILES_PERMILLE = (500, 900, 990)
+FINE_BINS_PER_UNIT = 2
+
+
+@query(
+    "histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, SUM(n) OVER (
+            ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_n
+        FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM events),
+    hit AS (
+        SELECT
+          MIN(CASE WHEN cum_n >= (500 * n_total + 999) // 1000
+                   THEN bin END) AS b500,
+          MIN(CASE WHEN cum_n >= (900 * n_total + 999) // 1000
+                   THEN bin END) AS b900,
+          MIN(CASE WHEN cum_n >= (990 * n_total + 999) // 1000
+                   THEN bin END) AS b990,
+          MAX(n_total) AS n_total
+        FROM cum, tot
+    )
+    SELECT 500 AS quantile_permille, b500 AS bin,
+           CAST(b500 AS DOUBLE) / {FINE_BINS_PER_UNIT} AS lo,
+           CAST(b500 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT} AS hi,
+           CAST(n_total AS BIGINT) AS n_total FROM hit
+    UNION ALL
+    SELECT 900, b900, CAST(b900 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(b900 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(n_total AS BIGINT) FROM hit
+    UNION ALL
+    SELECT 990, b990, CAST(b990 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(b990 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(n_total AS BIGINT) FROM hit
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: p50/p90/p99 read off a fine fixed-bin
+    histogram — the 100 TB quantile pattern. An exact quantile needs a
+    global sort (or per-group sort) of the raw data; a histogram needs
+    ONE map-side-combined groupBy, its per-partition states merge by
+    addition (so it composes across days/sources/rollups), and the
+    quantile is then a constant-size post-processing step with a known
+    error bound of one bin width.
+
+    Plan: bin groupBy (the only wide stage, ≤1000 result rows), running
+    sum over the bounded bin table (single partition of ≤1000 rows —
+    the same deliberately-tiny tail as key_skew_profile), the 1-row
+    count scalar broadcast in, and all three quantile targets found in
+    ONE aggregate pass (MIN(CASE WHEN cum≥target THEN bin)). Targets
+    are integer ceil((q·n)/1000); the reported [lo, hi) brackets the
+    true quantile by construction."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin")
+    ).agg(F.count("*").alias("n"))
+    cum = hist.select(
+        "bin",
+        F.sum("n")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum_n"),
+    )
+    tot = e.agg(F.count("*").alias("n_total"))
+    hit = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_n")
+                    >= F.expr(f"({q} * n_total + 999) div 1000"),
+                    F.col("bin"),
+                )
+            ).alias(f"b{q}")
+            for q in QUANTILES_PERMILLE
+        ],
+        F.max("n_total").alias("n_total"),
+    )
+    rows = ", ".join(
+        f"{q}L, b{q}, cast(b{q} as double) / {FINE_BINS_PER_UNIT}, "
+        f"cast(b{q} + 1 as double) / {FINE_BINS_PER_UNIT}"
+        for q in QUANTILES_PERMILLE
+    )
+    return hit.select(
+        F.expr(
+            f"stack({len(QUANTILES_PERMILLE)}, {rows})"
+            " as (quantile_permille, bin, lo, hi)"
+        ),
+        F.col("n_total").cast("long").alias("n_total"),
+    )

@@ -103,6 +103,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         # 1-row totals scalar broadcast (same pattern as kmv/tf_idf)
         "key_skew_profile",
         "token_cooccurrence_lift",
+        "histogram_quantiles",
+        "cluster_size_histogram",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -373,3 +375,19 @@ def test_histogram_postagg_is_bounded(spark, queries):
     plan = plan_of(queries["value_histogram_events"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_count_min_cells_broadcast(spark, queries):
+    """The 128-cell sketch table broadcasts onto the 10-row audit frame
+    — two BroadcastHashJoins, no shuffle of the cell table."""
+    plan = plan_of(queries["count_min_heavy_hitters"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_quantiles_one_wide_stage(spark, queries):
+    """The only full-data shuffle is the bin groupBy; the cum window
+    runs over the bounded (<=1000-row) bin table."""
+    plan = plan_of(queries["histogram_quantiles"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" not in plan  # no sort path at all
+    assert "rangepartitioning" not in plan.lower()
