@@ -324,3 +324,85 @@ def compact_all(
         if rep is not None:
             reports.append(rep)
     return reports
+
+
+# ---------------------------------------------------------------------------
+# Sort-on-write clustering (data skipping / zone-map maintenance)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ClusterReport:
+    """Result of :func:`cluster_table`: per-file [min, max] spans of the
+    cluster key, in file order."""
+
+    table: str
+    key: str
+    n_files: int
+    spans: list[tuple]  # (path, key_min, key_max)
+
+    def files_overlapping(self, lo, hi) -> int:
+        """How many files a scan with ``key BETWEEN lo AND hi`` must
+        read — the zone-map pruning measure (a file whose span misses
+        the range is skipped entirely by min/max statistics)."""
+        return sum(1 for _, mn, mx in self.spans if not (mx < lo or mn > hi))
+
+
+def _key_spans(root: str, key: str) -> list[tuple]:
+    """Per-file (path, min, max) statistics of ``key`` via parquet
+    footer metadata — exactly what engines consult to skip files."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(_parquet_files(root)):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((f, min(mins), max(maxs)))
+    return spans
+
+
+def cluster_table(
+    store: TableStore,
+    name: str,
+    key: str,
+    n_files: int = 8,
+) -> ClusterReport:
+    """Rewrite a table physically ORDERED by ``key`` so parquet min/max
+    footer statistics become selective — the data-skipping (zone-map /
+    Z-order-lite) maintenance job.
+
+    Append-order tables interleave every key range in every file, so a
+    range predicate prunes nothing: each file's [min, max] spans the
+    whole domain and the scan reads everything. Rewriting with
+    ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` gives
+    each output file a DISJOINT key range; a scan filtered to a narrow
+    range then touches ~1 file regardless of table size. At 100 TB this
+    is the difference between a range query costing O(table) and
+    O(result): the engine's parquet reader (and test_plans' pushdown
+    guards) already exploit the stats — this job is what makes them
+    sharp. Single-key clustering; a multi-dimension variant would
+    interleave key bits (Z-order) the same write path.
+
+    The rewrite goes through the TableStore's atomic write-temp-swap
+    (M7), so readers never observe a half-clustered table. Returns the
+    measured per-file spans read back from the parquet footers — the
+    report IS the evidence the clustering worked (spans near-disjoint),
+    and :meth:`ClusterReport.files_overlapping` quantifies pruning for
+    any probe range."""
+    df = store.read(name)
+    out = df.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+    store.overwrite(name, out)
+    return ClusterReport(
+        table=name,
+        key=key,
+        n_files=len(_parquet_files(store.path(name))),
+        spans=_key_spans(store.path(name), key),
+    )

@@ -236,3 +236,47 @@ def test_compact_table_partitioned_preserves_pruning(spark, tmp_path):
     )
     assert dirs == ["part=0", "part=1"]
     assert store.read("frag_part").filter(F.col("part") == "0").count() == 25
+
+
+def test_cluster_table_makes_spans_disjoint_and_prunable(spark, tmp_path):
+    """Sort-on-write clustering: after cluster_table, each file covers a
+    disjoint key range (zone maps sharp), a narrow range probe touches
+    ~1 of the files instead of all of them, and no row is lost."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        ClusterReport,
+        cluster_table,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # three interleaved appends: every file spans the whole key domain
+    for salt in range(3):
+        store.append(
+            "facts",
+            spark.createDataFrame(
+                [(i * 3 + salt, f"p-{i}") for i in range(2000)],
+                "k long, payload string",
+            ).repartition(4),
+        )
+    before = ClusterReport(
+        table="facts",
+        key="k",
+        n_files=0,
+        spans=__import__(
+            "data_ingestion_from_multiple_directories_linux_spark.operators.maintenance",
+            fromlist=["_key_spans"],
+        )._key_spans(store.path("facts"), "k"),
+    )
+    # unsorted: a narrow probe overlaps essentially every file
+    assert before.files_overlapping(100, 200) >= len(before.spans) - 1
+
+    n_before = store.read("facts").count()
+    rep = cluster_table(store, "facts", key="k", n_files=6)
+
+    assert store.read("facts").count() == n_before
+    assert rep.n_files >= 2
+    # spans pairwise disjoint (allow zero overlaps; ranges sorted by min)
+    spans = sorted(rep.spans, key=lambda s: s[1])
+    for (_, _, mx_a), (_, mn_b, _) in zip(spans, spans[1:]):
+        assert mx_a <= mn_b, "clustered file key ranges overlap"
+    # the same narrow probe now touches at most 2 files
+    assert rep.files_overlapping(100, 200) <= 2
