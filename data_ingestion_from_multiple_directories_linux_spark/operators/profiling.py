@@ -305,3 +305,132 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_n"), "user_id")
     )
+
+
+#: columns profiled by table_profile_orders, in output order
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders
+    """
+        for c in PROFILE_COLS
+    ),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders — the ANALYZE/data-quality
+    report: per column, row count, non-null count, exact distinct
+    count, and min/max (stringified to a uniform schema).
+
+    Everything computes in a SINGLE aggregate pass over one scan — 6
+    columns × 4 statistics as 24 aggregate expressions, partial
+    map-side states, one shuffle of one row per partition — then the
+    1×24 result unpivots to 6 rows with stack(). The exact distincts
+    make the pass multi-shuffle under the hood (Spark expands distinct
+    aggregates), but never a per-column scan. This is the profile a
+    migration (table_fingerprint's use case) or an ingest contract
+    check reads first; at 100 TB the exact distincts would swap for the
+    KMV sketch (operators/sketches.py) column-by-column."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = ", ".join(
+        f"'{c}', cast(n_rows as bigint), cast(nn_{c} as bigint),"
+        f" cast(nd_{c} as bigint), mn_{c}, mx_{c}"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {rows}) as"
+            " (column_name, n_rows, n_nonnull, n_distinct,"
+            " min_value, max_value)"
+        )
+    )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH ca AS (
+        SELECT o_orderkey AS key, COUNT(*) AS na FROM orders GROUP BY 1
+    ),
+    cb AS (
+        SELECT l_orderkey AS key, COUNT(*) AS nb FROM lineitem GROUP BY 1
+    ),
+    prod AS (
+        SELECT ca.key, ca.na * cb.nb AS pairs
+        FROM ca JOIN cb ON ca.key = cb.key
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+               CAST(SUM(pairs) AS BIGINT) AS predicted_rows,
+               CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
+        FROM prod
+    ),
+    act AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT n_matching_keys, predicted_rows, max_key_pairs, actual_rows
+    FROM est, act
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size prediction WITHOUT running the join wide: the
+    orders⋈lineitem output size from per-key count frames —
+    sum over matching keys of na·nb — next to the true join count.
+
+    Why this is the 100 TB planning primitive: the count frames are one
+    map-combined groupBy per side (output = one row per DISTINCT key,
+    not per row), their join is key-frame×key-frame — orders of
+    magnitude smaller than fact×fact — and max_key_pairs exposes the
+    single worst key (the salting decision in one number: compare it to
+    predicted_rows/shuffle-partitions). The actual join runs here too
+    only to certify the estimate is exact (predicted == actual, by
+    definition for an inner equi-join); a planner would run only the
+    cheap half. The two 1-row frames meet in a broadcast scalar
+    join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count("*").alias("na")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("nb")
+    )
+    prod = ca.join(cb, "key").select(
+        "key", (F.col("na") * F.col("nb")).alias("pairs")
+    )
+    est = prod.agg(
+        F.count("*").cast("long").alias("n_matching_keys"),
+        F.sum("pairs").cast("long").alias("predicted_rows"),
+        F.max("pairs").cast("long").alias("max_key_pairs"),
+    )
+    act = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act))

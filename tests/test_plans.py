@@ -105,6 +105,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "token_cooccurrence_lift",
         "histogram_quantiles",
         "cluster_size_histogram",
+        "join_cardinality_estimate",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -391,3 +392,21 @@ def test_histogram_quantiles_one_wide_stage(spark, queries):
     plan = plan_of(queries["histogram_quantiles"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" not in plan  # no sort path at all
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_join_cardinality_counts_not_facts(spark, queries):
+    """The estimator joins per-key COUNT frames, not the fact tables:
+    both join inputs must be aggregates (the key-frame join), with the
+    certification join's count the only full fact⋈fact stage."""
+    plan = plan_of(queries["join_cardinality_estimate"](spark, SF_SMALL))
+    # estimate side: HashAggregate above both probe inputs of the first
+    # SortMergeJoin/ShuffledHashJoin — cheap proxy: >= 6 aggregates
+    # (2 per-key counts with partials + the summary + the actual count)
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_table_profile_single_scan(spark, queries):
+    """All 24 statistics come from one scan of orders (Spark expands
+    distinct aggregates into extra shuffle phases, never extra scans)."""
+    plan = plan_of(queries["table_profile_orders"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
