@@ -511,3 +511,101 @@ def test_streaming_incremental_minhash_dedup(spark, tmp_path):
     }
     assert got == full and got
     assert (0, 1000) in got and (5, 2000) in got  # in-batch + cross-batch
+
+
+def test_streaming_count_min_matches_one_shot(spark, tmp_path):
+    """Mergeable-sketch law, live: a corpus ingested in two micro-batch
+    runs produces bit-identical count-min cells to one-shot ingestion;
+    estimates are one-sided (>= true); replaying a batch id does not
+    double-count; compaction preserves the cells."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.sketch_stream import (
+        CM_PARTIALS,
+        StreamingCountMin,
+        cm_cell_partials,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, event_type string"
+
+    def write_file(name, rows):
+        with open(os.path.join(str(src), name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    batch1 = [
+        {"event_id": i, "user_id": i % 7, "event_type": "click"}
+        for i in range(200)
+    ]
+    batch2 = [
+        {"event_id": 1000 + i, "user_id": i % 13, "event_type": "view"}
+        for i in range(300)
+    ]
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    cm = StreamingCountMin(
+        spark, store, str(src), str(tmp_path / "ckpt"), schema, "user_id"
+    )
+    write_file("b1.json", batch1)
+    cm.run_available_now()
+    write_file("b2.json", batch2)
+    cm.run_available_now()
+
+    def cells_dict(df):
+        return {(r["j"], r["bucket"]): r["cell_n"] for r in df.collect()}
+
+    streamed = cells_dict(cm.cells())
+
+    # one-shot reference over the same 500 rows
+    all_rows = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"])
+         for r in batch1 + batch2],
+        schema,
+    )
+    oneshot = cells_dict(cm_cell_partials(all_rows, "user_id"))
+    assert streamed == oneshot
+
+    # one-sided estimates: cm_estimate >= true count per key
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in all_rows.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    keys = spark.createDataFrame(
+        [(k,) for k in true_counts], "user_id long"
+    )
+    est = {
+        r["user_id"]: r["cm_estimate"]
+        for r in cm.estimate(keys, "user_id").collect()
+    }
+    assert set(est) == set(true_counts)
+    assert all(est[k] >= true_counts[k] for k in true_counts)
+
+    # replay idempotency: re-merging an already-seen batch id replaces,
+    # never adds
+    replay = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"]) for r in batch2],
+        schema,
+    )
+    n_batches = store.read(CM_PARTIALS).select("batch_id").distinct().count()
+    # batch2's real id is the newest segment (the checkpoint persists
+    # across the two runs, so ids increment: batch1=0, batch2=1)
+    b2_id = (
+        store.read(CM_PARTIALS).agg(F.max("batch_id").alias("m")).first()["m"]
+    )
+    cm._merge_batch(replay, b2_id)
+    assert cells_dict(cm.cells()) == oneshot
+    assert (
+        store.read(CM_PARTIALS).select("batch_id").distinct().count()
+        == n_batches
+    )
+
+    # compaction folds segments, cells unchanged
+    cm.compact()
+    assert cells_dict(cm.cells()) == oneshot
+    assert store.read(CM_PARTIALS).select("batch_id").distinct().count() == 1
