@@ -346,3 +346,74 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_total").cast("long").alias("n_total"),
     )
+
+
+#: the incremental boundary: days before this are the "stored" rollup,
+#: days from it on are the "delta" being merged in
+ROLLUP_SPLIT_DAY = "2024-01-16"
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_vmilli,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_vmilli
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: a stored daily rollup merged with
+    a new delta partition MUST equal the full recompute — and the
+    oracle is that full recompute, so the driver's hash compare
+    certifies the merge algebra itself.
+
+    The engine side deliberately computes the rollup INCREMENTALLY:
+    partial states (count, integer value sum) for the history slice and
+    the delta slice separately, then a union + re-aggregate — the
+    O(delta + rollup) nightly-maintenance path, vs the O(history)
+    recompute. The algebra that makes it valid: keep SUMs and COUNTs as
+    the stored state (they merge by addition) and derive AVG at read
+    time — never store an average, averages don't merge. At 100 TB the
+    history side reads the (tiny) stored rollup table, not the events
+    table; here both sides derive from events with a date split so the
+    oracle can state the equivalent single-pass query."""
+    e = load_table(spark, sf_dir, "events")
+    # string day key: pandas-level date-vs-datetime ambiguity between
+    # engines' DATE types makes the hash compare flaky; 'yyyy-MM-dd' is
+    # unambiguous in both
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    vmilli = F.floor(F.col("value") * 1000).cast("long")
+    split = F.lit(ROLLUP_SPLIT_DAY).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(vmilli).cast("long").alias("sum_vmilli"),
+        )
+
+    stored = partial(e.filter(F.col("ts").cast("date") < split))
+    delta = partial(e.filter(F.col("ts").cast("date") >= split))
+    return (
+        stored.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_vmilli").cast("long").alias("sum_vmilli"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "sum_vmilli",
+            (
+                F.col("sum_vmilli").cast("double")
+                / F.col("n").cast("double")
+            ).alias("avg_vmilli"),
+        )
+    )

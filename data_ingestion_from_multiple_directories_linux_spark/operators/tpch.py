@@ -293,3 +293,66 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+#: how many top parts each brand reports
+TOPK_PER_BRAND = 3
+
+
+@query(
+    "top_parts_per_brand",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p_brand,
+               p_partkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    SELECT p_brand, CAST(rnk AS BIGINT) AS rnk, p_partkey, revenue
+    FROM (
+        SELECT p_brand, p_partkey, revenue,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY revenue DESC, p_partkey
+               ) AS rnk
+        FROM rev
+    )
+    WHERE rnk <= {TOPK_PER_BRAND}
+    ORDER BY p_brand, rnk
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: each brand's {TOPK_PER_BRAND} highest-revenue
+    parts — the per-group sibling of top_k_orders (a global top-k can
+    use TakeOrderedAndProject; a per-GROUP one cannot, and the naive
+    move of sorting everything is the scale bug this shape avoids).
+
+    Plan: revenue per (brand, part) with map-side partial aggregation
+    (one shuffle on the composite key), then a rank window PARTITIONED
+    BY BRAND — groups rank in parallel, each inside its own partition,
+    no global order anywhere. The aggregation shrinks the window input
+    to one row per part before any sorting happens; at 100 TB the
+    window sorts |parts| rows, never |lineitem|. (p_partkey tiebreak
+    keeps equal-revenue ranks deterministic across engines.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOPK_PER_BRAND)
+        .select("p_brand", "rnk", "p_partkey", "revenue")
+        .orderBy("p_brand", "rnk")
+    )

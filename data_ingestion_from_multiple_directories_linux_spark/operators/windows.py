@@ -411,3 +411,75 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.col("dev") * F.col("dev") > 4 * var_n2).select(
         "user_id", "event_id"
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+           CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_permille
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix —
+    for every (from, to) pair of consecutive events within a user
+    stream, the count and the row-normalized transition share (the
+    empirical Markov matrix funnels and next-action predictors start
+    from).
+
+    Plan: one lag() window partitioned by user_id (sequence stays
+    inside each user's partition), one groupBy on the (from, to) pair,
+    then the row-normalizing window over the K×K result — bounded by
+    the event-type-cardinality square (25 rows here), partitioned by
+    from_type so even that is parallel. Shares are integer permille
+    (1000·n DIV row total): exact in both engines, no float
+    division."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.sum("n").over(wrow).cast("long").alias("n_from"),
+        )
+        .withColumn(
+            "share_permille",
+            F.expr("(1000 * n) DIV n_from").cast("long"),
+        )
+        .orderBy("from_type", "to_type")
+    )
