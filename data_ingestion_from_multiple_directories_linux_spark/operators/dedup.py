@@ -942,3 +942,86 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
     ).unionAll(singleton)
+
+
+def _source_overlap_oracle_sql() -> str:
+    pairs = _jaccard_inverted_index_sql(
+        CLUSTER_CORPUS_SQL, 4, JACCARD_CLUSTER_THRESHOLD
+    )
+    return f"""
+    WITH pairq AS ({pairs}),
+    src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id >= 10000 THEN 'mirror:' || source
+                    ELSE source END AS source
+        FROM (
+            SELECT doc_id, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, source FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 20000, source FROM documents WHERE doc_id % 7 = 0
+        )
+    )
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairq p
+    JOIN src sa ON p.id_a = sa.doc_id
+    JOIN src sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query("cross_source_overlap", oracle=_source_overlap_oracle_sql())
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance telemetry: the source×source near-duplication
+    matrix — for every pair of sources, how many near-dup pairs cross
+    them. This is the report that finds MIRRORED CRAWLS (two "sources"
+    that are substantially the same data): a heavy off-diagonal cell
+    means one source should be dropped or deduped against the other
+    before mixture weights are chosen.
+
+    The synthesized mutated copies stand in as a mirror crawl (their
+    source label is 'mirror:' + the original's), so the matrix has the
+    off-diagonal structure the operator exists to find. Plan: the pair
+    machinery is shared with duplicate_clusters; each pair side then
+    joins the tiny (doc_id → source) map — broadcast at any realistic
+    source-catalog size — and one groupBy on the normalized
+    (LEAST, GREATEST) pair counts cells. Pairs shuffle once; the matrix
+    is ≤ |sources|² rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    corpus = _cluster_corpus(spark, sf_dir)
+    edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
+    mirrored = d.filter(F.col("doc_id") % 7 == 0)
+    src = (
+        d.select("doc_id", "source")
+        .unionByName(
+            mirrored.select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
+            )
+        )
+        .unionByName(
+            mirrored.select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
+            )
+        )
+    )
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    return (
+        edges.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

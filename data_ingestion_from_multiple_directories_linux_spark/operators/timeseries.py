@@ -417,3 +417,191 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_vmilli"),
         )
     )
+
+
+#: rolling-window width in days for active-user counting
+WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM ud),
+    contrib AS (
+        SELECT ud.user_id, ud.day AS active_day,
+               ud.day + CAST(o AS INTEGER) AS target_day
+        FROM ud, UNNEST(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS t(o)
+    )
+    SELECT strftime(target_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN active_day = target_day
+                                    THEN user_id END) AS BIGINT) AS dau
+    FROM contrib, mx
+    WHERE target_day <= mx.max_day
+    GROUP BY target_day
+    ORDER BY target_day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {WAU_WINDOW_DAYS}-day active users (WAU) next to daily
+    actives (DAU) — the metric a naive implementation computes with a
+    per-day COUNT(DISTINCT) over a self-joined date range, which
+    re-scans the stream once per day.
+
+    The scalable rewrite: reduce to distinct (user, day) pairs ONCE
+    (the only full-data shuffle), then each pair CONTRIBUTES itself to
+    the {WAU_WINDOW_DAYS} window anchors it falls into — a constant-
+    factor explode, not a range join — and one distinct-count per
+    anchor day finishes it. DAU rides the same pass as a conditional
+    distinct (offset-0 contributions only). Anchors past the stream
+    end are dropped via the 1-row max-day scalar (broadcast). Day keys
+    are 'yyyy-MM-dd' strings — engine DATE types differ at the pandas
+    level; strings don't."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("max_day"))
+    contrib = ud.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.expr(f"sequence(0, {WAU_WINDOW_DAYS - 1})")
+        ).alias("o"),
+    ).select(
+        "user_id",
+        "active_day",
+        F.expr("date_add(active_day, o)").alias("target_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(mx))
+        .filter(F.col("target_day") <= F.col("max_day"))
+        .groupBy("target_day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("wau"),
+            F.countDistinct(
+                F.when(
+                    F.col("active_day") == F.col("target_day"),
+                    F.col("user_id"),
+                )
+            )
+            .cast("long")
+            .alias("dau"),
+        )
+        .select(
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "wau",
+            "dau",
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "quantiles_by_event_type",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type,
+               CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               SUM(n) OVER (
+                   PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_n
+        FROM hist
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n_group FROM events GROUP BY 1
+    ),
+    hit AS (
+        SELECT c.event_type,
+          MIN(CASE WHEN cum_n >= (500 * n_group + 999) // 1000
+                   THEN bin END) AS b500,
+          MIN(CASE WHEN cum_n >= (900 * n_group + 999) // 1000
+                   THEN bin END) AS b900,
+          MIN(CASE WHEN cum_n >= (990 * n_group + 999) // 1000
+                   THEN bin END) AS b990,
+          MAX(n_group) AS n_group
+        FROM cum c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY c.event_type
+    )
+    SELECT event_type, 500 AS quantile_permille,
+           CAST(b500 AS DOUBLE) / {FINE_BINS_PER_UNIT} AS lo,
+           CAST(b500 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT} AS hi,
+           CAST(n_group AS BIGINT) AS n_group FROM hit
+    UNION ALL
+    SELECT event_type, 900, CAST(b900 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(b900 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(n_group AS BIGINT) FROM hit
+    UNION ALL
+    SELECT event_type, 990, CAST(b990 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(b990 + 1 AS DOUBLE) / {FINE_BINS_PER_UNIT},
+           CAST(n_group AS BIGINT) FROM hit
+    """,
+)
+def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mergeable quantiles: p50/p90/p99 of value PER EVENT TYPE
+    off per-group fine histograms — histogram_quantiles' grouped form,
+    and the shape that shows why the histogram route wins at scale: an
+    exact per-group quantile needs a sort within every group; the
+    histogram needs one (group, bin) groupBy, and the cumulative window
+    runs over each group's ≤1000-row bin table PARTITIONED BY GROUP —
+    groups in parallel, bounded input, never a single-partition stage
+    (contrast with the global histogram_quantiles, whose one bounded
+    window is the documented exception). Group totals join back
+    broadcast; all three targets resolve in one MIN(CASE) aggregate
+    per group."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("n")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_n"),
+    )
+    tot = e.groupBy("event_type").agg(F.count("*").alias("n_group"))
+    hit = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_n")
+                        >= F.expr(f"({q} * n_group + 999) div 1000"),
+                        F.col("bin"),
+                    )
+                ).alias(f"b{q}")
+                for q in QUANTILES_PERMILLE
+            ],
+            F.max("n_group").alias("n_group"),
+        )
+    )
+    rows = ", ".join(
+        f"{q}, b{q}, cast(b{q} as double) / {FINE_BINS_PER_UNIT}, "
+        f"cast(b{q} + 1 as double) / {FINE_BINS_PER_UNIT}"
+        for q in QUANTILES_PERMILLE
+    )
+    return hit.select(
+        "event_type",
+        F.expr(
+            f"stack({len(QUANTILES_PERMILLE)}, {rows})"
+            " as (quantile_permille, bin, lo, hi)"
+        ),
+        F.col("n_group").cast("long").alias("n_group"),
+    ).select("event_type", "quantile_permille", "lo", "hi", "n_group")

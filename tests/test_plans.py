@@ -106,6 +106,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "histogram_quantiles",
         "cluster_size_histogram",
         "join_cardinality_estimate",
+        "rolling_active_users",  # 1-row max-day scalar broadcast
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -410,3 +411,21 @@ def test_table_profile_single_scan(spark, queries):
     distinct aggregates into extra shuffle phases, never extra scans)."""
     plan = plan_of(queries["table_profile_orders"](spark, SF_SMALL))
     assert plan.count("Scan parquet") == 1
+
+
+def test_grouped_quantiles_parallel_groups(spark, queries):
+    """The per-group cum window partitions by event_type — never a
+    single-partition stage anywhere in the grouped-quantile plan."""
+    plan = plan_of(queries["quantiles_by_event_type"](spark, SF_SMALL))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_rolling_active_users_single_wide_reduction(spark, queries):
+    """WAU contributions come from the distinct (user, day) reduction,
+    never a per-day rescan: exactly one scan of events, and the window
+    fan-out is a Generate (explode), not a range join."""
+    plan = plan_of(queries["rolling_active_users"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2  # events for pairs + max-day
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
