@@ -50,11 +50,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots: the 40 queries added THIS round (no driver row exists for them
+# slots: the 42 queries added THIS round (no driver row exists for them
 # at all — they come first so they are covered even if the cap shrinks),
 # then the 24 entries displaced from CORRECTNESS_r03 (green in r02, but
 # relational.py gained code this round, so their r02 evidence needs a
-# fresh row). 40 + 10 = 50: the LAST 14 relational renewals fall just
+# fresh row). 42 + 8 = 50: the LAST 16 relational renewals fall just
 # past the cap (they keep their r02 rows + local-suite green at HEAD;
 # round 5 front-loads them). Everything r03 already covered sits
 # in the tail; queries in files that only gained appended code this
@@ -89,6 +89,8 @@ _PRIORITY_FIRST = [
     "cross_source_overlap",
     "rolling_active_users",
     "quantiles_by_event_type",
+    "top_event_paths",
+    "kmv_distinct_by_day",
     # new in round 4, first batch
     "media_pixel_stats",
     "span_dedup_reassemble",

@@ -434,3 +434,115 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("actual_rows"))
     )
     return est.crossJoin(F.broadcast(act))
+
+
+#: per-group KMV size (smaller than the global sketch's 64: daily
+#: groups here hold ~150 distinct keys, so k=32 keeps the estimate
+#: path exercised rather than degenerating to exact-on-all-groups)
+KMV_GROUP_K = 32
+
+_SQL_H60_U = (
+    "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+_H60_SCALE = float(1 << 60)
+
+
+@query(
+    "kmv_distinct_by_day",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               user_id
+        FROM events
+    ),
+    h AS (
+        SELECT day,
+               CAST({_SQL_H60_U.format(c='user_id')} AS DOUBLE)
+                   / {_H60_SCALE!r} AS hv
+        FROM ud
+    ),
+    ranked AS (
+        SELECT day, hv,
+               row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT day, MAX(hv) AS kth_hash, COUNT(*) AS k_used
+        FROM ranked WHERE rn <= {KMV_GROUP_K}
+        GROUP BY day
+    ),
+    ex AS (SELECT day, COUNT(*) AS exact_distinct FROM ud GROUP BY day)
+    SELECT sk.day,
+           CAST(k_used AS BIGINT) AS k_used,
+           CASE WHEN k_used < {KMV_GROUP_K}
+                THEN CAST(k_used AS DOUBLE)
+                ELSE CAST(k_used - 1 AS DOUBLE) / kth_hash
+           END AS estimate_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM sk JOIN ex ON sk.day = ex.day
+    ORDER BY sk.day
+    """,
+)
+def kmv_distinct_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KMV: distinct users PER DAY estimated from per-group
+    k-minimum-values sketches, next to the exact counts — the grouped
+    form of kmv_distinct_users (operators/sketches.py) and the shape a
+    daily-uniques dashboard runs at 100 TB.
+
+    Plan: distinct (day, user) reduction, fixed-md5 uniform hash, then
+    the k smallest PER GROUP via a day-partitioned rank window — groups
+    rank in parallel (WindowGroupLimit caps state at k per group),
+    never a global sort. A group holding fewer than k distinct keys has
+    its whole set in the sketch, so the estimate switches to the exact
+    k_used (the standard KMV small-set rule). The fixed hash makes
+    every per-group estimate a reproducible VALUE the oracle replicates
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).distinct()
+    h = ud.select(
+        "day",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            .cast("double")
+            / F.lit(_H60_SCALE)
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("day").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_GROUP_K)
+        .groupBy("day")
+        .agg(
+            F.max("hv").alias("kth_hash"),
+            F.count("*").alias("k_used"),
+        )
+    )
+    ex = ud.groupBy("day").agg(F.count("*").alias("exact_distinct"))
+    return (
+        sk.join(ex, "day")
+        .select(
+            "day",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.when(
+                F.col("k_used") < KMV_GROUP_K,
+                F.col("k_used").cast("double"),
+            )
+            .otherwise(
+                (F.col("k_used") - 1).cast("double") / F.col("kth_hash")
+            )
+            .alias("estimate_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .orderBy("day")
+    )

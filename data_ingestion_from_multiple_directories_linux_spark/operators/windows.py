@@ -483,3 +483,70 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+#: journey length (first N events) and how many top paths to report
+PATH_LEN = 4
+PATH_TOP_K = 20
+
+
+@query(
+    "top_event_paths",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {PATH_LEN}
+        GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first {PATH_LEN} event types as an
+    ordered path string, counted and ranked — the onboarding-funnel
+    discovery query ("what do users actually do first?").
+
+    Plan: one user-partitioned rank window keeps only the first
+    {PATH_LEN} events per user (WindowGroupLimit prunes the rest before
+    they move), the path assembles per user from a sorted struct
+    collect — order carried by the (rn, type) struct sort inside the
+    group, NOT by assuming collect_list order — and the final count +
+    top-k is a groupBy on the path string with TakeOrderedAndProject.
+    The only full-data stage is the first window; everything after
+    operates on one row per user, then one row per distinct path."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(PATH_TOP_K)
+    )

@@ -280,3 +280,52 @@ def test_cluster_table_makes_spans_disjoint_and_prunable(spark, tmp_path):
         assert mx_a <= mn_b, "clustered file key ranges overlap"
     # the same narrow probe now touches at most 2 files
     assert rep.files_overlapping(100, 200) <= 2
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-key clustering on a 2-D uniform table: the
+    single-key layout prunes only its sort key (a key2 box touches
+    every file); the Z-ordered layout bounds every file in BOTH
+    dimensions, so a 2-D box touches a small fraction of files. Row
+    content survives both rewrites."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        _key_spans,
+        cluster_table,
+        files_overlapping_box,
+        zorder_table,
+    )
+
+    # 64x64 grid, shuffled: x and y independent and uniform
+    rows = [((i * 37) % 64, (i * 53) % 64, i) for i in range(4096)]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "grid",
+        spark.createDataFrame(rows, "x long, y long, payload long")
+        .repartition(8),
+    )
+    n_before = store.read("grid").count()
+
+    # single-key clustering on x: y is unconstrained per file
+    cluster_table(store, "grid", key="x", n_files=16)
+    spans_1d = {
+        "x": _key_spans(store.path("grid"), "x"),
+        "y": _key_spans(store.path("grid"), "y"),
+    }
+    box = ((8, 15), (8, 15))  # 1/64 of the key space
+    files_1d = files_overlapping_box(spans_1d, "x", box[0], "y", box[1])
+    n_files_1d = len(spans_1d["x"])
+    # x-sorted: the x-range prunes, but every surviving file spans all
+    # of y — the box count equals the x-only count
+    files_x_only = sum(
+        1 for _, mn, mx in spans_1d["x"] if not (mx < 8 or mn > 15)
+    )
+    assert files_1d == files_x_only
+
+    rep = zorder_table(store, "grid", "x", "y", n_files=16)
+    assert store.read("grid").count() == n_before
+    files_z = files_overlapping_box(rep["spans"], "x", box[0], "y", box[1])
+    n_files_z = len(rep["spans"]["x"])
+    # the z-layout touches strictly fewer files for the 2-D box than
+    # the 1-D layout, and far fewer than the full file count
+    assert files_z < files_1d
+    assert files_z <= n_files_z // 2
