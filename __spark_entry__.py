@@ -50,11 +50,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots: the 42 queries added THIS round (no driver row exists for them
-# at all — they come first so they are covered even if the cap shrinks),
-# then the 24 entries displaced from CORRECTNESS_r03 (green in r02, but
+# slots: the 46 queries added THIS round (no driver row exists for them
+# at all — they come first so they are covered even if the cap shrinks;
+# a never-checked query outranks renewing one that has an r02 row plus
+# the committed local 119/119 fresh-process record), then the 24
+# entries displaced from CORRECTNESS_r03 (green in r02, but
 # relational.py gained code this round, so their r02 evidence needs a
-# fresh row). 42 + 8 = 50: the LAST 16 relational renewals fall just
+# fresh row). 46 + 4 = 50: the LAST 20 relational renewals fall just
 # past the cap (they keep their r02 rows + local-suite green at HEAD;
 # round 5 front-loads them). Everything r03 already covered sits
 # in the tail; queries in files that only gained appended code this
@@ -91,6 +93,10 @@ _PRIORITY_FIRST = [
     "quantiles_by_event_type",
     "top_event_paths",
     "kmv_distinct_by_day",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
     # new in round 4, first batch
     "media_pixel_stats",
     "span_dedup_reassemble",

@@ -356,3 +356,283 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "rnk", "p_partkey", "revenue")
         .orderBy("p_brand", "rnk")
     )
+
+
+#: the two trading nations of the q7 volume matrix
+Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+        OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral trade volume — revenue between two
+    specific (supplier nation, customer nation) pairs per ship year.
+
+    The disjunctive nation-pair predicate references BOTH dimension
+    joins, so it runs after them — but each nation table is pre-pruned
+    to the two named nations scan-side (a superset of the disjunction),
+    and both nation dims broadcast. The two fact joins
+    (lineitem⋈orders⋈customer chains through supplier) shuffle on
+    their natural keys; the ship-date range prunes lineitem at the
+    scan. Four result rows per year pair; partial aggs everywhere."""
+    n1_names = list(Q7_NATIONS)
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1_names)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATIONS[0])
+        & (F.col("cust_nation") == Q7_NATIONS[1])
+    ) | (
+        (F.col("supp_nation") == Q7_NATIONS[1])
+        & (F.col("cust_nation") == Q7_NATIONS[0])
+    )
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+#: q8: market share of this nation's suppliers within this region's
+#: customers, for this part type
+Q8_NATION = "NATION_2"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH volume AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS vol,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    )
+    SELECT o_year,
+           {dsum_sql(f"CASE WHEN supp_nation = '{Q8_NATION}' "
+                     "THEN vol ELSE 0 END", 4)} AS nation_volume,
+           {dsum_sql('vol', 4)} AS total_volume,
+           {dsum_sql(f"CASE WHEN supp_nation = '{Q8_NATION}' "
+                     "THEN vol ELSE 0 END", 4)}
+               / {dsum_sql('vol', 4)} AS mkt_share
+    FROM volume
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's market share inside one region's
+    market for one part type, per order year — the CASE-WHEN-ratio
+    aggregate over a deep (8-table) join tree.
+
+    Scale plan: part is pre-filtered to the type and BROADCAST (it
+    prunes the fact stream hardest, so it joins first); region/nation
+    prune customer-side membership and broadcast; the supplier-side
+    nation arrives as a second broadcast alias. Numerator and
+    denominator compute in the SAME aggregate pass (conditional sum),
+    and the share divides two decimal-quantized doubles — one pass,
+    no union of two plans, deterministic IEEE ratio."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    n1 = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(nation_vol, 4).alias("nation_volume"),
+            dsum(vol, 4).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+#: q17: revenue sitting in small-quantity lines of one brand's parts
+Q17_BRAND = "Brand#4"
+Q17_QTY_FACTOR = 0.2
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avgq AS (
+        SELECT l_partkey AS ap_key,
+               {Q17_QTY_FACTOR} * (
+                   {dsum_sql('l_quantity', 2)} / CAST(COUNT(*) AS DOUBLE)
+               ) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice', 4)} AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avgq ON ap_key = l_partkey
+    WHERE p_brand = '{Q17_BRAND}'
+      AND l_quantity < qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: revenue in lines whose quantity is below 20% of
+    their part's average — the CORRELATED AGGREGATE SUBQUERY, written
+    decorrelated: the per-part average computes ONCE as a groupBy and
+    joins back, instead of re-running per outer row (the classic
+    optimizer rewrite, stated explicitly so the plan is the scalable
+    one by construction on any engine).
+
+    Scale plan: the per-part threshold frame is one map-combined
+    groupBy (one row per part — small, broadcastable); the fact scan
+    joins it and the brand-pruned part dim (both broadcast) and
+    filters in one pass. The average is decimal-quantized-sum / exact
+    count, then scaled by {Q17_QTY_FACTOR} — the same IEEE sequence in
+    both engines, so the threshold COMPARISON is exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (
+            F.lit(Q17_QTY_FACTOR)
+            * (dsum("l_quantity", 2) / F.count("*").cast("double"))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avgq), F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            dsum("l_extendedprice", 4).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT {dsum_sql('c_acctbal', 2)} / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum_sql('c_acctbal', 2)} AS total_acctbal
+    FROM customer, thresh
+    WHERE c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: well-funded customers who never ordered —
+    a global scalar threshold (average positive balance) feeding a
+    NOT EXISTS anti join, grouped by segment.
+
+    Scale plan: the threshold is a 1-row aggregate broadcast onto the
+    customer scan (scalar-subquery decorrelation, the same device as
+    tf_idf's corpus size); the NOT EXISTS is a LEFT ANTI hash join on
+    custkey against just the orders key column (pruned scan). Both
+    wide inputs shuffle once on custkey; the segment rollup is a
+    five-row aggregate. The quantized-sum/COUNT average makes the
+    threshold comparison identical in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal", 2) / F.count("*").cast("double")).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            dsum("c_acctbal", 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -107,6 +107,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "cluster_size_histogram",
         "join_cardinality_estimate",
         "rolling_active_users",  # 1-row max-day scalar broadcast
+        "q22_idle_customers",  # 1-row avg-balance scalar broadcast
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -429,3 +430,20 @@ def test_rolling_active_users_single_wide_reduction(spark, queries):
     assert plan.count("Scan parquet") == 2  # events for pairs + max-day
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_not_rescanned(spark, queries):
+    """The per-part average joins back as a broadcast aggregate — the
+    correlated subquery never re-executes per row: exactly two scans
+    of lineitem (facts + the average frame), no nested loop."""
+    plan = plan_of(queries["q17_small_quantity_revenue"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 3  # lineitem x2 + part
+    assert "NestedLoop" not in plan
+
+
+def test_q22_anti_join_hash_after_scalar_threshold(spark, queries):
+    """The NOT EXISTS is a hash LeftAnti on custkey; the only nested
+    loop is the deliberate 1-row threshold broadcast."""
+    plan = plan_of(queries["q22_idle_customers"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar only
