@@ -36,6 +36,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     text_analysis,  # noqa: F401
     timeseries,  # noqa: F401
     tpch,  # noqa: F401
+    tpch_final,  # noqa: F401
     warehouse,  # noqa: F401
     windows,  # noqa: F401
 )
@@ -65,6 +66,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # green) and are first in line for round-5 rotation — see the list
 # trailing comment.
 _PRIORITY_FIRST = [
+    # new in round 4, final batch (tpch_final.py — completes the
+    # 22-shape TPC-H spectrum; no driver row exists for any of these)
+    "q2_regional_best_supplier",
+    "q9_nation_year_profit",
+    "q11_part_value_concentration",
+    "q12_delay_priority_classes",
+    "q13_customer_order_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_variety",
+    "q20_dominant_share_suppliers",
+    "q21_sole_late_suppliers",
+    "ntile_customer_quartiles",
+    "percent_rank_part_prices",
     # new in round 4, second batch (tpch/warehouse/matching/profiling)
     "q6_forecast_revenue",
     "q14_promo_effect",

@@ -550,3 +550,103 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+#: ntile bucket count for the customer-value quartiles
+NTILE_BUCKETS = 4
+
+
+@query(
+    "ntile_customer_quartiles",
+    oracle=f"""
+    WITH tiled AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE({NTILE_BUCKETS}) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS segment_balance
+    FROM tiled
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value quartiles per market segment — NTILE over a
+    UNIQUE total order (balance desc, custkey tiebreak; without the
+    tiebreak, engines may split ties across bucket boundaries
+    differently), rolled up to (segment, quartile) balance totals.
+
+    Scale plan: one exchange on c_mktsegment feeds the window; a
+    handful of segments caps parallelism here, so at real scale the
+    pattern of choice is the histogram-quantile sketch
+    (timeseries.histogram_quantiles) — NTILE is the exact-assignment
+    variant for when every ROW needs its bucket id (e.g. building
+    training strata), and the rollup keeps the result at
+    segments × {NTILE_BUCKETS} rows."""
+    from pyspark.sql import Window
+
+    from .registry import dsum
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("quartile", F.ntile(NTILE_BUCKETS).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            dsum("c_acctbal", 2).alias("segment_balance"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query(
+    "percent_rank_part_prices",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           PERCENT_RANK() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice, p_partkey
+           ) AS price_pr,
+           CUME_DIST() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice, p_partkey
+           ) AS price_cd
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    ORDER BY p_brand, p_partkey
+    """,
+)
+def percent_rank_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative price position of every part within its brand —
+    PERCENT_RANK ((rank−1)/(n−1)) and CUME_DIST (rank/n) over the same
+    unique order, so both are single exact IEEE divisions that match
+    cross-engine bit-for-bit.
+
+    Scale plan: one exchange on p_brand; each brand's partition sorts
+    independently (thousands of brands at catalog scale → full
+    parallelism); the two ranks share one window frame, so Spark
+    computes them in a single Window operator pass, no second sort."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.percent_rank().over(w).alias("price_pr"),
+            F.cume_dist().over(w).alias("price_cd"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )

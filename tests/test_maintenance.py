@@ -329,3 +329,45 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # the 1-D layout, and far fewer than the full file count
     assert files_z < files_1d
     assert files_z <= n_files_z // 2
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """bucket_table: two tables hash-bucketed on the same key join with
+    ZERO Exchange in the physical plan (the shuffle happened once, at
+    write time), and the writer emits exactly one file per bucket."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        bucket_table,
+    )
+
+    n_buckets = 4
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(1000)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 1000, 2)], "k long, rv long"
+    )
+    try:
+        rep_l = bucket_table(
+            spark, left, "bt_left", "k", n_buckets,
+            path=str(tmp_path / "bt_left"),
+        )
+        rep_r = bucket_table(
+            spark, right, "bt_right", "k", n_buckets,
+            path=str(tmp_path / "bt_right"),
+        )
+        assert rep_l.n_files == n_buckets  # one file per bucket
+        assert rep_r.n_files == n_buckets
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan  # co-located on disk
+            assert "Bucketed: true" in plan
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")

@@ -609,3 +609,129 @@ def test_streaming_count_min_matches_one_shot(spark, tmp_path):
     cm.compact()
     assert cells_dict(cm.cells()) == oneshot
     assert store.read(CM_PARTIALS).select("batch_id").distinct().count() == 1
+
+
+def _write_ndjson(path, rows):
+    import json as _json
+
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time constraint:
+    clicks attribute to the impression they followed within the
+    30-minute window; clicks outside any window never match."""
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.stream_join import (
+        attribute_clicks,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    _write_ndjson(
+        str(imp_dir / "i1.json"),
+        [
+            {"ad_id": 1, "imp_ts": "2024-01-01 10:00:00", "campaign": "a"},
+            {"ad_id": 2, "imp_ts": "2024-01-01 10:05:00", "campaign": "b"},
+            {"ad_id": 3, "imp_ts": "2024-01-01 10:10:00", "campaign": "c"},
+        ],
+    )
+    _write_ndjson(
+        str(clk_dir / "c1.json"),
+        [
+            # inside ad 1's window
+            {"click_ad_id": 1, "click_ts": "2024-01-01 10:20:00", "click_id": 100},
+            # OUTSIDE ad 2's window (55 min later)
+            {"click_ad_id": 2, "click_ts": "2024-01-01 11:00:00", "click_id": 101},
+            # before ad 3's impression → must not match
+            {"click_ad_id": 3, "click_ts": "2024-01-01 10:09:00", "click_id": 102},
+        ],
+    )
+    imp = (
+        spark.readStream.format("json")
+        .schema("ad_id long, imp_ts timestamp, campaign string")
+        .load(str(imp_dir))
+    )
+    clk = (
+        spark.readStream.format("json")
+        .schema("click_ad_id long, click_ts timestamp, click_id long")
+        .load(str(clk_dir))
+    )
+    joined = attribute_clicks(imp, clk)
+    out = tmp_path / "attr_out"
+    q = (
+        joined.select("campaign", "click_id")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["campaign"], r["click_id"]) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("a", 100)}
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an impression with no click emits
+    (with NULL click columns) once the click watermark passes its
+    attribution window — across a RESTART, proving the pending state
+    survives the checkpoint."""
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.stream_join import (
+        attribute_clicks,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    _write_ndjson(
+        str(imp_dir / "i1.json"),
+        [{"ad_id": 1, "imp_ts": "2024-01-01 10:00:00", "campaign": "a"}],
+    )
+    # a click for a DIFFERENT ad far in the future drives the watermark
+    # past ad 1's window+lateness horizon
+    _write_ndjson(
+        str(clk_dir / "c1.json"),
+        [{"click_ad_id": 99, "click_ts": "2024-01-01 14:00:00", "click_id": 900}],
+    )
+
+    def run_once():
+        imp = (
+            spark.readStream.format("json")
+            .schema("ad_id long, imp_ts timestamp, campaign string")
+            .load(str(imp_dir))
+        )
+        clk = (
+            spark.readStream.format("json")
+            .schema("click_ad_id long, click_ts timestamp, click_id long")
+            .load(str(clk_dir))
+        )
+        q = (
+            attribute_clicks(imp, clk, how="left_outer")
+            .select("campaign", "click_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "outer_out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # run 2: both watermarks advance further (new files), state flushes
+    _write_ndjson(
+        str(imp_dir / "i2.json"),
+        [{"ad_id": 98, "imp_ts": "2024-01-01 15:00:00", "campaign": "z"}],
+    )
+    _write_ndjson(
+        str(clk_dir / "c2.json"),
+        [{"click_ad_id": 97, "click_ts": "2024-01-01 16:00:00", "click_id": 901}],
+    )
+    run_once()
+    rows = spark.read.parquet(str(tmp_path / "outer_out")).collect()
+    got = {(r["campaign"], r["click_id"]) for r in rows}
+    # ad 1's impression surfaced exactly once, unmatched
+    assert ("a", None) in got
+    assert sum(1 for c, _ in got if c == "a") == 1
