@@ -31,6 +31,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     multimodal,  # noqa: F401
     profiling,  # noqa: F401
     relational,  # noqa: F401
+    semistructured,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
     text_analysis,  # noqa: F401
@@ -79,6 +80,8 @@ _PRIORITY_FIRST = [
     "q21_sole_late_suppliers",
     "ntile_customer_quartiles",
     "percent_rank_part_prices",
+    "image_near_dup_ahash",
+    "variant_props_metrics",
     # new in round 4, second batch (tpch/warehouse/matching/profiling)
     "q6_forecast_revenue",
     "q14_promo_effect",

@@ -754,3 +754,175 @@ def resize_media(
     return media.select("media_id", "media_type", "payload", "meta").mapInPandas(
         run, MEDIA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection: average-hash over the real pixel path
+# ---------------------------------------------------------------------------
+
+#: aHash pattern geometry: 8×8 grayscale, one hash bit per row
+AHASH_CLASSES = 12
+AHASH_BRIGHT, AHASH_DARK = 200, 10
+
+
+def _ahash_key(doc_id: int) -> int:
+    """The 8-bit pattern key image ``doc_id`` is synthesized FROM (and
+    that a correct decode+hash must recover): one of {AHASH_CLASSES}
+    base patterns, with every second dozen flipping the top bit — so
+    each class exists in two variants at Hamming distance 1. Key range
+    never hits 0 or 255, so every image has both bright and dark rows
+    and the mean threshold is never degenerate."""
+    base = 17 + (doc_id % AHASH_CLASSES) * 18
+    return base ^ (128 * ((doc_id // AHASH_CLASSES) % 2))
+
+
+def make_png_pattern(doc_id: int) -> bytes:
+    """A REAL 8×8 grayscale PNG whose rows encode :func:`_ahash_key`:
+    row y is all-bright when bit y is set, all-dark otherwise.
+    Up-filtered scanlines as in :func:`make_png_gradient`, so the hash
+    only comes out right if inflate + unfilter are both correct."""
+    import numpy as np
+
+    from ..functions.png_codec import encode_png
+
+    key = _ahash_key(doc_id)
+    rows = np.where(
+        (key >> np.arange(8)) & 1, AHASH_BRIGHT, AHASH_DARK
+    ).astype(np.uint8)[:, None]
+    return encode_png(np.broadcast_to(rows, (8, 8)).copy())
+
+
+@query(
+    "image_near_dup_ahash",
+    oracle=f"""
+    WITH keys AS (
+        SELECT doc_id,
+               CAST(xor(17 + (doc_id % {AHASH_CLASSES}) * 18,
+                        128 * ((doc_id // {AHASH_CLASSES}) % 2))
+                    AS BIGINT) AS ahash
+        FROM documents
+    ), reps AS (
+        SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS rep_doc
+        FROM keys GROUP BY ahash
+    )
+    SELECT a.ahash AS hash_a, b.ahash AS hash_b,
+           a.n_docs AS n_a, b.n_docs AS n_b,
+           a.rep_doc AS rep_a, b.rep_doc AS rep_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM reps a JOIN reps b
+      ON a.ahash < b.ahash
+     AND (a.ahash % 16 = b.ahash % 16 OR a.ahash // 16 = b.ahash // 16)
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+    ORDER BY hash_a, hash_b
+    """,
+)
+def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by average hash, REAL end to end:
+    per doc_id an 8×8 pattern PNG is synthesized, the stdlib codec
+    decodes its actual IDAT bytes, and the aHash comes from the decoded
+    pixels (bit y = row y's mean above the image mean). Near-dup pairs
+    are hash pairs at Hamming distance ≤ 1.
+
+    The oracle recomputes the hash in closed form from the synthesis
+    rule — any bug in zlib framing, unfiltering, row order, mean
+    threshold, or bit packing scrambles the recovered key and fails the
+    hash join, so the whole pixel pipeline is value-certified.
+
+    Scale plan (the part that matters at billions of images): documents
+    COLLAPSE TO DISTINCT FINGERPRINTS FIRST (one groupBy; the corpus
+    never self-joins), then the pair search runs at hash granularity —
+    a banded equi-join (two 4-bit bands; distance ≤ 1 guarantees at
+    least one band matches, so banding is recall-lossless) over a frame
+    that is orders of magnitude smaller than the corpus. The same
+    two-phase shape as minhash/simhash dedup, in its image form. The
+    decode itself is a narrow Arrow-batched mapInPandas scan — no
+    shuffle carries a payload byte."""
+    import numpy as np
+
+    from ..functions.png_codec import decode_png
+
+    png_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [make_png_pattern(i) for i in ids]}
+            )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                px = decode_png(bytes(p) if p is not None else b"")
+                if px is None:
+                    out.append(None)
+                    continue
+                gray = px.mean(axis=2)
+                row_means = gray.mean(axis=1)
+                bits = (row_means > gray.mean()).astype(np.int64)
+                out.append(int((bits << np.arange(8)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "ahash": out}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(synth, png_schema).mapInPandas(
+        ahash, hash_schema
+    )
+    reps = hashes.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+    a = reps.select(
+        F.col("ahash").alias("hash_a"),
+        F.col("n_docs").alias("n_a"),
+        F.col("rep_doc").alias("rep_a"),
+        (F.col("ahash") % 16).alias("band0_a"),
+        (F.col("ahash") / 16).cast("long").alias("band1_a"),
+    )
+    b = reps.select(
+        F.col("ahash").alias("hash_b"),
+        F.col("n_docs").alias("n_b"),
+        F.col("rep_doc").alias("rep_b"),
+        (F.col("ahash") % 16).alias("band0_b"),
+        (F.col("ahash") / 16).cast("long").alias("band1_b"),
+    )
+    # one EQUI-join per band (an OR condition would plan as a nested
+    # loop); union + dedup — the standard LSH banding shape
+    cand0 = a.join(
+        b,
+        (F.col("band0_a") == F.col("band0_b"))
+        & (F.col("hash_a") < F.col("hash_b")),
+    )
+    cand1 = a.join(
+        b,
+        (F.col("band1_a") == F.col("band1_b"))
+        & (F.col("hash_a") < F.col("hash_b")),
+    )
+    pairs = cand0.unionByName(cand1).dropDuplicates(["hash_a", "hash_b"])
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .select(
+            "hash_a", "hash_b", "n_a", "n_b", "rep_a", "rep_b", "hamming"
+        )
+        .orderBy("hash_a", "hash_b")
+    )

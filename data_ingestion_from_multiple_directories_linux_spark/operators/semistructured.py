@@ -1,0 +1,73 @@
+"""Semi-structured analytics over the VARIANT type (SURVEY.md §2.12a).
+
+The engine already parses ``events.props`` with a DECLARED schema
+(``from_json`` — operators/relational.py ``json_extract_props``, C10
+parity with the reference's mask-and-reserialize path). VARIANT is the
+schema-LESS alternative Spark 4 added for exactly the
+semi-structured-lake case: JSON is parsed once into a binary-encoded
+value, fields are extracted by path with per-access type coercion, and
+no column schema has to be maintained as producers add keys.
+
+At 100 TB the difference is material: a string JSON column re-parses on
+EVERY access (each extraction walks the text), while VARIANT parses once
+at ingest and every downstream ``variant_get`` is a binary offset walk —
+the same reason the warehouses that pioneered the type (Snowflake's
+VARIANT, BigQuery JSON) store shredded binary, not text. The 2024
+"Variant data type" Spark improvement proposal documents 8×+ speedups
+over string JSON for exactly this access pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "variant_props_metrics",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metrics off a schema-less JSON property bag: ``props``
+    parses to VARIANT once, ``$.k`` extracts as long (NULL when the key
+    is absent or non-numeric — ``try``-semantics, so a single malformed
+    producer can't fail the pipeline), aggregated per event type.
+
+    Scale plan: parse + extract are map-side expressions fused into the
+    scan's codegen stage; the single shuffle is the tiny event_type
+    rollup. In a persisted-lake layout the VARIANT parse happens once at
+    ingest and this query starts from the binary column — the text walk
+    never re-runs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(
+                F.parse_json("props"), "$.k", "long"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,146 @@
+"""Custom Python DataSource for the upload tree (SURVEY.md §2.1 S1/S8).
+
+``sources/json_dir.py`` reads the reference's upload layout
+(``<root>/<facility>/<table>_<batch>_<ts>.json``, reference
+file_loader.py:264-265) through ``spark.read.json`` — the right default.
+This module exposes the SAME layout as a first-class Spark *format* via
+the Python DataSource API (Spark 4), which buys three things json_dir
+cannot express:
+
+* **The file list IS the partition list.** ``partitions()`` returns one
+  input partition per upload file, so Spark's scheduler sees the real
+  unit of work (a file), balances executors at file granularity, and
+  retries exactly one file on task failure — the property the
+  reference's file-at-a-time loop had, recovered INSIDE a distributed
+  scan.
+* **Scan-level filter pushdown.** ``pushFilters`` accepts equality/IN
+  predicates on the lineage columns (facility_id, table_name) and
+  prunes the FILE LIST before any partition is planned — the Python-
+  source equivalent of parquet partition pruning: a query for one
+  facility opens that facility's files only, which at 50k-file scale is
+  the difference between listing and reading.
+* **Lineage without name parsing in the plan.** Each row carries its
+  file/facility/batch from the partition metadata directly.
+
+Rows come out raw (``record`` = the JSON object text) plus lineage; the
+ingestion engine's cleanse/validate stages take over from there, exactly
+as they do for the json_dir path.
+
+Registration: ``spark.dataSource.register(UploadDataSource)`` then
+``spark.read.format("upload_json").option("path", root).load()``.
+Filter pushdown additionally needs the opt-in conf
+``spark.sql.python.filterPushdown.enabled=true`` (Spark refuses to plan
+a pushFilters-implementing reader without it, so misconfiguration fails
+loudly rather than silently scanning everything).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .json_dir import discover_files
+
+#: the fixed output schema: lineage + the raw record text
+UPLOAD_SCHEMA = (
+    "facility_id string, table_name string, batch_id string, "
+    "file_name string, record string"
+)
+
+#: lineage columns pushFilters can prune the file list on
+_PRUNABLE = {"facility_id", "table_name"}
+
+
+class _FilePartition(InputPartition):
+    """One upload file = one Spark task (picklable metadata only)."""
+
+    def __init__(self, path, file_name, facility_id, table_name, batch_id):
+        self.path = path
+        self.file_name = file_name
+        self.facility_id = facility_id
+        self.table_name = table_name
+        self.batch_id = batch_id
+
+
+class UploadReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("upload_json requires .option('path', root)")
+        #: accepted pushed filters: column -> allowed value set
+        self._keep: dict[str, set] = {}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Accept equality/IN on lineage columns (they prune whole
+        files); everything else is returned for Spark to re-apply."""
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            if isinstance(f, EqualTo) and col in _PRUNABLE:
+                self._keep.setdefault(col, set()).add(f.value)
+            elif isinstance(f, In) and col in _PRUNABLE:
+                self._keep.setdefault(col, set()).update(f.values)
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Driver-side metadata listing only (the same walk Spark's own
+        file index does); pushed filters prune here, BEFORE any task
+        exists."""
+        parts = []
+        for m in discover_files(self.root):
+            vals = {"facility_id": m.facility_id, "table_name": m.table_name}
+            if any(
+                vals[c] not in allowed
+                for c, allowed in self._keep.items()
+            ):
+                continue
+            parts.append(
+                _FilePartition(
+                    m.path, m.file_name, m.facility_id, m.table_name,
+                    m.batch_id,
+                )
+            )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        """Executor-side: parse ONE file's JSON array, yield
+        (lineage..., record-text) rows. A malformed file yields a single
+        row with NULL record — the engine's quarantine stage sees it."""
+        try:
+            with open(partition.path) as f:
+                records = json.load(f)
+            if not isinstance(records, list):
+                records = [records]
+        except (OSError, ValueError):
+            records = [None]
+        for rec in records:
+            yield (
+                partition.facility_id,
+                partition.table_name,
+                partition.batch_id,
+                partition.file_name,
+                None if rec is None else json.dumps(rec, sort_keys=True),
+            )
+
+
+class UploadDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "upload_json"
+
+    def schema(self) -> str:
+        return UPLOAD_SCHEMA
+
+    def reader(self, schema: StructType) -> UploadReader:
+        return UploadReader(self.options)
