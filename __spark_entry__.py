@@ -82,6 +82,7 @@ _PRIORITY_FIRST = [
     "percent_rank_part_prices",
     "image_near_dup_ahash",
     "variant_props_metrics",
+    "audio_fingerprint_classes",
     # new in round 4, second batch (tpch/warehouse/matching/profiling)
     "q6_forecast_revenue",
     "q14_promo_effect",

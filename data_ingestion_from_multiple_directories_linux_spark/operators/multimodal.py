@@ -926,3 +926,151 @@ def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hash_a", "hash_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: segment-energy hash over real PCM decode
+# ---------------------------------------------------------------------------
+
+#: audio fingerprint geometry: 8 segments × this many 16-bit samples
+AUDIO_SEG_SAMPLES = 64
+AUDIO_CLASSES = 10
+AUDIO_LOUD, AUDIO_QUIET = 10_000, 100
+
+
+def read_wav_pcm(payload: bytes):
+    """Decode a 16-bit PCM WAV's ``data`` chunk to an int16 sample
+    array (chunk walk as :func:`parse_wav_header`), or None when the
+    payload is not such a WAV."""
+    import numpy as np
+
+    hdr = parse_wav_header(payload)
+    if hdr is None or hdr["bits"] != 16:
+        return None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        tag = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if tag == b"data":
+            return np.frombuffer(
+                payload[i + 8 : i + 8 + size], dtype="<i2"
+            )
+        i += 8 + size + (size % 2)
+    return None
+
+
+def _audio_key(doc_id: int) -> int:
+    """The 8-bit loudness pattern audio ``doc_id`` is synthesized from:
+    one of {AUDIO_CLASSES} base patterns with every second group of ten
+    flipping the top bit. Range 23..235 — never 0/255, so the energy
+    threshold always separates."""
+    base = 23 + (doc_id % AUDIO_CLASSES) * 21
+    return base ^ (128 * ((doc_id // AUDIO_CLASSES) % 2))
+
+
+def make_wav_pattern(doc_id: int) -> bytes:
+    """A REAL 16-bit mono PCM WAV whose 8 fixed-length segments encode
+    :func:`_audio_key`: segment s is a loud square wave when bit s is
+    set, near-silence otherwise."""
+    import struct
+
+    import numpy as np
+
+    key = _audio_key(doc_id)
+    amps = np.where(
+        (key >> np.arange(8)) & 1, AUDIO_LOUD, AUDIO_QUIET
+    )
+    seg = np.tile(np.array([1, -1], dtype=np.int64), AUDIO_SEG_SAMPLES // 2)
+    pcm = (amps[:, None] * seg[None, :]).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@query(
+    "audio_fingerprint_classes",
+    oracle=f"""
+    WITH keys AS (
+        SELECT doc_id,
+               CAST(xor(23 + (doc_id % {AUDIO_CLASSES}) * 21,
+                        128 * ((doc_id // {AUDIO_CLASSES}) % 2))
+                    AS BIGINT) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS rep_doc
+    FROM keys GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def audio_fingerprint_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate grouping by segment-energy fingerprint,
+    REAL end to end: per doc_id a PCM WAV is synthesized, the chunk
+    walk extracts the actual int16 samples, and the fingerprint bit s
+    says whether segment s's mean |amplitude| exceeds the clip's mean —
+    the skeleton of every audio fingerprinter (Shazam-style
+    constellation maps start exactly here: banded energy over time
+    windows, thresholded).
+
+    The oracle recomputes the fingerprint arithmetically from the
+    synthesis rule, so a wrong byte order, a misread chunk size, or an
+    off-by-one segment boundary scrambles the recovered key and fails
+    the value hash. Scale plan: decode + hash is a narrow Arrow-batched
+    mapInPandas (no shuffle carries audio bytes); the only shuffle is
+    the fingerprint groupBy, which collapses the corpus to
+    {AUDIO_CLASSES}×2 rows."""
+    import numpy as np
+
+    wav_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    fp_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fingerprint", T.LongType(), True),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [make_wav_pattern(i) for i in ids]}
+            )
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                pcm = read_wav_pcm(bytes(p) if p is not None else b"")
+                if pcm is None or len(pcm) % AUDIO_SEG_SAMPLES:
+                    out.append(None)
+                    continue
+                segs = np.abs(pcm.astype(np.int64)).reshape(
+                    -1, AUDIO_SEG_SAMPLES
+                )
+                energy = segs.mean(axis=1)
+                bits = (energy > energy.mean()).astype(np.int64)
+                out.append(int((bits << np.arange(len(bits))).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "fingerprint": out}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.mapInPandas(synth, wav_schema)
+        .mapInPandas(fingerprint, fp_schema)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .orderBy("fingerprint")
+    )

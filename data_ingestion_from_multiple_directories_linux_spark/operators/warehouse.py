@@ -20,13 +20,15 @@ Exchange across the chained windows.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import query
 
-__all__ = ["scd2_user_state_intervals", "cohort_retention"]
+__all__ = ["scd2_user_state_intervals", "cohort_retention", "merge_upsert", "MergeReport", "src_col"]
 
 
 @query(
@@ -147,4 +149,119 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) — the warehouse mutation primitive
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MergeReport:
+    """Row-level outcome counts of one merge, computed in the SAME pass
+    that builds the result (no second scan)."""
+
+    inserted: int = 0
+    updated: int = 0
+    deleted: int = 0
+    unchanged: int = 0
+
+
+def src_col(name: str) -> F.Column:
+    """Reference a SOURCE column inside ``merge_upsert``'s
+    ``delete_condition`` (source columns are prefixed in the joined
+    frame to avoid capture by same-named target columns)."""
+    return F.col(f"_sv_{name}")
+
+
+def merge_upsert(
+    store,
+    target: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition: F.Column | None = None,
+) -> MergeReport:
+    """ANSI ``MERGE INTO`` semantics over a TableStore table:
+
+    * matched + ``delete_condition`` (a Column over :func:`src_col`
+      source references) → row removed;
+    * matched otherwise → ``update_cols`` take the source values (all
+      non-key source columns when None);
+    * source-only → inserted;
+    * target-only → kept as-is.
+
+    ≙ the reference's UPDATE-then-INSERT staging reconciliation
+    (reference file_loader.py's re-upload path: purge matching rows,
+    append replacements) generalized to one declarative operator.
+
+    Spark-first shape: ONE full-outer hash join on the key columns —
+    never a per-row lookup loop — with each output column a
+    ``CASE WHEN matched`` coalesce, so the whole merge is a single
+    shuffle of each side plus a map-side projection; the
+    inserted/updated/deleted tally aggregates the same joined frame
+    (Spark shares the join across both actions via the persisted
+    frame). The rewrite lands through the store's atomic
+    write-temp-swap (M7), so readers see pre- or post-merge, never a
+    torn mix. At warehouse scale the same plan runs against a bucketed
+    target (:func:`..maintenance.bucket_table`) with the join exchange
+    pre-paid at write time."""
+    tgt = store.read(target)
+    upd = update_cols or [c for c in source.columns if c not in keys]
+    src = source.select(
+        *[F.col(k).alias(f"_sk_{k}") for k in keys],
+        *[F.col(c).alias(f"_sv_{c}") for c in upd],
+        F.lit(True).alias("_src"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = tgt.withColumn("_tgt", F.lit(True)).join(src, cond, "full_outer")
+    matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+    delete = (
+        (matched & delete_condition)
+        if delete_condition is not None
+        else F.lit(False)
+    )
+    out_cols = []
+    for c in tgt.columns:
+        if c == "_tgt":
+            continue
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(c), F.col(f"_sk_{c}")).alias(c))
+        elif c in upd:
+            out_cols.append(
+                F.when(F.col("_src").isNotNull(), F.col(f"_sv_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    # one aggregate over the SAME joined frame for the report
+    tally = joined.persist()
+    try:
+        row = tally.agg(
+            F.sum(
+                (F.col("_tgt").isNull() & F.col("_src").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("ins"),
+            F.sum((matched & ~delete).cast("long")).alias("upd"),
+            F.sum(delete.cast("long")).alias("del"),
+            F.sum(
+                (F.col("_tgt").isNotNull() & F.col("_src").isNull()).cast(
+                    "long"
+                )
+            ).alias("keep"),
+        ).collect()[0]
+        store.overwrite(target, tally.filter(~delete).select(*out_cols))
+    finally:
+        tally.unpersist()
+    return MergeReport(
+        inserted=int(row["ins"] or 0),
+        updated=int(row["upd"] or 0),
+        deleted=int(row["del"] or 0),
+        unchanged=int(row["keep"] or 0),
     )

@@ -371,3 +371,43 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_merge_upsert_full_semantics(spark, tmp_path):
+    """MERGE INTO: matched rows update, source-only rows insert,
+    delete-condition rows vanish, target-only rows survive — and the
+    report counts every class from the same single join."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.warehouse import (
+        merge_upsert,
+        src_col,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "dim_user",
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "uid long, name string, score long",
+        ),
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", 200),   # matched → update
+            (3, "c", -1),    # matched + delete condition
+            (4, "d", 40),    # new → insert
+        ],
+        "uid long, name string, score long",
+    )
+    rep = merge_upsert(
+        store, "dim_user", source, keys=["uid"],
+        delete_condition=src_col("score") < 0,
+    )
+    assert (rep.inserted, rep.updated, rep.deleted, rep.unchanged) == (1, 1, 1, 1)
+    got = {
+        (r["uid"], r["name"], r["score"])
+        for r in store.read("dim_user").collect()
+    }
+    assert got == {(1, "a", 10), (2, "B", 200), (4, "d", 40)}
