@@ -25,8 +25,10 @@ if _REPO_DIR not in sys.path:
 # Importing the operator modules populates the registry.
 from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: E402
     asof,  # noqa: F401
+    attribution,  # noqa: F401
     corpus,  # noqa: F401
     dedup,  # noqa: F401
+    grouping,  # noqa: F401
     matching,  # noqa: F401
     multimodal,  # noqa: F401
     profiling,  # noqa: F401
@@ -52,20 +54,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots: the 46 queries added THIS round (no driver row exists for them
-# at all — they come first so they are covered even if the cap shrinks;
-# a never-checked query outranks renewing one that has an r02 row plus
-# the committed local 119/119 fresh-process record), then the 24
-# entries displaced from CORRECTNESS_r03 (green in r02, but
-# relational.py gained code this round, so their r02 evidence needs a
-# fresh row). 46 + 4 = 50: the LAST 20 relational renewals fall just
-# past the cap (they keep their r02 rows + local-suite green at HEAD;
-# round 5 front-loads them). Everything r03 already covered sits
-# in the tail; queries in files that only gained appended code this
-# round (similarity/dedup/windows/text_analysis) are re-verified at
-# HEAD by the local oracle-parity suite (VERIFY_LOCAL_r04.txt, all
-# green) and are first in line for round-5 rotation — see the list
-# trailing comment.
+# slots (final): the 18 final-batch queries (TPC-H completion, rank
+# functions, image/audio fingerprints, VARIANT, click attribution,
+# grouping sets / dense-rank / array HOFs — never driver-checked), then the round-4 second batch; a never-checked
+# query outranks renewing one that has a prior-round row plus the
+# committed fresh-process 137/137 record (VERIFY_LOCAL_r04.txt). The
+# second-batch tail from position ~51 (q7/q8/q17/q22 onward), the
+# first-batch entries, and the relational renewals fall past the cap —
+# all re-verified at HEAD by the fresh-process record; round 5 should
+# front-load, in order: the relational renewals (their r02 rows are two
+# rounds old), q7/q8/q17/q22 + first-batch entries, then the trailing
+# appended-file entries listed at the bottom.
 _PRIORITY_FIRST = [
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
@@ -83,6 +82,10 @@ _PRIORITY_FIRST = [
     "image_near_dup_ahash",
     "variant_props_metrics",
     "audio_fingerprint_classes",
+    "click_attribution_batch",
+    "grouping_sets_status_priority",
+    "dense_rank_order_values",
+    "user_event_type_arrays",
     # new in round 4, second batch (tpch/warehouse/matching/profiling)
     "q6_forecast_revenue",
     "q14_promo_effect",

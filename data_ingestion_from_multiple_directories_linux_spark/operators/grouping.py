@@ -1,0 +1,147 @@
+"""SQL-surface batch: GROUPING SETS, dense ranks over ties, array
+higher-order functions (SURVEY.md §2.12a).
+
+ROLLUP and CUBE (operators/relational.py L16/L17) are the two canned
+grouping-set hierarchies; arbitrary GROUPING SETS, DENSE_RANK's
+tie-compressed numbering, and the collect/sort/transform array pipeline
+complete the warehouse SQL surface a reference user would expect to
+keep working after the switch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, dsum_sql, query
+
+__all__ = [
+    "grouping_sets_status_priority",
+    "dense_rank_order_values",
+    "user_event_type_arrays",
+]
+
+
+@query(
+    "grouping_sets_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the two one-dimension marginals
+    WITHOUT the (status, priority) cross or the grand total (which is
+    what distinguishes it from the canned ROLLUP/CUBE shapes).
+
+    Scale plan: Spark expands grouping sets by replicating each input
+    row once per set with the non-set columns nulled, then runs ONE
+    partial-aggregated hash aggregate — cost is sets × input map-side,
+    shuffle carries only the (few × groups) partials. Identical
+    expansion semantics in DuckDB, so the NULL-marker rows line up."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "dense_rank_order_values",
+    oracle="""
+    WITH binned AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_bin
+        FROM orders
+    )
+    SELECT o_orderpriority, price_bin,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY price_bin DESC
+           ) AS BIGINT) AS bin_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM binned
+    GROUP BY o_orderpriority, price_bin
+    ORDER BY o_orderpriority, price_bin DESC
+    """,
+)
+def dense_rank_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK over genuinely tied values: orders binned to 10k
+    price bands, bands dense-ranked per priority — rank numbering has
+    no gaps across ties, the property ROW_NUMBER (W1 dedup) and RANK
+    don't give. Deterministic because the rank input is the DISTINCT
+    band list (ties collapse BEFORE ranking — also the scale move: the
+    window sorts |bands| rows per priority, never |orders|)."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.groupBy(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("price_bin"),
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("price_bin"))
+    return (
+        binned.withColumn("bin_rank", F.dense_rank().over(w).cast("long"))
+        .select("o_orderpriority", "price_bin", "bin_rank", "n_orders")
+        .orderBy("o_orderpriority", F.desc("price_bin"))
+    )
+
+
+@query(
+    "user_event_type_arrays",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(types, ',') AS type_set,
+           CAST(len(types) AS BIGINT) AS n_types,
+           CAST(len(list_filter(types, t -> t IN ('click', 'purchase')))
+                AS BIGINT) AS n_conversion_types
+    FROM per_user
+    ORDER BY user_id
+    """,
+)
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline per user: distinct event types collected, sorted
+    (collect_set order is partition-dependent — sort_array makes the
+    value deterministic), then reduced with HIGHER-ORDER functions
+    (filter over the array) without ever exploding back to rows.
+
+    Scale plan: one user_id shuffle; the array ops run inside
+    whole-stage codegen on the grouped result (bounded: ≤5 types per
+    user), and the string join is only for the cross-engine hash — a
+    real pipeline would keep the array column. The filter lambda is
+    JVM-side (Catalyst HigherOrderFunction), NOT a Python UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    is_conv = lambda t: t.isin("click", "purchase")  # noqa: E731
+    return (
+        per_user.select(
+            "user_id",
+            F.array_join("types", ",").alias("type_set"),
+            F.size("types").cast("long").alias("n_types"),
+            F.size(F.filter("types", is_conv)).cast("long").alias(
+                "n_conversion_types"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -502,70 +502,3 @@ def files_overlapping_box(
         ):
             n += 1
     return n
-
-
-# ---------------------------------------------------------------------------
-# Bucketed tables: pre-shuffled storage for exchange-free co-located joins
-# ---------------------------------------------------------------------------
-
-
-@dataclass
-class BucketReport:
-    """Evidence a table landed hash-bucketed: bucket spec read back from
-    the catalog plus the physical file count."""
-
-    table: str
-    key: str
-    n_buckets: int
-    n_files: int
-
-
-def bucket_table(
-    spark,
-    df,
-    name: str,
-    key: str,
-    n_buckets: int = 8,
-    path: str | None = None,
-) -> BucketReport:
-    """Write ``df`` as a HASH-BUCKETED catalog table on ``key`` — the
-    shuffle-once-join-forever storage layout.
-
-    Clustering (:func:`cluster_table`) makes range SCANS cheap; bucketing
-    makes repeated JOINS cheap: both sides of a join bucketed on the same
-    key with the same bucket count are already co-partitioned ON DISK, so
-    the join plans with ZERO Exchange — at 100 TB that deletes the
-    dominant cost (a full network shuffle of both fact tables) from every
-    subsequent join/groupBy on that key. The classic use: bucket the
-    fact tables once on their join key at ingest time, then every
-    fact-fact join in the analytic tier is map-side.
-
-    Mechanics: ``repartition(n_buckets, key)`` first — Spark's bucket
-    hash and its shuffle hash are both Murmur3 mod n, so each write task
-    then holds exactly one bucket's rows and emits ONE file per bucket
-    (without it, every task writes a sliver of every bucket:
-    tasks × buckets small files). ``sortBy(key)`` persists per-bucket
-    order so sort-merge joins can also skip their sorts when each bucket
-    is a single file. The table registers in the session catalog
-    (bucketing metadata lives there; a bare parquet directory cannot
-    carry it); pass ``path`` to keep the data in an external location.
-    """
-    writer = (
-        df.repartition(n_buckets, F.col(key))
-        .write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-    )
-    if path is not None:
-        writer = writer.option("path", path)
-    writer.saveAsTable(name)
-    root = path or os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
-    )
-    return BucketReport(
-        table=name,
-        key=key,
-        n_buckets=n_buckets,
-        n_files=len(_parquet_files(root)),
-    )

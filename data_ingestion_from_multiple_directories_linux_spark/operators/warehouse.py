@@ -205,7 +205,7 @@ def merge_upsert(
     frame). The rewrite lands through the store's atomic
     write-temp-swap (M7), so readers see pre- or post-merge, never a
     torn mix. At warehouse scale the same plan runs against a bucketed
-    target (:func:`..maintenance.bucket_table`) with the join exchange
+    target (:func:`..sources.bucketed.write_bucketed`) with the join exchange
     pre-paid at write time."""
     tgt = store.read(target)
     upd = update_cols or [c for c in source.columns if c not in keys]

@@ -16,7 +16,23 @@ in-session catalog + ``spark.sql.warehouse.dir``.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BucketReport:
+    """Evidence a table landed hash-bucketed: the spec plus the
+    physical file count (repartition-aligned writes emit exactly
+    ``n_buckets`` files)."""
+
+    table: str
+    keys: list[str]
+    n_buckets: int
+    n_files: int
 
 
 def write_bucketed(
@@ -25,15 +41,40 @@ def write_bucketed(
     key: str | list[str],
     n_buckets: int,
     mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a bucketed+sorted catalog table on ``key``."""
+    path: str | None = None,
+) -> BucketReport:
+    """Persist ``df`` as a bucketed+sorted catalog table on ``key``.
+
+    The frame is ``repartition(n_buckets, keys)``-ed first: Spark's
+    bucket hash and shuffle hash are both Murmur3 mod n, so each write
+    task then holds exactly one bucket's rows and emits ONE file per
+    bucket — without the alignment every task writes a sliver of every
+    bucket (tasks × buckets small files), which at 100 TB turns the
+    bucketed table itself into a small-file problem. ``path`` keeps the
+    data external to ``spark.sql.warehouse.dir``."""
     keys = [key] if isinstance(key, str) else list(key)
-    (
-        df.write.mode(mode)
+    writer = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.mode(mode)
         .bucketBy(n_buckets, *keys)
         .sortBy(*keys)
         .format("parquet")
-        .saveAsTable(name)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    spark = df.sparkSession
+    root = path or os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+    )
+    n_files = sum(
+        1
+        for _dir, _sub, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return BucketReport(
+        table=name, keys=keys, n_buckets=n_buckets, n_files=n_files
     )
 
 

@@ -332,11 +332,12 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
 
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
-    """bucket_table: two tables hash-bucketed on the same key join with
-    ZERO Exchange in the physical plan (the shuffle happened once, at
-    write time), and the writer emits exactly one file per bucket."""
-    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
-        bucket_table,
+    """write_bucketed: two tables hash-bucketed on the same key join
+    with ZERO Exchange in the physical plan (the shuffle happened once,
+    at write time), and the repartition-aligned writer emits exactly
+    one file per bucket."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.bucketed import (
+        write_bucketed,
     )
 
     n_buckets = 4
@@ -347,12 +348,12 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         [(i, i * 10) for i in range(0, 1000, 2)], "k long, rv long"
     )
     try:
-        rep_l = bucket_table(
-            spark, left, "bt_left", "k", n_buckets,
+        rep_l = write_bucketed(
+            left, "bt_left", "k", n_buckets,
             path=str(tmp_path / "bt_left"),
         )
-        rep_r = bucket_table(
-            spark, right, "bt_right", "k", n_buckets,
+        rep_r = write_bucketed(
+            right, "bt_right", "k", n_buckets,
             path=str(tmp_path / "bt_right"),
         )
         assert rep_l.n_files == n_buckets  # one file per bucket

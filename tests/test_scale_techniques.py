@@ -215,3 +215,49 @@ def test_minhash_band_index_bucketed_join_skips_index_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_bucketed(spark, "bt_band_index")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: with the optimizer conf on, a
+    selective dim filter is converted into a might_contain() predicate
+    ON THE FACT SIDE — rows that cannot join are dropped at the scan,
+    before the shuffle. The 100 TB effect: the fact shuffle carries
+    only the ~matching fraction instead of the full table. (Spark only
+    injects the filter when thresholds are met; the application-side
+    scan threshold defaults to 10 GB, so the test pins it to 0 to
+    exercise the rewrite on test-sized data.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        # and it lands on the FACT (lineitem) key
+        assert "might_contain" in plan and "l_orderkey" in plan.split(
+            "might_contain", 1
+        )[1][:120]
+        # result unchanged vs the un-filtered plan
+        n = j.count()
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        n_plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == n_plain
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
