@@ -157,3 +157,63 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — row-level complement to table_fingerprint
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level delta between two snapshots of the same-schema table:
+    one row per differing key with ``change ∈ {added, removed,
+    changed}`` (``added`` = in right only). Identical rows produce NO
+    output — on a 100 TB pair the result is proportional to the DRIFT,
+    not the table.
+
+    :func:`table_fingerprint` answers "are these snapshots equal?" with
+    one hash per group; this answers "WHICH rows differ?" when they are
+    not. Shape: one full-outer hash join on the keys; equality of the
+    non-key payload compares a NULL-safe canonical concat (same
+    chr(31)/chr(1) encoding as the fingerprint, so the two operators
+    agree on what "changed" means). The join shuffles each side once;
+    no collect, no per-row Python."""
+    sep, nul = F.lit("\x1f"), F.lit("\x01")
+    val_cols = [c for c in left.columns if c not in keys]
+
+    def canon(df: DataFrame, alias: str) -> DataFrame:
+        enc = [F.coalesce(F.col(c).cast("string"), nul) for c in val_cols]
+        parts: list = []
+        for e in enc:
+            parts.extend([e, sep])
+        return df.select(
+            *[F.col(k).alias(f"{alias}_{k}") for k in keys],
+            F.concat(*parts[:-1]).alias(f"{alias}_payload"),
+        )
+
+    l, r = canon(left, "l"), canon(right, "r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l_{k}").eqNullSafe(F.col(f"r_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = l.join(r, cond, "full_outer")
+    change = (
+        F.when(F.col("l_payload").isNull(), F.lit("added"))
+        .when(F.col("r_payload").isNull(), F.lit("removed"))
+        .when(F.col("l_payload") != F.col("r_payload"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"l_{k}"), F.col(f"r_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
+    )

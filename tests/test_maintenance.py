@@ -412,3 +412,22 @@ def test_merge_upsert_full_semantics(spark, tmp_path):
         for r in store.read("dim_user").collect()
     }
     assert got == {(1, "a", 10), (2, "B", 200), (4, "d", 40)}
+
+
+def test_snapshot_diff_classifies_drift(spark):
+    """snapshot_diff: added / removed / changed rows surface with their
+    keys; identical rows produce nothing."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.sketches import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)],
+        "id long, name string, score long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)],
+        "id long, name string, score long",
+    )
+    got = {(r["id"], r["change"]) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
