@@ -735,3 +735,62 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     # ad 1's impression surfaced exactly once, unmatched
     assert ("a", None) in got
     assert sum(1 for c, _ in got if c == "a") == 1
+
+
+def test_streaming_session_window_merges_and_emits(spark, tmp_path):
+    """Session windows on a stream: events within the 30-min gap merge
+    into ONE session in the state store (including merging two
+    provisional sessions bridged by a late-arriving middle event in the
+    same batch); sessions close and emit once the watermark passes the
+    gap. The streaming twin of session_window_stats."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    _write_ndjson(
+        str(src / "p1.json"),
+        [
+            # one user: 10:00, 10:40 are two sessions provisionally —
+            # the 10:20 event bridges them into one 10:00-11:10 session
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "v": 1},
+            {"user_id": 1, "ts": "2024-01-01 10:40:00", "v": 2},
+            {"user_id": 1, "ts": "2024-01-01 10:20:00", "v": 3},
+            # separate session far later
+            {"user_id": 1, "ts": "2024-01-01 14:00:00", "v": 4},
+            # second user, single event
+            {"user_id": 2, "ts": "2024-01-01 10:05:00", "v": 5},
+            # watermark driver: far-future event keeps every earlier
+            # session older than (max_ts - 1h watermark - 30m gap)
+            {"user_id": 9, "ts": "2024-01-01 23:00:00", "v": 0},
+        ],
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, ts timestamp, v long")
+        .load(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+    out = tmp_path / "sess_out"
+    q = (
+        stream.select(
+            F.col("session_window.start").alias("ws"),
+            F.col("session_window.end").alias("we"),
+            "user_id", "n", "sum_v",
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["ws"]), str(r["we"]), r["n"], r["sum_v"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # merged session: 10:00 → 10:50 (last event 10:20+30m... no:
+    # events 10:00/10:20/10:40 chain → end = 10:40 + 30m = 11:10)
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 11:10:00", 3, 6) in got
+    assert (1, "2024-01-01 14:00:00", "2024-01-01 14:30:00", 1, 4) in got
+    assert (2, "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1, 5) in got
