@@ -261,3 +261,52 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AUTOMATIC skew remedy (complement of salted_skew_counts'
+    manual salting): with AQE skew-join on, a partition holding a hot
+    key is split into advisory-sized sub-reads at runtime —
+    SortMergeJoin(skew=true) + 'AQEShuffleRead … skewed' in the FINAL
+    executed plan. Thresholds are pinned far below their production
+    defaults (256 MB) so the optimization triggers on test-sized data;
+    the plan must be read from the EXECUTED query (AQE decides from
+    runtime shuffle statistics — the pre-execution plan never shows
+    it)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        rest = spark.range(0, 2_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 2_000).select(
+            (F.col("id") % 51).alias("k"), (F.col("id") * 7).alias("w")
+        )
+        agg = hot.union(rest).join(right, "k").groupBy().count()
+        [row] = agg.collect()
+        # key 0 appears 40× on the right (2000 = 51·39+11 → keys ≤10 get
+        # 40, others 39): 200k·40 + Σ_{k=1..50} 40·(40 or 39) = 8 078 400
+        assert row["count"] == 8_078_400
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead split
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
