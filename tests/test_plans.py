@@ -504,3 +504,29 @@ def test_q15_max_is_broadcast_scalar(spark, queries):
     plan = plan_of(queries["q15_top_revenue_supplier"](spark, SF_SMALL))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_image_ahash_bands_are_equi_joins(spark, queries):
+    """The aHash pair search must be the union-of-equi-joins banding
+    shape — an OR band condition would plan as a nested loop over the
+    fingerprint frame."""
+    plan = plan_of(queries["image_near_dup_ahash"](spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_joins_are_hash(spark, queries):
+    """Triangle enumeration: wedge join + closing semi-join are hash
+    equi-joins; no nested loop anywhere."""
+    plan = plan_of(queries["near_dup_triangles"](spark, SF_SMALL))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the closing membership check
+
+
+def test_q9_dims_broadcast(spark, queries):
+    """q9's widest join tree: part/supplier/nation broadcast; the only
+    shuffled join is lineitem⋈orders."""
+    plan = plan_of(queries["q9_nation_year_profit"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
