@@ -182,6 +182,7 @@ def merge_upsert(
     keys: list[str],
     update_cols: list[str] | None = None,
     delete_condition: F.Column | None = None,
+    carry_cols: list[str] | None = None,
 ) -> MergeReport:
     """ANSI ``MERGE INTO`` semantics over a TableStore table:
 
@@ -191,6 +192,10 @@ def merge_upsert(
       non-key source columns when None);
     * source-only → inserted;
     * target-only → kept as-is.
+
+    ``carry_cols`` exposes extra source columns to ``delete_condition``
+    (via :func:`src_col`) WITHOUT writing them to the target — e.g. a
+    CDC ``op`` flag that decides deletion but is not table data.
 
     ≙ the reference's UPDATE-then-INSERT staging reconciliation
     (reference file_loader.py's re-upload path: purge matching rows,
@@ -209,9 +214,10 @@ def merge_upsert(
     pre-paid at write time."""
     tgt = store.read(target)
     upd = update_cols or [c for c in source.columns if c not in keys]
+    carry = [c for c in (carry_cols or []) if c not in upd]
     src = source.select(
         *[F.col(k).alias(f"_sk_{k}") for k in keys],
-        *[F.col(c).alias(f"_sv_{c}") for c in upd],
+        *[F.col(c).alias(f"_sv_{c}") for c in upd + carry],
         F.lit(True).alias("_src"),
     )
     cond = None
@@ -220,11 +226,16 @@ def merge_upsert(
         cond = c if cond is None else (cond & c)
     joined = tgt.withColumn("_tgt", F.lit(True)).join(src, cond, "full_outer")
     matched = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
-    delete = (
-        (matched & delete_condition)
+    # a condition-true source row never lands: matched → the target row
+    # is removed; source-only (e.g. a CDC delete for an absent key) → a
+    # no-op, NOT an insert. NULL-safe: target-only rows have NULL source
+    # columns, so the condition coalesces to false for them.
+    drop = (
+        (F.col("_src").isNotNull() & F.coalesce(delete_condition, F.lit(False)))
         if delete_condition is not None
         else F.lit(False)
     )
+    delete = matched & drop
     out_cols = []
     for c in tgt.columns:
         if c == "_tgt":
@@ -244,9 +255,8 @@ def merge_upsert(
     try:
         row = tally.agg(
             F.sum(
-                (F.col("_tgt").isNull() & F.col("_src").isNotNull()).cast(
-                    "long"
-                )
+                (F.col("_tgt").isNull() & F.col("_src").isNotNull() & ~drop)
+                .cast("long")
             ).alias("ins"),
             F.sum((matched & ~delete).cast("long")).alias("upd"),
             F.sum(delete.cast("long")).alias("del"),
@@ -256,7 +266,7 @@ def merge_upsert(
                 )
             ).alias("keep"),
         ).collect()[0]
-        store.overwrite(target, tally.filter(~delete).select(*out_cols))
+        store.overwrite(target, tally.filter(~drop).select(*out_cols))
     finally:
         tally.unpersist()
     return MergeReport(

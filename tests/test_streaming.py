@@ -794,3 +794,64 @@ def test_streaming_session_window_merges_and_emits(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", "2024-01-01 11:10:00", 3, 6) in got
     assert (1, "2024-01-01 14:00:00", "2024-01-01 14:30:00", 1, 4) in got
     assert (2, "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1, 5) in got
+
+
+def test_streaming_cdc_apply_merges_batches_idempotently(spark, tmp_path):
+    """CDC file stream folded into a table with MERGE semantics:
+    upserts update/insert, deletes remove, a delete for an absent key
+    is a no-op (not an insert), last-writer-wins inside a batch by seq,
+    and replaying the whole feed on a FRESH checkpoint converges to the
+    same table (idempotent apply)."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.cdc_apply import (
+        StreamingCdcApply,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "dim_acct",
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, bal long"
+        ),
+    )
+    feed = tmp_path / "cdc"
+    feed.mkdir()
+    _write_ndjson(
+        str(feed / "c1.json"),
+        [
+            # two changes for id 2 in one batch: seq 11 wins
+            {"op": "upsert", "seq": 10, "id": 2, "name": "b", "bal": 21},
+            {"op": "upsert", "seq": 11, "id": 2, "name": "B", "bal": 22},
+            {"op": "upsert", "seq": 12, "id": 3, "name": "c", "bal": 30},
+            {"op": "delete", "seq": 13, "id": 1, "name": None, "bal": None},
+            # delete of a key that never existed: must NOT appear
+            {"op": "delete", "seq": 14, "id": 99, "name": None, "bal": None},
+        ],
+    )
+    schema = "op string, seq long, id long, name string, bal long"
+
+    def expect_final():
+        got = {
+            (r["id"], r["name"], r["bal"])
+            for r in store.read("dim_acct").collect()
+        }
+        assert got == {(2, "B", 22), (3, "c", 30)}, got
+
+    apply1 = StreamingCdcApply(
+        spark, store, str(feed), str(tmp_path / "ck1"), schema,
+        "dim_acct", ["id"],
+    )
+    apply1.run_available_now()
+    expect_final()
+    # crash-replay simulation: re-running the SAME checkpoint is a no-op
+    apply1.run_available_now()
+    expect_final()
+    # direct replay of an already-applied batch id (foreachBatch
+    # at-least-once): marker short-circuits it
+    batch = (
+        spark.read.format("json").schema(schema).load(str(feed / "c1.json"))
+    )
+    apply1._apply_batch(batch, 0)
+    expect_final()
