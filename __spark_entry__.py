@@ -55,11 +55,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots (final): the 19 final-batch queries (TPC-H completion, rank
+# slots (final): the 20 final-batch queries (TPC-H completion, rank
 # functions, image/audio fingerprints, VARIANT, click attribution,
 # grouping sets / dense-rank / array HOFs — never driver-checked), then the round-4 second batch; a never-checked
 # query outranks renewing one that has a prior-round row plus the
-# committed fresh-process 138/138 record (VERIFY_LOCAL_r04.txt). The
+# committed fresh-process 139/139 record (VERIFY_LOCAL_r04.txt). The
 # second-batch tail from position ~51 (q7/q8/q17/q22 onward), the
 # first-batch entries, and the relational renewals fall past the cap —
 # all re-verified at HEAD by the fresh-process record; round 5 should
@@ -88,6 +88,7 @@ _PRIORITY_FIRST = [
     "dense_rank_order_values",
     "user_event_type_arrays",
     "near_dup_triangles",
+    "exact_moment_correlation",
     # new in round 4, second batch (tpch/warehouse/matching/profiling)
     "q6_forecast_revenue",
     "q14_promo_effect",

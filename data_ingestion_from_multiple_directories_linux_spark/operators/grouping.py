@@ -20,6 +20,7 @@ __all__ = [
     "grouping_sets_status_priority",
     "dense_rank_order_values",
     "user_event_type_arrays",
+    "exact_moment_correlation",
 ]
 
 
@@ -144,4 +145,82 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "exact_moment_correlation",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
+               AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6)
+               AS covar_pop_scaled
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def exact_moment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per return flag,
+    computed from EXACT decimal moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    instead of the built-in ``corr``/``covar_pop`` — those accumulate
+    in floating point, so their last bits depend on partition order and
+    would never hash-match across engines. Moments quantized to DECIMAL
+    are associative-exact; the final formula is a fixed IEEE expression
+    over six exact inputs, rounded to 12 decimals because engines may
+    fuse the multiply-subtract differently (FMA) and drift by one ULP —
+    rounding absorbs it while keeping 12 significant digits of the
+    statistic comparable.
+
+    Scale plan: one map-combined groupBy (six sums per group, partial
+    aggregation), one shuffle of one row per (partition, flag); the
+    correlation arithmetic is a projection over a 3-row frame. This is
+    also the mergeable-statistics pattern: per-shard moment frames can
+    be summed later (incremental_rollup_merge's algebra) and the
+    correlation re-derived without touching raw data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            F.round(
+                num
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                12,
+            ).alias("corr_qty_price"),
+            F.round(num / (n * n), 6).alias("covar_pop_scaled"),
+        )
+        .orderBy("l_returnflag")
     )
