@@ -67,6 +67,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rounds old), q7/q8/q17/q22 + first-batch entries, then the trailing
 # appended-file entries listed at the bottom.
 _PRIORITY_FIRST = [
+    # newest (round-4 continuation): no driver row, no prior local record
+    "weighted_sample_docs",
+    "sq8_quantized_topk",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

@@ -740,3 +740,75 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("long").alias("bucket"),
         F.floor((rk - 1) / BATCH_SIZE).cast("long").alias("batch_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) corpus sampling
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 50  #: sample size
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS weight,
+           CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) // n_chars AS BIGINT) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample: the {WEIGHTED_K} docs with the
+    smallest ``hash(id) DIV n_chars`` priority — sequential Poisson
+    sampling (Ohlsson '98; a.k.a. priority sampling) with inclusion odds
+    proportional to document length, which is the per-TOKEN-uniform
+    sample a mixture builder actually wants (uniform per-doc sampling
+    under-represents long documents' tokens).
+
+    Determinism: the uniform variate is the 60-bit md5 prefix of the
+    doc id (the fixed-hash device shared with dataset_split_assign);
+    the classic u/w priority is taken in INTEGER division — u ≈ 1e18,
+    w ≤ 1e5, so the quantization error is ~w/u ≈ 1e-13 relative while
+    the key stays exact-comparable across engines (float division is
+    ULP-ambiguous at order boundaries, integer DIV is not). Zero-weight
+    docs are excluded (they can never be sampled).
+
+    Plan: pure projection → TakeOrderedAndProject (per-partition heaps
+    of k, driver merge of k·partitions rows) — one scan, zero shuffle
+    of the table, the identical shape to top_k_orders. At 100 TB the
+    weighted sample of a trillion-doc corpus costs one pass."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("ws:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            u.alias("_u"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.expr("_u DIV weight").cast("long").alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+    )

@@ -724,3 +724,101 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= NEG_PER_QUERY)
         .select("query_id", "negative_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized top-k (the compressed-index search path)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 127  #: int8 symmetric range: codes in [-127, 127]
+
+
+@query(
+    "sq8_quantized_topk",
+    oracle=f"""
+    WITH e AS ({E_SQL}),
+    ex AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        FROM e
+    ),
+    sc AS (
+        SELECT list(s ORDER BY pos) AS scales
+        FROM (SELECT pos, max(abs(x)) AS s FROM ex GROUP BY pos)
+    ),
+    qe AS (
+        SELECT vec_id, label,
+               list_transform(range(len(v)), i ->
+                   CASE WHEN scales[i+1] > 0
+                        THEN CAST(floor((v[i+1] * 127.0) / scales[i+1]) AS BIGINT)
+                        ELSE 0 END) AS q
+        FROM e, sc
+    ),
+    qq AS (SELECT q AS qv FROM qe WHERE vec_id = {QUERY_VEC_ID})
+    SELECT qe.vec_id, qe.label,
+           CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * qv[i+1]))
+                AS BIGINT) AS qdot
+    FROM qe, qq
+    WHERE qe.vec_id <> {QUERY_VEC_ID}
+    ORDER BY qdot DESC, qe.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8 scalar-quantized dot product — the SQ8 compressed
+    index of FAISS/Lucene as DataFrame ops: per-dimension symmetric
+    quantization ``code = floor(x·127 / max_d|x|)`` shrinks the corpus
+    8x vs float64 math (the 100 TB win: the scan reads 1 byte/dim and
+    the dot is integer SIMD), at a ranking error bounded by one code
+    step per dimension.
+
+    Two passes: (1) per-dimension scales — posexplode → 64-group
+    partial-agg MAX(ABS(x)) → one array row broadcast back (at 100 TB
+    scales train on a sample, like the IVF centroids); (2) quantize
+    both sides with codegen'd zip_with, integer-dot against the
+    broadcast query codes, TakeOrderedAndProject. Determinism: MAX is
+    order-independent, ``(x·127.0)/s`` is one IEEE expression written
+    identically in both engines, floor is exact, and the integer dot
+    sum is order-independent — the same contract as functions.vectors.
+
+    Exactness vs cosine_topk: ranking by unnormalized quantized dot —
+    the oracle replicates the FULL quantization pipeline, so the check
+    certifies codes, not only the winner set."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    scales = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda kv: kv.getField("s"),
+            ).alias("scales")
+        )
+    )
+    quantize = lambda vec: F.zip_with(  # noqa: E731
+        vec,
+        F.col("scales"),
+        lambda x, s: F.when(
+            s > F.lit(0.0), F.floor((x * F.lit(127.0)) / s).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    qe = e.crossJoin(F.broadcast(scales)).select(
+        "vec_id", "label", quantize(F.col("v")).alias("q")
+    )
+    qv = qe.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        qe.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", dot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

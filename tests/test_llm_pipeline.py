@@ -674,3 +674,46 @@ def test_training_pipeline_composes_end_to_end(spark):
     a = sorted(d5.select("doc_id", "split").collect())
     b = sorted(d5b.select("doc_id", "split").collect())
     assert a == b
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    """Sequential-Poisson sampling with weight = n_chars must over-
+    represent long documents: the sample's mean length exceeds the
+    corpus mean (inclusion odds ∝ length), and reruns are identical."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus import (
+        weighted_sample_docs,
+    )
+
+    sample = weighted_sample_docs(spark, SF_SMALL)
+    rows = sample.collect()
+    assert len(rows) == 50
+    # priorities are the ascending head of the priority order
+    pr = [r["priority"] for r in rows]
+    assert pr == sorted(pr)
+    corpus_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # deterministic
+    again = weighted_sample_docs(spark, SF_SMALL).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """SQ8 ranking must closely agree with the exact cosine baseline:
+    at 64 dims one code step per dim bounds the dot error, so the
+    quantized top-20 should recover most of the exact top-20."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        cosine_topk,
+        sq8_quantized_topk,
+    )
+
+    exact = {r["vec_id"] for r in cosine_topk(spark, SF_SMALL).collect()}
+    sq8 = {r["vec_id"] for r in sq8_quantized_topk(spark, SF_SMALL).collect()}
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall {recall} vs exact top-k"

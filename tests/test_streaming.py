@@ -855,3 +855,123 @@ def test_streaming_cdc_apply_merges_batches_idempotently(spark, tmp_path):
     )
     apply1._apply_batch(batch, 0)
     expect_final()
+
+
+def test_transform_with_state_constructs_and_schemas(spark):
+    """transformWithStateInPandas plan construction needs no protobuf:
+    the operator must wire up against a streaming source and expose the
+    declared output schema (the runtime e2e below needs the protobuf
+    state protocol, absent in this sandbox)."""
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.tws import (
+        user_activity_totals,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    ).selectExpr(
+        "value AS user_id", "'view' AS event_type", "CAST(value AS DOUBLE) AS value"
+    )
+    out = user_activity_totals(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "n_types",
+    ]
+
+
+def test_transform_with_state_across_batches_and_restart(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 stateful API): ValueState
+    totals AND MapState per-type counts must accumulate across
+    micro-batches, and a SECOND availableNow run on the same checkpoint
+    must resume — not recompute — the state.
+
+    Runtime requires the protobuf-based state protocol; auto-skips
+    where protobuf is unavailable (see streaming/tws.py docstring)."""
+    import json as _json
+    import os
+
+    pytest.importorskip("google.protobuf")
+
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.tws import (
+        PROVIDER_CONF,
+        ROCKSDB_PROVIDER,
+        user_activity_totals,
+    )
+
+    prev_provider = spark.conf.get(PROVIDER_CONF, None)
+    spark.conf.set(PROVIDER_CONF, ROCKSDB_PROVIDER)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(os.path.join(str(src), name), "w") as f:
+            for i, (uid, etype, val) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {"user_id": uid, "event_type": etype, "value": val}
+                    )
+                    + "\n"
+                )
+
+    write_batch("b0.json", [(1, "view", 10.0), (1, "click", 5.0), (2, "view", 1.0)])
+    write_batch("b1.json", [(1, "view", 2.5), (2, "buy", 4.0), (3, "view", 7.0)])
+
+    out = tmp_path / "tws_out"
+
+    def run():
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id bigint, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = (
+            user_activity_totals(stream)
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        run()
+        updates = spark.read.parquet(str(out)).toPandas()
+        final = (
+            updates.sort_values("n_events")
+            .groupby("user_id")
+            .last()
+            .reset_index()
+        )
+        expect = {1: (3, 17.5, 2), 2: (2, 5.0, 2), 3: (1, 7.0, 1)}
+        assert len(final) == 3
+        for _, r in final.iterrows():
+            n, tot, nt = expect[int(r.user_id)]
+            assert int(r.n_events) == n, r
+            assert abs(float(r.total_value) - tot) < 1e-9, r
+            assert int(r.n_types) == nt, r
+        # cross-batch accumulation: user 1 gets an intermediate and a
+        # final row
+        u1 = sorted(updates[updates.user_id == 1].n_events)
+        assert len(u1) == 2 and u1[-1] == 3
+
+        # restart: new file, same checkpoint — state resumes (user 1 ->
+        # 4 events)
+        write_batch("b2.json", [(1, "buy", 0.5)])
+        run()
+        updates = spark.read.parquet(str(out)).toPandas()
+        last1 = updates[updates.user_id == 1].sort_values("n_events").iloc[-1]
+        assert int(last1.n_events) == 4
+        assert abs(float(last1.total_value) - 18.0) < 1e-9
+        assert int(last1.n_types) == 3
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(PROVIDER_CONF)
+        else:
+            spark.conf.set(PROVIDER_CONF, prev_provider)
