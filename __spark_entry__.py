@@ -70,6 +70,8 @@ _PRIORITY_FIRST = [
     # newest (round-4 continuation): no driver row, no prior local record
     "weighted_sample_docs",
     "sq8_quantized_topk",
+    "udtf_char_chunks",
+    "bpe_merge_pair_counts",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

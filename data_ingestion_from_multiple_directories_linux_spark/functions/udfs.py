@@ -53,3 +53,36 @@ def column_transform(
         return df.withColumn(column, udf(F.col(column)))
 
     return apply
+
+
+# --- Python UDTF: the TABLE-function escape hatch -------------------------
+#
+# Scalar pandas UDFs return one value per row; when a transform FANS OUT
+# (one document → many chunks, one payload → many extracted records) the
+# sanctioned surface is a Python UDTF (Spark 3.5+) used under a LATERAL
+# join. Row-at-a-time by nature — for hot paths prefer native
+# explode/sequence compositions (operators/corpus.py document_chunks) or
+# Arrow-batched mapInPandas (operators/multimodal.py); the UDTF earns its
+# keep as the SQL-visible form: registered once, any SQL user can
+# `FROM t, LATERAL fn(t.col)` without touching Python.
+
+
+class CharChunkUDTF:
+    """Fixed-width character chunker: (text, width) → (chunk_idx, chunk)
+    rows. NULL text yields no rows (a quarantined document contributes
+    nothing downstream)."""
+
+    def eval(self, text: str | None, width: int):
+        if text is None or width is None or width <= 0:
+            return
+        for start in range(0, len(text), width):
+            yield start // width, text[start : start + width]
+
+
+def char_chunk_udtf():
+    """The decorated UDTF object (decoration deferred: @udtf parses the
+    DDL return type, which needs an active SparkSession at import time
+    otherwise)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(CharChunkUDTF, returnType="chunk_idx bigint, chunk string")

@@ -812,3 +812,50 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(WEIGHTED_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF chunking (the SQL-surface table-function escape hatch)
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK_W = 80  #: characters per chunk
+
+
+@query(
+    "udtf_char_chunks",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * {UDTF_CHUNK_W} + 1 AS INT), {UDTF_CHUNK_W})
+               AS chunk
+    FROM (
+        SELECT doc_id, text,
+               unnest(range((length(text) + {UDTF_CHUNK_W} - 1)
+                            // {UDTF_CHUNK_W})) AS i
+        FROM documents
+    )
+    """,
+)
+def udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width character chunks via a registered Python UDTF under a
+    correlated LATERAL join — the table-function escape hatch
+    (functions/udfs.py CharChunkUDTF) exercised through its SQL surface,
+    value-checked against a pure-SQL oracle.
+
+    This is the API-parity twin of `document_chunks` (native
+    sequence/explode — the hot-path shape): same fan-out semantics, but
+    as the form a SQL user reaches for (`FROM docs, LATERAL
+    char_chunks(text, w)`). Plan: the UDTF runs scan-parallel per input
+    partition (BatchEvalPython over the generator) — no shuffle; the
+    cost vs the native path is Python row transfer, which is the
+    documented trade of this surface."""
+    from ..functions.udfs import char_chunk_udtf
+
+    spark.udtf.register("char_chunks", char_chunk_udtf())
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM __udtf_docs d, LATERAL char_chunks(d.text, {UDTF_CHUNK_W}) c
+        """
+    )

@@ -522,3 +522,130 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics (tokenizer-training pair counts)
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_TOP_K = 30
+
+
+@query(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT regexp_extract_all(lower(text), '{{bpe_re}}') AS tk
+        FROM documents
+    ),
+    idx AS (
+        SELECT tk, unnest(range(1, len(tk))) AS i
+        FROM tok WHERE len(tk) >= 2
+    )
+    SELECT tk[i] AS a, tk[i+1] AS b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM idx
+    GROUP BY tk[i], tk[i+1]
+    ORDER BY n_pairs DESC, a, b
+    LIMIT {BPE_PAIR_TOP_K}
+    """.replace("{bpe_re}", BPE_RE),
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic that drives one BPE tokenizer-training merge step:
+    corpus-wide counts of ADJACENT token pairs, top-{BPE_PAIR_TOP_K} —
+    the arg-max pair is the next merge rule (Sennrich '16; GPT/Llama
+    tokenizers train on exactly this loop).
+
+    Plan: map-only pair generation (codegen'd transform/sequence over
+    the token array — the same zero-join adjacency device as
+    document_chunks), explode, then ONE partial-agg groupBy on the pair
+    and a TakeOrderedAndProject. The shuffle carries (pair, partial
+    count) — vocabulary-sized, not corpus-sized — so a full BPE
+    training loop is this query iterated with a merge applied between
+    rounds; each round is one linear pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(bpe_tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS a, tk[i+1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "a", "b")
+        .limit(BPE_PAIR_TOP_K)
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merge rules on ``docs.text`` — the actual
+    tokenizer-training loop, each round one distributed pass:
+
+    1. count adjacent token pairs (the `bpe_merge_pair_counts` shape);
+    2. the arg-max pair (count, then lexicographic — deterministic)
+       becomes the next merge rule;
+    3. apply the rule corpus-wide: a single left-to-right greedy fold
+       per document (``F.aggregate`` — JVM-side, no Python), replacing
+       each adjacent (a, b) with the concatenation.
+
+    Only the ≤``n_merges`` winning rules ever reach the driver (one
+    2-string row per round); token arrays stay distributed. The fold
+    rebuilds the accumulator array per element — O(len²) copying per
+    document per round — acceptable because BPE training conventionally
+    runs on a bounded SAMPLE of the corpus (pass one in here), not the
+    full 100 TB; the pair-count pass, which IS corpus-sized, stays
+    linear. Stops early when no pair reaches ``min_pair_count``.
+
+    Returns the merge rules in training order (the tokenizer's merge
+    table, highest priority first).
+    """
+    t = docs.select(bpe_tokens("text").alias("tk")).persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                t.filter(F.size("tk") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(tk) - 2),"
+                            " i -> struct(tk[i] AS a, tk[i+1] AS b))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["n"] < min_pair_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            merged = t.select(
+                F.aggregate(
+                    "tk",
+                    F.expr("CAST(array() AS array<string>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (x == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(a + b)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("tk")
+            ).persist()
+            merged.count()  # materialize before dropping the parent
+            t.unpersist()
+            t = merged
+        return merges
+    finally:
+        t.unpersist()

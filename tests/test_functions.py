@@ -132,3 +132,24 @@ def test_quantized_cosine_identity_and_orthogonal(spark):
     ).collect()
     assert math.isclose(rows[0]["c"], 1.0, abs_tol=1e-8)
     assert rows[1]["c"] == 0.0
+
+
+def test_char_chunk_udtf_edges(spark):
+    """UDTF fan-out semantics: NULL text → no rows, exact-multiple text →
+    no empty tail chunk, short text → one chunk; lateral join keeps the
+    correlated doc id."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.udfs import (
+        char_chunk_udtf,
+    )
+
+    spark.udtf.register("char_chunks_t", char_chunk_udtf())
+    spark.createDataFrame(
+        [(1, "abcdef"), (2, "abc"), (3, None), (4, "")],
+        "id bigint, t string",
+    ).createOrReplaceTempView("__chunk_edge")
+    rows = spark.sql(
+        "SELECT id, chunk_idx, chunk FROM __chunk_edge, "
+        "LATERAL char_chunks_t(t, 3)"
+    ).collect()
+    got = sorted((r["id"], r["chunk_idx"], r["chunk"]) for r in rows)
+    assert got == [(1, 0, "abc"), (1, 1, "def"), (2, 0, "abc")]

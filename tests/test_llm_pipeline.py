@@ -717,3 +717,30 @@ def test_sq8_topk_recall_vs_exact(spark):
     sq8 = {r["vec_id"] for r in sq8_quantized_topk(spark, SF_SMALL).collect()}
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.8, f"SQ8 recall {recall} vs exact top-k"
+
+
+def test_train_bpe_merges_known_corpus(spark):
+    """BPE training on a hand-checkable corpus: 'low low low lower'-style
+    — the most frequent adjacent pair merges first, later rounds see the
+    merged tokens, and the loop stops when counts fall below threshold."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab ab cd cd"), (3, "ab cd xy")],
+        "doc_id bigint, text string",
+    )
+    # BPE_RE tokenizes "ab ab ab cd" -> [ab, ab, ab, cd] (letter runs)
+    merges = train_bpe_merges(docs, n_merges=3, min_pair_count=2)
+    # pairs round 1: (ab,ab) x3  (ab,cd) x3  (cd,cd) x1 (ab,xy) ...
+    # tie 3-3 broken lexicographically: (ab,ab) < (ab,cd)
+    assert merges[0] == ("ab", "ab")
+    # after merge 1: doc1 [abab, ab, cd] doc2 [abab, cd, cd] doc3 [ab, cd, xy]
+    # pairs: (abab,ab) 1, (ab,cd) 2, (abab,cd) 1, (cd,cd) 1, (cd,xy) 1
+    assert merges[1] == ("ab", "cd")
+    # after merge 2: doc1 [abab, abcd] doc2 [abab, cd, cd] doc3 [abcd, xy]
+    # no pair reaches min_pair_count=2 -> stop early
+    assert len(merges) == 2
+    # deterministic rerun
+    assert train_bpe_merges(docs, n_merges=3, min_pair_count=2) == merges
