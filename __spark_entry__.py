@@ -72,6 +72,7 @@ _PRIORITY_FIRST = [
     "sq8_quantized_topk",
     "udtf_char_chunks",
     "bpe_merge_pair_counts",
+    "contamination_spread",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

@@ -92,3 +92,91 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b", "id_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive contamination spread (WITH RECURSIVE — Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+SPREAD_MAX_HOPS = 3
+#: seed rule: every 21st base document (a subset of the %7 mutated
+#: family, so some seeds have near-dup descendants and most docs don't)
+SPREAD_SEED_MOD = 21
+
+
+def _spread_recursion_sql(pairs: str, seeds: str, extra_ctes: str = "") -> str:
+    """The depth-bounded transitive walk — IDENTICAL text in Spark and
+    DuckDB (both support WITH RECURSIVE; Spark 4.1 restricts the
+    recursive leg to UNION ALL, so the walk bounds depth and dedups
+    AFTER the recursion — which also makes path enumeration finite on
+    this cyclic, undirected graph). ``extra_ctes`` lets the oracle
+    prepend its corpus/pair CTEs under the same single WITH RECURSIVE
+    clause (a second nested WITH would be a parse error)."""
+    return f"""
+    WITH RECURSIVE
+    {extra_ctes}
+    und AS (
+        SELECT id_a AS node, id_b AS peer FROM {pairs}
+        UNION ALL
+        SELECT id_b AS node, id_a AS peer FROM {pairs}
+    ),
+    walk(node, depth) AS (
+        SELECT doc_id, 0 FROM {seeds}
+        UNION ALL
+        SELECT u.peer, w.depth + 1
+        FROM walk w JOIN und u ON u.node = w.node
+        WHERE w.depth < {SPREAD_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS hops
+    FROM walk
+    GROUP BY node
+    """
+
+
+@query(
+    "contamination_spread",
+    oracle=_spread_recursion_sql(
+        "pairq",
+        "seedq",
+        extra_ctes=f"""
+    corpus AS ({CLUSTER_CORPUS_SQL}),
+    pairq AS ({_PAIRS_SQL}),
+    seedq AS (
+        SELECT doc_id FROM corpus
+        WHERE doc_id % {SPREAD_SEED_MOD} = 0 AND doc_id < 10000
+    ),""",
+    ),
+)
+def contamination_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive benchmark contamination: every document within
+    {SPREAD_MAX_HOPS} near-dup hops of a seed (benchmark) document,
+    with its hop distance — run as a Spark ``WITH RECURSIVE`` SQL walk
+    over the DataFrame-built near-dup pair graph.
+
+    Single-hop n-gram overlap (benchmark_decontamination) misses the
+    CHAIN case: a paraphrase of a paraphrase of an eval item shares no
+    long n-gram with the original but sits two near-dup hops away —
+    the cluster corpus synthesizes exactly that (gen2 links to the
+    original only through gen1). The recursion is the SQL-surface twin
+    of connected_components' iterative propagation: each recursion
+    level is one hash join of the frontier against the edge list —
+    the same physical shape the DataFrame loop runs, with Catalyst
+    managing the iteration instead of the driver. Depth is bounded
+    (UNION ALL legs enumerate paths, not visited-sets, so unbounded
+    depth on a cyclic graph would not terminate); MIN(depth) after the
+    recursion collapses the path multiset to per-doc hop distance.
+
+    At 100 TB: frontier joins are hash-partitioned on node id like any
+    CC round; the bounded depth caps the blowup on high-degree
+    components the same way the star-contraction alternative caps
+    round count — and a df_cap'd pair graph (jaccard_pairs' guard)
+    keeps boilerplate hubs out of the walk entirely."""
+    corpus = _cluster_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD).localCheckpoint(
+        eager=True
+    )
+    pairs.createOrReplaceTempView("__spread_pairs")
+    corpus.filter(
+        (F.col("doc_id") % SPREAD_SEED_MOD == 0) & (F.col("doc_id") < 10000)
+    ).select("doc_id").createOrReplaceTempView("__spread_seeds")
+    return spark.sql(_spread_recursion_sql("__spread_pairs", "__spread_seeds"))

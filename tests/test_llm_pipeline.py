@@ -744,3 +744,31 @@ def test_train_bpe_merges_known_corpus(spark):
     assert len(merges) == 2
     # deterministic rerun
     assert train_bpe_merges(docs, n_merges=3, min_pair_count=2) == merges
+
+
+def test_contamination_spread_hop_structure(spark):
+    """Recursive walk semantics: seeds at hops=0; first-generation
+    mutations (+10000) of seed docs reachable at 1 hop; second
+    generation (+20000) present even where its only path is transitive
+    (through gen1) — the chain case single-hop decontamination misses."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.graphs import (
+        SPREAD_SEED_MOD,
+        contamination_spread,
+    )
+
+    rows = {
+        r["doc_id"]: r["hops"]
+        for r in contamination_spread(spark, SF_SMALL).collect()
+    }
+    assert rows, "spread returned nothing"
+    assert all(0 <= h <= 3 for h in rows.values())
+    seeds = [d for d, h in rows.items() if h == 0]
+    assert seeds and all(
+        d % SPREAD_SEED_MOD == 0 and d < 10000 for d in seeds
+    )
+    # the seed family's mutated generations are reached transitively
+    gen1 = [d for d in rows if 10000 <= d < 20000]
+    gen2 = [d for d in rows if d >= 20000]
+    assert gen1 and gen2
+    assert all(rows[d] >= 1 for d in gen1)
+    assert all(rows[d] >= 1 for d in gen2)
