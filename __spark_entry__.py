@@ -73,6 +73,7 @@ _PRIORITY_FIRST = [
     "udtf_char_chunks",
     "bpe_merge_pair_counts",
     "contamination_spread",
+    "pq_topk_adc",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

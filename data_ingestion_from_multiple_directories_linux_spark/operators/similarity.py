@@ -822,3 +822,235 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with ADC top-k — the compressed-corpus search
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  #: subspaces (64 dims → 4 × 16)
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 8  #: centroids per subspace (3-bit codes; 256 in production PQ)
+#: one Lloyd round per subspace: deterministic, oracle-unrollable (the
+#: IVF contract, applied per subspace)
+PQ_ROUNDS = 1
+
+
+def _pq_slices(vecs: DataFrame, id_cols: list[str]) -> DataFrame:
+    """(*)id_cols, m, sv) — each vector split into PQ_M contiguous
+    sub-vectors (one row per subspace; F.slice is 1-based)."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(F.col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
+    return vecs.select(*id_cols, F.posexplode(subs).alias("m", "sv"))
+
+
+def _pq_assign(slices: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid-in-subspace assignment by EXACT integer L2:
+    ||x-c||² ranks identically to nsv + ncv - 2·dot, and with the
+    quantized-BIGINT dot/norms that expression is exact integer
+    arithmetic — assignment ties break on cid with no float ambiguity
+    (the cross-engine property the IVF cosine path gets from its
+    quantized ints, here in L2 form). Centroids broadcast (≤ M·K
+    rows); the argmin is the map-side-combining max(struct) device."""
+    j = slices.join(F.broadcast(cent), "m")
+    dist = (
+        norm_sq_q("sv") + F.col("ncv") - F.lit(2) * dot_q("sv", "cv")
+    ).alias("d")
+    scored = j.select(
+        *[c for c in slices.columns if c != "sv"], "sv", "cid", dist
+    )
+    return (
+        scored.groupBy(*[c for c in slices.columns if c != "sv"])
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"), (-F.col("cid")).alias("ncid")
+                )
+            ).alias("w"),
+            F.first("sv").alias("sv"),
+        )
+        .withColumn("cell", (-F.col("w.ncid")).cast("long"))
+        .drop("w")
+    )
+
+
+def train_pq_codebooks(base: DataFrame) -> DataFrame:
+    """(m, cid, cv, ncv) — one K-centroid codebook per subspace:
+    md5-rank seeds (sub-slices of the same K seed vectors — one
+    TakeOrderedAndProject serves all M subspaces) + PQ_ROUNDS exact-
+    BIGINT Lloyd iterations keyed by (m, cell), all M subspaces
+    training in ONE set of DataFrame aggregations (m rides the keys —
+    no per-subspace loop). Same sampled-training contract as the IVF
+    path (md5-prefix 25% sample)."""
+    sample = base.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
+        < TRAIN_SAMPLE_BELOW
+    ).persist()
+    try:
+        rn = F.row_number().over(W.orderBy("h", "vec_id"))
+        seeds = (
+            sample.withColumn(
+                "h", F.md5(F.col("vec_id").cast("string").cast("binary"))
+            )
+            .orderBy("h", "vec_id")
+            .limit(PQ_K)
+            .select((rn - 1).cast("long").alias("cid"), "v")
+        )
+        cent = (
+            _pq_slices(seeds, ["cid"])
+            .select("m", "cid", F.col("sv").alias("cv"))
+            .withColumn("ncv", norm_sq_q("cv"))
+            .repartition(1)
+            .localCheckpoint(eager=True)
+        )
+        bsl = _pq_slices(sample, ["vec_id"]).persist()
+        for _ in range(PQ_ROUNDS):
+            assigned = _pq_assign(bsl, cent)
+            ex = assigned.select(
+                "m", "cell", F.posexplode("sv").alias("i", "x")
+            )
+            sums = ex.groupBy("m", "cell", "i").agg(
+                F.sum(F.floor(F.col("x") * F.lit(SCALE)).cast("long")).alias(
+                    "s"
+                ),
+                F.count("*").alias("c"),
+            )
+            comp = (
+                F.col("s").cast("double") / (F.lit(SCALE) * F.col("c"))
+            ).alias("mean")
+            cv = F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mean"))),
+                lambda st: st["mean"],
+            )
+            cent = (
+                sums.select("m", "cell", "i", comp)
+                .groupBy("m", "cell")
+                .agg(cv.alias("cv"))
+                .select(
+                    "m",
+                    F.col("cell").alias("cid"),
+                    "cv",
+                    norm_sq_q("cv").alias("ncv"),
+                )
+                .repartition(1)
+                .localCheckpoint(eager=True)
+            )
+        bsl.unpersist()
+        return cent
+    finally:
+        sample.unpersist()
+
+
+def _sql_pq_dist(sv: str, cv: str) -> str:
+    """Exact-integer L2 ranking expression (see _pq_assign)."""
+    return (
+        f"{sql_norm_sq_q(sv)} + {sql_norm_sq_q(cv)} - 2 * ({sql_dot_q(sv, cv)})"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of the WHOLE PQ pipeline: seeding, the Lloyd round
+    per subspace, corpus encoding, and the ADC top-k — the compressed
+    search is value-certified end to end, training included (the IVF
+    oracle contract, per subspace)."""
+    sl = f"list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    assign = f"""
+        SELECT vec_id, m, sv, cell FROM (
+            SELECT s.vec_id, s.m, s.sv, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_sql_pq_dist('s.sv', 'c.cv')} ASC, c.cid)
+                       AS rn
+            FROM {{src}} s JOIN {{cent}} c ON c.m = s.m)
+        WHERE rn = 1
+    """
+    return f"""
+    WITH e AS ({E_SQL}),
+    base AS (
+        SELECT vec_id, v FROM e
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+              < '{TRAIN_SAMPLE_BELOW}'
+    ),
+    ms AS (SELECT unnest(range({PQ_M})) AS m),
+    bsl AS (SELECT vec_id, m, {sl} AS sv FROM base, ms),
+    seedv AS (
+        SELECT rn - 1 AS cid, v FROM (
+            SELECT v, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM base)
+        WHERE rn <= {PQ_K}
+    ),
+    cent0 AS (SELECT m, cid, {sl.replace('v,', 'v,')} AS cv
+              FROM (SELECT cid, v FROM seedv), ms),
+    assign0 AS ({assign.format(src='bsl', cent='cent0')}),
+    cent1 AS (
+        SELECT m, cell AS cid, list(mean ORDER BY i) AS cv FROM (
+            SELECT m, cell, i,
+                   CAST(CAST(SUM(CAST(floor(sv[i+1] * 1e9) AS BIGINT))
+                             AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * COUNT(*)) AS mean
+            FROM assign0, (SELECT unnest(range({PQ_SUBDIM})) AS i) t
+            GROUP BY m, cell, i)
+        GROUP BY m, cell
+    ),
+    csl AS (SELECT vec_id, m, {sl} AS sv FROM e, ms),
+    codes AS ({assign.format(src='csl', cent='cent1')}),
+    qtab AS (
+        SELECT c.m, c.cid, {sql_dot_q('q.sv', 'c.cv')} AS pdot
+        FROM csl q JOIN cent1 c ON c.m = q.m
+        WHERE q.vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label, CAST(SUM(t.pdot) AS BIGINT) AS approx_dot
+    FROM codes k
+    JOIN qtab t ON t.m = k.m AND t.cid = k.cell
+    JOIN e ON e.vec_id = k.vec_id
+    WHERE k.vec_id <> {QUERY_VEC_ID}
+    GROUP BY e.vec_id, e.label
+    ORDER BY approx_dot DESC, e.vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("pq_topk_adc", oracle=_pq_oracle_sql())
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (Jégou '11; the FAISS IVFPQ code path minus the IVF stage, which
+    `embedding_near_dup_ivf` already covers): {PQ_M} codebooks of
+    {PQ_K} centroids trained per 16-dim subspace, every corpus vector
+    stored as {PQ_M} small codes (3 bits each here — 256x smaller than
+    the float32 vector; 8-bit codes at production K), and the query
+    scored against the CODEBOOKS once (an M×K lookup table) instead of
+    against every vector.
+
+    Plan: training = one TakeOrderedAndProject seed + per-(m,cell,i)
+    exact-BIGINT Lloyd aggregations (all M subspaces in one keyed agg
+    pass, no per-subspace loop); encoding = broadcast M·K centroids,
+    integer-L2 argmin; search = codes equi-join the broadcast M×K
+    query table, SUM per vector, TakeOrderedAndProject. At 100 TB the
+    corpus scan reads CODES (bytes/vector), not embeddings — the
+    memory-bound trick that makes billion-vector search fit a cluster.
+    The oracle replays seeding, training, encoding and ADC exactly —
+    integer quantization makes every stage bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    cent = train_pq_codebooks(e.select("vec_id", "v"))
+    csl = _pq_slices(e.select("vec_id", "label", "v"), ["vec_id", "label"])
+    codes = _pq_assign(csl, cent).select("vec_id", "label", "m", "cell")
+    qtab = (
+        csl.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .join(F.broadcast(cent), "m")
+        .select("m", "cid", dot_q("sv", "cv").alias("pdot"))
+    )
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(qtab),
+            (codes["m"] == qtab["m"]) & (codes["cell"] == qtab["cid"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("pdot").cast("long").alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
