@@ -44,7 +44,9 @@ def queries():
 def test_topk_plans_take_ordered(spark, queries):
     for name in ("top_k_orders", "work_queue_dequeue", "top_spender_subquery_agg",
                  "token_frequency_topk", "cosine_topk",
-                 "q3_shipping_priority", "q10_returned_items"):
+                 "q3_shipping_priority", "q10_returned_items",
+                 "weighted_sample_docs", "sq8_quantized_topk",
+                 "bpe_merge_pair_counts", "pq_topk_adc"):
         plan = plan_of(queries[name](spark, SF_SMALL))
         assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
         assert "GlobalSort" not in plan, f"{name}: global sort"
@@ -110,6 +112,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "q22_idle_customers",  # 1-row avg-balance scalar broadcast
         "q11_part_value_concentration",  # 1-row value-total scalar broadcast
         "q15_top_revenue_supplier",  # 1-row MAX(revenue) scalar broadcast
+        # 1-row scale-array + 1-row query-code broadcasts (SQ8)
+        "sq8_quantized_topk",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -153,8 +157,16 @@ def test_partial_aggregation_before_shuffle(spark, queries):
 
 def test_whole_stage_codegen_on_hot_path(spark, queries):
     """Relational queries stay inside WholeStageCodegen spans (no Python
-    evaluation nodes anywhere in the registry)."""
+    evaluation nodes anywhere in the registry). The one exception is the
+    UDTF escape-hatch query, whose BatchEvalPythonUDTF node is the
+    documented cost of the SQL-visible table-function surface
+    (operators/corpus.py udtf_char_chunks — hot paths use the native
+    document_chunks instead)."""
     for name, fn in queries.items():
+        if name == "udtf_char_chunks":
+            plan = plan_of(fn(spark, SF_SMALL))
+            assert "BatchEvalPythonUDTF" in plan, "UDTF surface vanished"
+            continue
         plan = plan_of(fn(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     # codegen spans only materialize in the final AQE plan (the "*(n)"
@@ -530,3 +542,23 @@ def test_q9_dims_broadcast(spark, queries):
     plan = plan_of(queries["q9_nation_year_profit"](spark, SF_SMALL))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_joins_are_hash_not_nested_loop(spark, queries):
+    """PQ's encode and ADC joins are equi-joins on (m[, cell]) — they
+    must plan as broadcast HASH joins of the tiny codebook/table sides,
+    and the final ranking must be a TakeOrderedAndProject."""
+    plan = plan_of(queries["pq_topk_adc"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_scan_plus_heap(spark, queries):
+    """Sequential-Poisson sampling must be one scan with zero joins and
+    zero aggregate shuffles — priorities are a projection, the top-k a
+    per-partition heap."""
+    plan = plan_of(queries["weighted_sample_docs"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    for op in ("Join", "HashAggregate", "Window"):
+        assert op not in plan, f"unexpected {op}"
