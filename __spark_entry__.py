@@ -74,6 +74,8 @@ _PRIORITY_FIRST = [
     "bpe_merge_pair_counts",
     "contamination_spread",
     "pq_topk_adc",
+    "label_centroids",
+    "semantic_dedup_survivors",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

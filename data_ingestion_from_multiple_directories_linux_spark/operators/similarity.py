@@ -1054,3 +1054,122 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Class prototypes (mean embedding per label)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(CAST(floor(v[i+1] * 1e9) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / (1000000000.0 * COUNT(*)) AS mean_val
+    FROM ({E_SQL}), (SELECT unnest(range({EMB_DIM})) AS i) t
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes) — the vector behind
+    prototype classifiers, semantic-dedup cluster summaries, and
+    label-conditioned retrieval; also the per-class drift monitor a
+    training pipeline snapshots every refresh.
+
+    One posexplode → ONE partial-agg groupBy on (label, dim): the
+    shuffle carries |labels|·d pre-summed rows per partition, not
+    vectors. Means use the exact-BIGINT quantized-sum device of the
+    Lloyd updates (order-independent integer sums, one double division
+    at the end) so the oracle matches bit-for-bit — the same
+    mergeable-statistics shape as exact_moment_correlation: per-shard
+    moment sums union-merge, the statistic derives at read."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", to_double_array("embedding").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    return ex.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("x") * F.lit(SCALE)).cast("long")).alias("s"),
+        F.count("*").alias("c"),
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("c").cast("long").alias("n_vecs"),
+        (F.col("s").cast("double") / (F.lit(SCALE) * F.col("c"))).alias(
+            "mean_val"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup) — embedding-space dedup materialized
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """IVF train/assign CTEs + in-cell pair search + recursive closure +
+    canonical anti-join — the whole SemDeDup pipeline replayed in SQL
+    (WITH RECURSIVE hoisted onto the shared IVF prefix)."""
+    prefix = _ivf_train_assign_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+    {prefix},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {sql_cosine_q(sql_dot_q('a.v', 'b.v'), 'a.nv', 'b.nv')}
+              >= {NEAR_DUP_COSINE}
+    ),
+    und AS (
+        SELECT id_a AS node, id_b AS peer FROM pairs
+        UNION ALL
+        SELECT id_b AS node, id_a AS peer FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT node, node FROM (SELECT DISTINCT node FROM und)
+        UNION
+        SELECT u.node, r.lbl FROM und u JOIN reach r ON r.node = u.peer
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    drop_ids AS (SELECT node FROM comp WHERE node != cluster_id)
+    SELECT corpus.vec_id FROM corpus
+    WHERE corpus.vec_id NOT IN (SELECT node FROM drop_ids)
+    """
+
+
+@query("semantic_dedup_survivors", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23) end to end: semantic near-duplicates
+    found in EMBEDDING space (paraphrases and re-encodings that share no
+    n-grams) and the corpus MATERIALIZED with one canonical survivor per
+    semantic cluster — the embedding-side twin of
+    `dedup_materialize_canonical`'s text pipeline.
+
+    Stages, each individually certified elsewhere and composed here:
+    trained-IVF cell assignment (cluster the corpus), in-cell cosine
+    pairs (the paper's within-cluster pairwise check — n²/K, never n²),
+    connected components over the pairs, keep cluster-min, LEFT ANTI
+    hash join back onto the corpus. The oracle replays training, pair
+    search, and a recursive-CTE closure exactly. At 100 TB every stage
+    is hash-partitioned; the drop list is cluster-count sized and
+    broadcasts."""
+    pairs = ivf_near_dup_pairs(spark, sf_dir, nprobe=1).select("id_a", "id_b")
+
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    corpus = e.unionByName(mut)
+    return corpus.join(drop, "vec_id", "left_anti").select("vec_id")

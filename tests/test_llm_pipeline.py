@@ -830,3 +830,23 @@ def test_pq_codes_stable_under_perturbation(spark):
     assert sum(agree) / len(agree) >= 0.75, sum(agree) / len(agree)
     full = sum(1 for v in per_copy.values() if all(v))
     assert full / len(per_copy) >= 0.25, (full, len(per_copy))
+
+
+def test_semantic_dedup_drops_copies_keeps_base(spark):
+    """SemDeDup semantics on the synthesized corpus: every dropped
+    vector is a perturbed COPY (pair ids order base < copy, so the
+    cluster canonical is always the base vector); all 500 base vectors
+    survive; and a substantial share of the 100 copies is removed
+    (IVF nprobe=1 recall bounds the exact count)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    ids = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(spark, SF_SMALL).collect()
+    }
+    base = {i for i in ids if i < 10000}
+    assert len(base) == 500  # no base vector ever dropped
+    copies_kept = len(ids) - len(base)
+    assert copies_kept < 50, copies_kept  # most copies deduped away

@@ -114,6 +114,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "q15_top_revenue_supplier",  # 1-row MAX(revenue) scalar broadcast
         # 1-row scale-array + 1-row query-code broadcasts (SQ8)
         "sq8_quantized_topk",
+        # same ≤32-row centroid broadcast as embedding_near_dup_ivf
+        "semantic_dedup_survivors",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
