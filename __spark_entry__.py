@@ -76,6 +76,7 @@ _PRIORITY_FIRST = [
     "pq_topk_adc",
     "label_centroids",
     "semantic_dedup_survivors",
+    "minhash_estimate_calibration",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

@@ -1025,3 +1025,167 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+CAL_N_HASHES = 64  #: signature width under calibration
+CAL_SHINGLE_N = 3
+
+#: md5-based signature hash (production signatures use xxhash64 — one
+#: pass, 64 agg expressions — but xxhash64 has no DuckDB twin; the
+#: calibration query swaps in the engine-portable 60-bit md5 device so
+#: the ORACLE recomputes the identical signatures)
+_CAL_H = (
+    "CAST('0x' || substr(md5('mh{i}:' || s), 1, 15) AS BIGINT)"
+)
+
+
+def _cal_sh_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i+{k + 1}]" for k in range(CAL_SHINGLE_N))
+    return f"""
+    corpus AS (
+        SELECT doc_id, text FROM ({NEAR_DUP_CORPUS_SQL})
+        WHERE doc_id >= 10000 OR doc_id % 7 = 0
+    ),
+    tok AS (SELECT doc_id, {TOK_SQL.format(c='text')} AS toks FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(toks) - {CAL_SHINGLE_N - 1}),
+                                            i -> {parts})) AS sh
+        FROM tok WHERE len(toks) >= {CAL_SHINGLE_N}
+    )"""
+
+
+@query(
+    "minhash_estimate_calibration",
+    oracle=f"""
+    WITH {_cal_sh_sql()},
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sig AS (
+        SELECT doc_id, list(mh ORDER BY i) AS sig FROM (
+            SELECT doc_id, i, MIN({_CAL_H.format(i="' || i || '")}) AS mh
+            FROM ex, (SELECT unnest(range({CAL_N_HASHES})) AS i) t
+            GROUP BY doc_id, i)
+        GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_filter(range({CAL_N_HASHES}),
+                               k -> sa.sig[k+1] = sb.sig[k+1])) AS matches,
+               len(list_intersect(a.sh, b.sh)) AS inter,
+               len(a.sh) AS n_a, len(b.sh) AS n_b
+        FROM sh a
+        JOIN sh b ON b.doc_id = a.doc_id + 10000
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = b.doc_id
+        WHERE a.doc_id < 10000
+    )
+    SELECT id_a, id_b,
+           CAST((1000 * matches) // {CAL_N_HASHES} AS BIGINT) AS est_permille,
+           CAST((1000 * inter) // (n_a + n_b - inter) AS BIGINT)
+               AS exact_permille,
+           CAST(abs((1000 * matches) // {CAL_N_HASHES}
+                    - (1000 * inter) // (n_a + n_b - inter)) AS BIGINT)
+               AS abs_err_permille
+    FROM pairs
+    """,
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ACCURACY audit: for every synthesized (original, mutated)
+    pair, the signature-estimated Jaccard (matching positions / 64)
+    next to the exact shingle-set Jaccard and the absolute error — the
+    calibration run that justifies the production threshold (est ≈
+    J ± 1/sqrt(64) ≈ ±0.125; banding parameters in functions/text.py
+    derive from exactly this error model).
+
+    Signatures here use the engine-portable md5 hash so the oracle
+    recomputes them bit-for-bit (the production index uses xxhash64 —
+    same MIN-agg plan, faster hash, no SQL twin). Plan: one explode +
+    one groupBy(doc, i) MIN for signatures (the i-fan-out is the
+    calibration cost; the production one-pass 64-agg shape is in
+    minhash_band_index), one equi-join on the known pair structure,
+    integer-permille outputs. Only the pair-participating docs (the %7
+    mutated family) are shingled and signed — 7x less signature work,
+    same result (every emitted pair involves that family by
+    construction)."""
+    corpus = _near_dup_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") >= 10000) | (F.col("doc_id") % 7 == 0)
+    )
+    sh = _shingle_sets(corpus, CAL_SHINGLE_N).persist()
+    ex = _explode_shingles(sh.select("doc_id", "sh"), [])
+    hashed = ex.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(CAL_N_HASHES - 1))
+        ).alias("_p", "i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mh"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("s"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    sig = (
+        hashed.groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda st: st["mh"],
+            ).alias("sig")
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.filter(F.col("id_a") < 10000)
+        .join(b, F.col("id_b") == F.col("id_a") + 10000)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda v: v == 1,
+                )
+            ).alias("matches"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    est = F.expr(f"(1000 * matches) DIV {CAL_N_HASHES}")
+    exact = F.expr("(1000 * inter) DIV (n_a + n_b - inter)")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        est.cast("long").alias("est_permille"),
+        exact.cast("long").alias("exact_permille"),
+        F.abs(est - exact).cast("long").alias("abs_err_permille"),
+    )

@@ -850,3 +850,19 @@ def test_semantic_dedup_drops_copies_keeps_base(spark):
     assert len(base) == 500  # no base vector ever dropped
     copies_kept = len(ids) - len(base)
     assert copies_kept < 50, copies_kept  # most copies deduped away
+
+
+def test_minhash_estimator_error_within_model(spark):
+    """The 64-hash MinHash estimate must track exact Jaccard within the
+    binomial error model (sd = sqrt(J(1-J)/64) ~ 60 permille at J=0.7):
+    mean |err| well under one sd, max under ~3 sd — the calibration that
+    justifies the production banding parameters."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        minhash_estimate_calibration,
+    )
+
+    pdf = minhash_estimate_calibration(spark, SF_SMALL).toPandas()
+    assert len(pdf) > 50
+    assert (pdf.exact_permille > 0).all()
+    assert pdf.abs_err_permille.mean() <= 60, pdf.abs_err_permille.mean()
+    assert pdf.abs_err_permille.max() <= 250, pdf.abs_err_permille.max()
