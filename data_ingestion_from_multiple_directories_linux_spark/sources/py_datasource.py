@@ -43,10 +43,12 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -144,3 +146,102 @@ class UploadDataSource(DataSource):
 
     def reader(self, schema: StructType) -> UploadReader:
         return UploadReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "UploadWriter":
+        return UploadWriter(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Writer: emit the upload-tree layout back out (the round-trip sink)
+# ---------------------------------------------------------------------------
+
+
+class _UploadCommit(WriterCommitMessage):
+    """Per-task commit message: the (temp, final) renames this task
+    staged. Picklable plain data only."""
+
+    def __init__(self, renames: list[tuple[str, str]]):
+        self.renames = renames
+
+
+class UploadWriter(DataSourceWriter):
+    """Writes rows (facility_id, table_name, record) back into the
+    reference's upload layout — one JSON-array file per (facility,
+    table) per task, named ``<table>_<pid>_<suffix>.json`` (the
+    reference's ``<table>_<batch>_<timestamp>`` convention with the task
+    partition id as the batch ordinal).
+
+    Two-phase commit, the part plain ``foreachPartition`` file writing
+    cannot give you: tasks stage ``.tmp-*`` files and report them in
+    their commit message; only the DRIVER's ``commit()`` renames staged
+    files to their final names, and ``abort()`` removes every staged
+    file — so a failed/speculatively-duplicated task never leaves a
+    half-written upload visible to the reference's file-discovery scan
+    (which lists ``<table>_*.json``, and would otherwise ingest
+    partial files; the same task-commit discipline FileFormatWriter
+    applies to parquet, here for a custom layout)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("upload_json writer requires .option('path', root)")
+        if overwrite:
+            raise ValueError(
+                "upload_json supports append only (the upload tree is an "
+                "arrival log; delete via the retention job, not overwrite)"
+            )
+        #: stamped into file names; defaults to a fixed batch tag so
+        #: reruns are deterministic — pass a timestamp for real loads
+        self.suffix = options.get("suffix", "00000000000000")
+
+    def write(self, iterator) -> _UploadCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        groups: dict[tuple[str, str], list[str]] = {}
+        for row in iterator:
+            rec = row["record"]
+            # validate executor-side: a malformed record would poison
+            # the whole emitted file for downstream array parsers
+            _json.loads(rec)
+            groups.setdefault(
+                (row["facility_id"], row["table_name"]), []
+            ).append(rec)
+        renames = []
+        for (fac, table), recs in sorted(groups.items()):
+            d = _os.path.join(self.root, fac)
+            _os.makedirs(d, exist_ok=True)
+            # reference naming: <table>_<batch>_<timestamp>.json —
+            # the task/partition id is the batch ordinal, so names stay
+            # parseable by discover_files AND unique per task
+            final = _os.path.join(
+                d, f"{table}_{pid}_{self.suffix}.json"
+            )
+            tmp = _os.path.join(d, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write("[" + ",".join(recs) + "]")
+            renames.append((tmp, final))
+        return _UploadCommit(renames)
+
+    def commit(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            for tmp, final in m.renames:
+                _os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _ in m.renames:
+                try:
+                    _os.remove(tmp)
+                except OSError:
+                    pass

@@ -83,3 +83,86 @@ def test_malformed_file_yields_null_record(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["record"] is None
     assert rows[0]["facility_id"] == "FAC009"
+
+
+def test_writer_round_trips_upload_tree(spark, tmp_path):
+    """The writer emits the reference upload layout (facility dirs,
+    <table>_*.json array files) through the two-phase commit, and the
+    upload_json READER recovers exactly the written rows — a full
+    format round-trip through the custom source."""
+    out = str(tmp_path / "emitted")
+    rows = [
+        ("FAC001", "patient_person", json.dumps({"id": i, "v": f"x{i}"}))
+        for i in range(4)
+    ] + [("FAC002", "visits", json.dumps({"id": 99}))]
+    df = spark.createDataFrame(
+        rows, "facility_id string, table_name string, record string"
+    ).repartition(2)
+    (
+        df.write.format("upload_json")
+        .mode("append")
+        .option("path", out)
+        .option("suffix", "20250101000000")
+        .save()
+    )
+    # layout: facility dirs, table-prefixed array files, no temp residue
+    facs = sorted(os.listdir(out))
+    assert facs == ["FAC001", "FAC002"]
+    for fac in facs:
+        names = os.listdir(os.path.join(out, fac))
+        assert names and all(not n.startswith(".tmp-") for n in names)
+        assert all(n.endswith(".json") for n in names)
+    back = (
+        spark.read.format("upload_json").option("path", out).load().collect()
+    )
+    got = sorted(
+        (r["facility_id"], r["table_name"], r["record"]) for r in back
+    )
+    assert got == sorted(rows)
+    # every emitted file is a well-formed JSON array (reference parser)
+    for fac in facs:
+        for n in os.listdir(os.path.join(out, fac)):
+            with open(os.path.join(out, fac, n)) as f:
+                assert isinstance(json.load(f), list)
+
+
+def test_writer_abort_leaves_no_staged_files(spark, tmp_path):
+    """The abort path: staged .tmp files are removed, nothing final
+    appears (driven directly — Spark only calls abort on task
+    failure)."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.py_datasource import (
+        UploadWriter,
+    )
+
+    out = str(tmp_path / "aborted")
+    os.makedirs(out)
+    w = UploadWriter({"path": out}, overwrite=False)
+    import uuid
+
+    d = os.path.join(out, "FAC001")
+    os.makedirs(d)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write("[]")
+
+    class Msg:
+        renames = [(tmp, os.path.join(d, "t_0_00000000000000.json"))]
+
+    w.abort([Msg(), None])
+    assert os.listdir(d) == []
+
+
+def test_writer_rejects_overwrite_and_malformed_records(spark, tmp_path):
+    out = str(tmp_path / "rejects")
+    df = spark.createDataFrame(
+        [("F", "t", "{not json")],
+        "facility_id string, table_name string, record string",
+    )
+    with pytest.raises(Exception):
+        df.write.format("upload_json").mode("overwrite").option(
+            "path", out
+        ).save()
+    with pytest.raises(Exception):
+        df.write.format("upload_json").mode("append").option(
+            "path", out
+        ).save()

@@ -310,3 +310,50 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The optimizer-control surface: strategy hints must flip the
+    physical join — BROADCAST forces BroadcastHashJoin, MERGE forces
+    SortMergeJoin, SHUFFLE_HASH forces ShuffledHashJoin — on the same
+    logical join. At 100 TB these are the manual overrides when stats
+    mislead AQE (a 'small' side that explodes after filters, or a
+    co-partitioned pair the planner can't see)."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+
+    def plan(hint):
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan("broadcast")
+    assert "SortMergeJoin" in plan("merge")
+    assert "ShuffledHashJoin" in plan("shuffle_hash")
+
+
+def test_native_hll_distinct_calibrated_vs_exact(spark):
+    """Spark's built-in HyperLogLog++ (approx_count_distinct) audited
+    against the exact count at two precisions — the native sketch the
+    engine reaches for when the KMV/exact paths are too expensive
+    (its estimate is engine-internal, hence pytest-calibrated rather
+    than oracle-compared; the oracle-exact approximate-distinct is
+    kmv_distinct_users)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    o = load_table(spark, SF_SMALL, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    for rsd, tol in ((0.05, 0.15), (0.01, 0.03)):
+        est = o.select(
+            F.approx_count_distinct("o_custkey", rsd=rsd)
+        ).collect()[0][0]
+        assert abs(est - exact) / exact <= tol, (rsd, est, exact)
