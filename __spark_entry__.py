@@ -77,6 +77,8 @@ _PRIORITY_FIRST = [
     "label_centroids",
     "semantic_dedup_survivors",
     "minhash_estimate_calibration",
+    "m4_downsample_events",
+    "peak_concurrency_daily",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

@@ -605,3 +605,227 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_group").cast("long").alias("n_group"),
     ).select("event_type", "quantile_permille", "lo", "hi", "n_group")
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (visual-fidelity time-series reduction)
+# ---------------------------------------------------------------------------
+
+#: 6-hour pixel buckets over the 30-day events span (~120 buckets)
+M4_BUCKET_US = 6 * 3_600_000_000
+
+
+@query(
+    "m4_downsample_events",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS us, value,
+               CAST(epoch_us(ts) // {M4_BUCKET_US} AS BIGINT) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY us, event_id) AS rf,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY us DESC, event_id DESC) AS rl,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY value, event_id) AS rmn,
+            row_number() OVER (PARTITION BY bucket
+                               ORDER BY value DESC, event_id DESC) AS rmx
+        FROM e
+    )
+    SELECT bucket, 'first' AS role, event_id, us, value FROM r WHERE rf = 1
+    UNION ALL
+    SELECT bucket, 'last', event_id, us, value FROM r WHERE rl = 1
+    UNION ALL
+    SELECT bucket, 'min', event_id, us, value FROM r WHERE rmn = 1
+    UNION ALL
+    SELECT bucket, 'max', event_id, us, value FROM r WHERE rmx = 1
+    """,
+)
+def m4_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB '14): per time bucket the
+    first/last/min/max points — the lossless-for-rendering reduction
+    every monitoring UI runs before plotting (a line through these 4
+    points per pixel column draws the SAME pixels as the full series),
+    and the standard first pass before eyeballing 100 TB of telemetry.
+
+    One groupBy(bucket) with four struct-extremum aggregates — the
+    map-side-combining argmin/argmax device (ordering fields first,
+    payload riding behind a UNIQUE tiebreak so struct comparison never
+    reaches it) — then a 4-role stack of the one-row-per-bucket result.
+    ONE shuffle of (bucket, 4 structs) partials; contrast the naive
+    4-window formulation, which sorts the full series 4 times (the
+    oracle does exactly that — correct and slow is fine THERE). NULL
+    values are excluded (they have no y-coordinate)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.expr("unix_micros(ts)")
+    d = e.select(
+        "event_id",
+        us.alias("us"),
+        "value",
+        F.expr(f"unix_micros(ts) div {M4_BUCKET_US}").alias("bucket"),
+    )
+    t_struct = F.struct("us", "event_id", "value")
+    v_struct = F.struct("value", "event_id", "us")
+    agg = d.groupBy("bucket").agg(
+        F.min(t_struct).alias("f"),
+        F.max(t_struct).alias("l"),
+        F.min(v_struct).alias("mn"),
+        F.max(v_struct).alias("mx"),
+    )
+    return agg.select(
+        "bucket",
+        F.expr(
+            "stack(4,"
+            " 'first', f.event_id, f.us, f.value,"
+            " 'last',  l.event_id, l.us, l.value,"
+            " 'min',   mn.event_id, mn.us, mn.value,"
+            " 'max',   mx.event_id, mx.us, mx.value"
+            ") AS (role, event_id, us, value)"
+        ),
+    ).select("bucket", "role", "event_id", "us", "value")
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+
+CONC_GAP_US = 30 * 60 * 1_000_000  #: session gap (30 min, as L15)
+DAY_US = 86_400_000_000
+
+
+@query(
+    "peak_concurrency_daily",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+               CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                         - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                         >= {CONC_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, island, MIN(us) AS s_us, MAX(us) AS e_us
+        FROM islands GROUP BY user_id, island
+    ),
+    sweep AS (
+        SELECT s_us AS us, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT e_us + 1 AS us, -1 AS delta FROM sessions
+    ),
+    daily AS (
+        SELECT us // {DAY_US} AS day, us, delta FROM sweep
+    ),
+    day_tot AS (
+        SELECT day, SUM(delta) AS tot FROM daily GROUP BY day
+    ),
+    day_pref AS (
+        SELECT day,
+               COALESCE(SUM(tot) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS pref
+        FROM day_tot
+    ),
+    active AS (
+        SELECT d.day,
+               p.pref + SUM(d.delta) OVER (
+                   PARTITION BY d.day ORDER BY d.us
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_active
+        FROM daily d JOIN day_pref p ON p.day = d.day
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(MAX(n_active) AS BIGINT) AS peak_concurrency
+    FROM active GROUP BY day
+    """,
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day — the capacity-planning
+    statistic — via the classic sweep line: sessions (30-min-gap
+    islands) emit +1 at start and -1 just after their inclusive end,
+    and the running sum of deltas in time order IS the number of
+    active sessions at each instant; max per day is the peak.
+
+    The running sum is the global-cumsum trap (order spans the whole
+    timeline), handled exactly like sequence_packing's two-phase
+    prefix sum: per-DAY cumulative sums (hash-partitioned by day, the
+    RANGE frame folds all deltas at one instant together so equal-
+    timestamp start/end pairs resolve order-independently) plus an
+    exclusive day-prefix offset from the per-day delta totals — the
+    only ordered window over the full range runs on ONE ROW PER DAY
+    (30 rows here; bounded by calendar days at any corpus size, the
+    same deliberately-tiny tail as key_skew_profile)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    marked = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            us
+            - F.lag(us).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            >= CONC_GAP_US,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = islands.groupBy("user_id", "island").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    sweep = sessions.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            (F.col("e_us") + 1).alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = sweep.select(
+        F.expr(f"us div {DAY_US}").alias("day"), "us", "delta"
+    )
+    day_tot = daily.groupBy("day").agg(F.sum("delta").alias("tot"))
+    day_pref = day_tot.select(
+        "day",
+        F.coalesce(
+            F.sum("tot").over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("pref"),
+    )
+    active = daily.join(F.broadcast(day_pref), "day").select(
+        "day",
+        (
+            F.col("pref")
+            + F.sum("delta").over(
+                Window.partitionBy("day")
+                .orderBy("us")
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("n_active"),
+    )
+    return active.groupBy(F.col("day").cast("long").alias("day")).agg(
+        F.max("n_active").cast("long").alias("peak_concurrency")
+    )

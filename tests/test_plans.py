@@ -564,3 +564,22 @@ def test_weighted_sample_is_scan_plus_heap(spark, queries):
     assert "TakeOrderedAndProject" in plan
     for op in ("Join", "HashAggregate", "Window"):
         assert op not in plan, f"unexpected {op}"
+
+
+def test_m4_is_single_aggregate_not_four_windows(spark, queries):
+    """M4 must plan as ONE bucket aggregation (struct extremums) — the
+    naive formulation sorts the series four times in four windows."""
+    plan = plan_of(queries["m4_downsample_events"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg (+AQE reuse)
+
+
+def test_peak_concurrency_single_partition_is_day_bounded(spark, queries):
+    """The sweep line's only unpartitioned window is the day-prefix sum
+    over ONE ROW PER DAY — exactly one Exchange SinglePartition in the
+    plan, feeding from the per-day totals aggregate (bounded by
+    calendar days at any corpus size); the per-instant cumulative sums
+    are day-partitioned."""
+    plan = plan_of(queries["peak_concurrency_daily"](spark, SF_SMALL))
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange hashpartitioning(day" in plan
