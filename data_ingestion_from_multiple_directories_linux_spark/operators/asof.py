@@ -248,3 +248,107 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in "FOP"],
     )
+
+
+@query(
+    "asof_nearest_click",
+    oracle="""
+    WITH err AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+        SELECT e.event_id, MAX(c.ts) AS bts
+        FROM err e JOIN clk c
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+        GROUP BY e.event_id
+    ),
+    fwd AS (
+        SELECT e.event_id, MIN(c.ts) AS fts
+        FROM err e JOIN clk c
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        GROUP BY e.event_id
+    ),
+    pick AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN bts IS NULL THEN fts
+                    WHEN fts IS NULL THEN bts
+                    WHEN epoch_us(e.ts) - epoch_us(bts)
+                         <= epoch_us(fts) - epoch_us(e.ts) THEN bts
+                    ELSE fts END AS nts
+        FROM err e
+        LEFT JOIN back b ON b.event_id = e.event_id
+        LEFT JOIN fwd f ON f.event_id = e.event_id
+    )
+    SELECT event_id, user_id, ts AS error_ts,
+           nts AS nearest_click_ts,
+           CAST(epoch_us(nts) - epoch_us(ts) AS BIGINT) AS signed_gap_us
+    FROM pick
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (kdb's third ``aj`` flavor beside
+    backward/forward): each error matched to the same user's CLOSEST
+    click in either direction — the alignment a sensor-fusion or
+    attribution pipeline wants when the causal direction is unknown.
+    Ties (equidistant past and future clicks) resolve backward.
+
+    Same zero-physical-join plan as `asof_last_click`, doubled: ONE
+    union-tagged frame, ONE hash shuffle on user_id, and TWO window
+    passes over the same sort order — carry-forward ``last`` for the
+    backward candidate and carry-backward ``first`` over the mirrored
+    frame for the forward candidate (Spark evaluates both in one Window
+    node chain without re-sorting; the equal-ts click sorts before the
+    error so it wins BACKWARD with gap 0, which the nearest rule then
+    selects — matching the oracle's tie rule). The CASE pick is a
+    projection; no joins, no pair explosion, at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("kind"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("kind"),
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    both = (
+        err.unionByName(clk)
+        .withColumn("bts", F.last("click_ts", ignorenulls=True).over(wb))
+        .withColumn("fts", F.first("click_ts", ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    gap_b = F.unix_micros("ts") - F.unix_micros("bts")
+    gap_f = F.unix_micros("fts") - F.unix_micros("ts")
+    nts = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(gap_b <= gap_f, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        nts.alias("nearest_click_ts"),
+        (F.unix_micros(nts) - F.unix_micros("ts"))
+        .cast("long")
+        .alias("signed_gap_us"),
+    )

@@ -583,3 +583,12 @@ def test_peak_concurrency_single_partition_is_day_bounded(spark, queries):
     plan = plan_of(queries["peak_concurrency_daily"](spark, SF_SMALL))
     assert plan.count("Exchange SinglePartition") == 1
     assert "Exchange hashpartitioning(day" in plan
+
+
+def test_asof_nearest_zero_joins(spark, queries):
+    """The nearest as-of must keep the zero-physical-join plan of the
+    backward form: window passes over one union, no Join operator."""
+    plan = plan_of(queries["asof_nearest_click"](spark, SF_SMALL))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
