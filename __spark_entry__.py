@@ -55,17 +55,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (50 of 74+ in rounds 2-3), in registration order. Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
 # driver row stays at most one round old. Round-4 allocation of the 50
-# slots (final): the 20 final-batch queries (TPC-H completion, rank
-# functions, image/audio fingerprints, VARIANT, click attribution,
-# grouping sets / dense-rank / array HOFs — never driver-checked), then the round-4 second batch; a never-checked
-# query outranks renewing one that has a prior-round row plus the
-# committed fresh-process 139/139 record (VERIFY_LOCAL_r04.txt). The
-# second-batch tail from position ~51 (q7/q8/q17/q22 onward), the
-# first-batch entries, and the relational renewals fall past the cap —
-# all re-verified at HEAD by the fresh-process record; round 5 should
-# front-load, in order: the relational renewals (their r02 rows are two
-# rounds old), q7/q8/q17/q22 + first-batch entries, then the trailing
-# appended-file entries listed at the bottom.
+# slots (continuation): the 12 continuation-batch queries (weighted
+# sampling, SQ8/PQ/SemDeDup, UDTF, BPE pairs, recursive spread, MinHash
+# calibration, label centroids, M4, concurrency, nearest as-of — never
+# driver-checked anywhere), then the round-4 final batch (TPC-H
+# completion etc.), then as much of the second batch as fits; a
+# never-checked query outranks renewing one that has the committed
+# fresh-process 147+/151 record (VERIFY_LOCAL_r04.txt, regenerated this
+# session). Everything past the cap is re-verified at HEAD by that
+# record; round 5 should front-load, in order: the relational renewals
+# (their newest driver rows are r02 — three rounds old), the displaced
+# second-batch tail (kmv_distinct_by_day, q7/q8/q17/q22 onward), the
+# first-batch entries, then the appended-file entries at the bottom.
 _PRIORITY_FIRST = [
     # newest (round-4 continuation): no driver row, no prior local record
     "weighted_sample_docs",
