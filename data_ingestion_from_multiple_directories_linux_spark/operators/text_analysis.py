@@ -649,3 +649,40 @@ def train_bpe_merges(
         return merges
     finally:
         t.unpersist()
+
+
+def apply_bpe_merges(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Encode ``docs.text`` with a trained merge table: the merge rules
+    from :func:`train_bpe_merges` applied in priority order, each as
+    the same JVM-side greedy left-to-right fold the trainer used — the
+    TOKENIZE step of the pipeline (train once on a sample, encode the
+    full corpus).
+
+    Returns (original columns..., tokens array<string>, n_tokens). The
+    encode pass is map-only — |merges| chained fold expressions inside
+    one projection, zero shuffles; at 100 TB this is a scan."""
+    def fold_rule(a: str, b: str):
+        # a closure, not lambda default args: pyspark reads the
+        # lambda's arity and HOF merge functions must take exactly 2
+        def merge(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return merge
+
+    tk = bpe_tokens("text")
+    for a, b in merges:
+        tk = F.aggregate(
+            tk, F.expr("CAST(array() AS array<string>)"), fold_rule(a, b)
+        )
+    return docs.withColumn("tokens", tk).withColumn(
+        "n_tokens", F.size("tokens").cast("long")
+    )

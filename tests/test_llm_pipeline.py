@@ -866,3 +866,35 @@ def test_minhash_estimator_error_within_model(spark):
     assert (pdf.exact_permille > 0).all()
     assert pdf.abs_err_permille.mean() <= 60, pdf.abs_err_permille.mean()
     assert pdf.abs_err_permille.max() <= 250, pdf.abs_err_permille.max()
+
+
+def test_bpe_train_apply_round_trip(spark):
+    """Tokenizer round trip: applying the trained merge table encodes
+    the corpus with FEWER tokens (every applied rule merged at least
+    one pair), deterministically, and on the training corpus itself the
+    encoding matches what training's own folds produced (same greedy
+    rule)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        apply_bpe_merges,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab ab cd cd"), (3, "ab cd xy")],
+        "doc_id bigint, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=3, min_pair_count=2)
+    enc = apply_bpe_merges(docs, merges)
+    rows = {r["doc_id"]: r["tokens"] for r in enc.collect()}
+    # exact expected encodings under merges [(ab,ab), (ab,cd)]
+    assert rows[1] == ["abab", "abcd"]
+    assert rows[2] == ["abab", "cd", "cd"]
+    assert rows[3] == ["abcd", "xy"]
+    before = sum(len(r["text"].split()) for r in docs.collect())
+    after = sum(len(t) for t in rows.values())
+    assert after < before
+    again = {
+        r["doc_id"]: r["tokens"]
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    assert again == rows
