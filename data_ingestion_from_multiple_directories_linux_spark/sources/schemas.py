@@ -122,3 +122,49 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 def schema_for_table(table: str) -> T.StructType | None:
     """Registered schema, or None → infer (schema-on-read)."""
     return TABLE_SCHEMAS.get(table)
+
+
+def schema_drift_report(
+    observed: T.StructType, table: str
+) -> list[dict[str, str]]:
+    """Data-contract check: diff an OBSERVED schema (what a staged table
+    or an arriving batch actually carries) against the registered target
+    schema — the guard a long-running ingest needs when producers evolve
+    (the reference re-derives schemas from information_schema each load,
+    file_loader.py:45-58, so producer drift silently changes its staging
+    DDL; here drift is surfaced instead).
+
+    Returns one finding per drifted column, each
+    ``{"column", "kind", "expected", "observed"}`` with kind ∈
+    {missing (target column absent), extra (unregistered column —
+    lineage columns are expected extras and skipped), type_mismatch}.
+    Empty list = contract holds. Pure metadata — no data scan."""
+    target = schema_for_table(table)
+    if target is None:
+        raise ValueError(f"no registered schema for {table!r}")
+    lineage = {
+        "stg_file_name", "stg_datim_id", "stg_batch_id", "stg_created_at",
+        "_corrupt_record",
+    }
+    obs = {f.name: f.dataType for f in observed.fields}
+    tgt = {f.name: f.dataType for f in target.fields}
+    findings: list[dict[str, str]] = []
+    for name, dt in tgt.items():
+        if name not in obs:
+            findings.append(
+                {"column": name, "kind": "missing",
+                 "expected": dt.simpleString(), "observed": ""}
+            )
+        elif obs[name] != dt:
+            findings.append(
+                {"column": name, "kind": "type_mismatch",
+                 "expected": dt.simpleString(),
+                 "observed": obs[name].simpleString()}
+            )
+    for name, dt in obs.items():
+        if name not in tgt and name not in lineage:
+            findings.append(
+                {"column": name, "kind": "extra",
+                 "expected": "", "observed": dt.simpleString()}
+            )
+    return sorted(findings, key=lambda f: (f["kind"], f["column"]))

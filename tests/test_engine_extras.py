@@ -155,3 +155,43 @@ def test_jdbc_predicate_mode_rejects_mixed_slicing(spark):
             predicates=["a = 1"],
             partition_column="id",
         )
+
+
+def test_schema_drift_report_detects_all_kinds(spark):
+    """Contract check: a clean observed schema reports nothing; drift
+    reports missing/extra/type_mismatch per column; lineage columns are
+    expected extras; unknown tables raise."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.schemas import (
+        schema_drift_report,
+        schema_for_table,
+    )
+
+    target = schema_for_table("patient_person")
+    assert schema_drift_report(target, "patient_person") == []
+    # add lineage columns: still clean
+    with_lineage = T.StructType(
+        list(target.fields)
+        + [T.StructField("stg_file_name", T.StringType(), True)]
+    )
+    assert schema_drift_report(with_lineage, "patient_person") == []
+    # drift: drop one target column, add a stranger, flip a type
+    fields = [f for f in target.fields if f.name != target.fields[0].name]
+    flipped = T.StructType(
+        [
+            T.StructField(f.name, T.DoubleType(), True)
+            if f.name == fields[0].name
+            else f
+            for f in fields
+        ]
+        + [T.StructField("surprise_col", T.StringType(), True)]
+    )
+    findings = schema_drift_report(flipped, "patient_person")
+    kinds = {(f["kind"], f["column"]) for f in findings}
+    assert ("missing", target.fields[0].name) in kinds
+    assert ("extra", "surprise_col") in kinds
+    assert any(k == "type_mismatch" for k, _ in kinds)
+    with pytest.raises(ValueError):
+        schema_drift_report(target, "no_such_table")
