@@ -829,3 +829,41 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy(F.col("day").cast("long").alias("day")).agg(
         F.max("n_active").cast("long").alias("peak_concurrency")
     )
+
+
+def m4_downsample_stream(
+    events: DataFrame, bucket: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of :func:`m4_downsample_events`: the downsample
+    maintained CONTINUOUSLY — struct-extremum aggregates inside a
+    watermarked tumbling window, append mode emitting each pixel
+    bucket's 4 points once the watermark closes it. The monitoring
+    pipeline shape: the chart's reduction computed as data arrives,
+    never a re-scan. State per window = 4 structs, bounded by the
+    watermark horizon."""
+    us = F.expr("unix_micros(ts)")
+    t_struct = F.struct(F.col("us"), F.col("event_id"), F.col("value"))
+    v_struct = F.struct(F.col("value"), F.col("event_id"), F.col("us"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("value").isNotNull())
+        .withColumn("us", us)
+        .groupBy(F.window("ts", bucket))
+        .agg(
+            F.min(t_struct).alias("f"),
+            F.max(t_struct).alias("l"),
+            F.min(v_struct).alias("mn"),
+            F.max(v_struct).alias("mx"),
+        )
+    )
+    return agg.select(
+        F.col("window.start").alias("bucket_start"),
+        F.expr(
+            "stack(4,"
+            " 'first', f.event_id, f.us, f.value,"
+            " 'last',  l.event_id, l.us, l.value,"
+            " 'min',   mn.event_id, mn.us, mn.value,"
+            " 'max',   mx.event_id, mx.us, mx.value"
+            ") AS (role, event_id, us, value)"
+        ),
+    )

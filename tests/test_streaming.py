@@ -975,3 +975,54 @@ def test_transform_with_state_across_batches_and_restart(spark, tmp_path):
             spark.conf.unset(PROVIDER_CONF)
         else:
             spark.conf.set(PROVIDER_CONF, prev_provider)
+
+
+def test_streaming_m4_downsample_closes_buckets(spark, tmp_path):
+    """Streaming M4: a watermarked tumbling window emits a bucket's
+    first/last/min/max exactly once when the watermark passes —
+    values identical to the batch computation over the same rows."""
+    import json as _json
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.timeseries import (
+        m4_downsample_stream,
+    )
+
+    src = tmp_path / "m4src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:05:00", "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01 00:10:00", "value": 9.0},
+        {"event_id": 3, "ts": "2024-01-01 00:40:00", "value": 1.0},
+        # far-future event drives the watermark past bucket 00:00
+        {"event_id": 9, "ts": "2024-01-01 05:00:00", "value": 7.0},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id bigint, ts timestamp, value double")
+        .load(str(src))
+    )
+    out = tmp_path / "m4out"
+    q = (
+        m4_downsample_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_m4"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["role"], r["event_id"], r["value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # only the 00:00 bucket is closed (watermark = 04:00); its roles:
+    assert got == {
+        ("first", 1, 5.0),
+        ("last", 3, 1.0),
+        ("min", 3, 1.0),
+        ("max", 2, 9.0),
+    }
