@@ -943,6 +943,27 @@ def train_pq_codebooks(base: DataFrame) -> DataFrame:
         sample.unpersist()
 
 
+#: PQ codebook memo per (Spark app, corpus dir) — same contract as
+#: _CENTROID_CACHE: training is deterministic, the ≤M·K-row checkpointed
+#: frame is shared by pq_topk_adc and ivfpq_topk_neighbors instead of
+#: re-running the Lloyd aggregations per query
+_PQ_CODEBOOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cent = _PQ_CODEBOOK_CACHE.get(key)
+    if cent is None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", to_double_array("embedding").alias("v")
+        )
+        cent = train_pq_codebooks(e)
+        _PQ_CODEBOOK_CACHE[key] = cent
+    return cent
+
+
 def _sql_pq_dist(sv: str, cv: str) -> str:
     """Exact-integer L2 ranking expression (see _pq_assign)."""
     return (
@@ -1035,7 +1056,7 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
-    cent = train_pq_codebooks(e.select("vec_id", "v"))
+    cent = _trained_pq_codebooks(spark, sf_dir)
     csl = _pq_slices(e.select("vec_id", "label", "v"), ["vec_id", "label"])
     codes = _pq_assign(csl, cent).select("vec_id", "label", "m", "cell")
     qtab = (
@@ -1173,3 +1194,150 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.unionByName(mut)
     return corpus.join(drop, "vec_id", "left_anti").select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: cell-pruned search ranked by PQ/ADC codes (the FAISS flagship)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF train/assign CTEs + PQ train/encode CTEs (p-prefixed to
+    avoid name collisions; both train on the SAME md5-sampled base) +
+    in-cell ADC ranking — the full IVFPQ pipeline replayed."""
+    sl = f"list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})"
+    passign = f"""
+        SELECT vec_id, m, sv, cell FROM (
+            SELECT s.vec_id, s.m, s.sv, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_sql_pq_dist('s.sv', 'c.cv')} ASC, c.cid)
+                       AS rn
+            FROM {{src}} s JOIN {{cent}} c ON c.m = s.m)
+        WHERE rn = 1
+    """
+    return f"""
+    {_ivf_train_assign_ctes()},
+    pms AS (SELECT unnest(range({PQ_M})) AS m),
+    pbsl AS (SELECT vec_id, m, {sl} AS sv FROM base, pms),
+    pseedv AS (
+        SELECT rn - 1 AS cid, v FROM (
+            SELECT v, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM base)
+        WHERE rn <= {PQ_K}
+    ),
+    pcent0 AS (SELECT m, cid, {sl} AS cv
+               FROM (SELECT cid, v FROM pseedv), pms),
+    passign0 AS ({passign.format(src='pbsl', cent='pcent0')}),
+    pcent1 AS (
+        SELECT m, cell AS cid, list(mean ORDER BY i) AS cv FROM (
+            SELECT m, cell, i,
+                   CAST(CAST(SUM(CAST(floor(sv[i+1] * 1e9) AS BIGINT))
+                             AS BIGINT) AS DOUBLE)
+                   / (1000000000.0 * COUNT(*)) AS mean
+            FROM passign0, (SELECT unnest(range({PQ_SUBDIM})) AS i) t
+            GROUP BY m, cell, i)
+        GROUP BY m, cell
+    ),
+    pcsl AS (SELECT vec_id, m, {sl} AS sv FROM corpus, pms),
+    pcodes AS ({passign.format(src='pcsl', cent='pcent1')}),
+    qtab AS (
+        SELECT q.vec_id AS query_id, c.m, c.cid,
+               {sql_dot_q('q.sv', 'c.cv')} AS pdot
+        FROM pcsl q JOIN pcent1 c ON c.m = q.m
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    ),
+    adc AS (
+        SELECT t.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(t.pdot) AS BIGINT) AS adc
+        FROM pcodes k JOIN qtab t ON t.m = k.m AND t.cid = k.cell
+        GROUP BY t.query_id, k.vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, a.adc,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY a.adc DESC, c.vec_id) AS rnk
+        FROM assigned q
+        JOIN assigned c ON q.cell = c.cell AND c.vec_id != q.vec_id
+        JOIN adc a ON a.query_id = q.vec_id AND a.neighbor_id = c.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, adc
+    FROM scored WHERE rnk <= {TOPK_NEIGHBORS}
+    """
+
+
+@query("ivfpq_topk_neighbors", oracle=_ivfpq_oracle_sql())
+def ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ top-k — the two compression/pruning halves COMPOSED the
+    way FAISS's flagship index composes them: the IVF stage prunes the
+    candidate set to the query's cell (O(corpus/K) per query,
+    `ivf_topk_neighbors`'s machinery) and the PQ stage ranks those
+    candidates from 3-bit codes via the broadcast ADC table
+    (`pq_topk_adc`'s machinery) — so the search touches neither the
+    full corpus NOR any full-precision candidate vector. At 100 TB
+    this is the billion-vector recipe: cells bound the scan, codes
+    bound the bytes per candidate.
+
+    Both trainings run on the SAME deterministic md5 sample; the
+    oracle replays IVF training, PQ training, encoding, cell
+    assignment and ADC ranking end to end — integer quantization
+    keeps all of it bit-identical. Ranking is (adc desc, neighbor_id)
+    per query over in-cell candidates only."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    corpus = e.unionByName(mut)
+    corpus_nv = corpus.withColumn("nv", norm_sq_q("v"))
+    assigned = _assign_cells(
+        corpus_nv, _trained_centroids(spark, sf_dir)
+    ).persist()
+
+    cent_pq = _trained_pq_codebooks(spark, sf_dir)
+    codes = _pq_assign(
+        _pq_slices(corpus, ["vec_id"]), cent_pq
+    ).select("vec_id", "m", "cell")
+    qtab = (
+        _pq_slices(
+            corpus.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0), ["vec_id"]
+        )
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent_pq), "m")
+        .select("query_id", "m", "cid", dot_q("sv", "cv").alias("pdot"))
+    )
+    q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = q.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").alias("cell_c"),
+        ),
+        (F.col("cell") == F.col("cell_c"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id")
+    adc = (
+        cand.join(codes, codes["vec_id"] == cand["neighbor_id"])
+        .join(
+            qtab,
+            (codes["m"] == qtab["m"])
+            & (codes["cell"] == qtab["cid"])
+            & (cand["query_id"] == qtab["query_id"]),
+        )
+        .groupBy(cand["query_id"], "neighbor_id")
+        .agg(F.sum("pdot").cast("long").alias("adc"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", rnk.cast("long"))
+        .filter(F.col("rank") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

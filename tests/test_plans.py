@@ -116,6 +116,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "sq8_quantized_topk",
         # same ≤32-row centroid broadcast as embedding_near_dup_ivf
         "semantic_dedup_survivors",
+        "ivfpq_topk_neighbors",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
