@@ -352,3 +352,72 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("signed_gap_us"),
     )
+
+
+@query(
+    "asof_next_click",
+    oracle="""
+    WITH err AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    fwd AS (
+        SELECT e.event_id, MIN(c.ts) AS fts
+        FROM err e JOIN clk c
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+        GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.ts AS error_ts,
+           f.fts AS next_click_ts,
+           CAST(epoch_us(f.fts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+    FROM err e LEFT JOIN fwd f ON f.event_id = e.event_id
+    """,
+)
+def asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — each error matched to the same user's FIRST
+    click at-or-after it (the did-the-user-recover probe; kdb's forward
+    aj). Completes the family: backward (`asof_last_click`), forward,
+    nearest (`asof_nearest_click`).
+
+    Mirror of the backward plan: union-tag, one user_id shuffle, one
+    carry-BACKWARD window (first over currentRow..unboundedFollowing).
+    Equal-timestamp clicks must match forward, so here clicks sort
+    AFTER errors at the same ts (kind 1 > 0 — the tag polarity flips
+    relative to the backward query, whose inclusive side is the past).
+    Zero physical joins."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(0).alias("kind"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        err.unionByName(clk)
+        .withColumn("next_click_ts", F.first("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            "next_click_ts",
+            (F.unix_micros("next_click_ts") - F.unix_micros("ts"))
+            .cast("long")
+            .alias("gap_us"),
+        )
+    )
