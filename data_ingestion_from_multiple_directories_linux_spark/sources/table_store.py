@@ -102,3 +102,60 @@ class TableStore:
             out.append((name, total))
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:top_n]
+
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, partition_by: tuple[str, ...]
+    ) -> list[str]:
+        """Dynamic partition overwrite: replace ONLY the hive partitions
+        present in ``df``, leaving every other partition untouched — the
+        incremental-recompute write pattern (re-land one facility/day
+        without rewriting the table; Spark's
+        ``partitionOverwriteMode=dynamic`` for the swap-based store).
+
+        A full :meth:`overwrite` rewrites the WHOLE table to replace one
+        partition — at 100 TB that turns a daily one-partition refresh
+        into a full-table write. Here ``df`` materializes partitioned
+        into scratch, then each leaf partition directory it produced is
+        swapped into the live tree with the same rename discipline as
+        :meth:`overwrite` (readers of a partition see old or new,
+        never half). Returns the relative partition paths replaced."""
+        if not partition_by:
+            raise ValueError("overwrite_partitions needs partition columns")
+        tmp = self.path(f".{name}.dpo-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        live = self.path(name)
+        if not os.path.isdir(live):
+            os.rename(tmp, live)
+            return sorted(
+                os.path.join(*parts)
+                for parts, _d in self._leaf_partitions(live, len(partition_by))
+            )
+        replaced = []
+        for parts, src in self._leaf_partitions(tmp, len(partition_by)):
+            rel = os.path.join(*parts)
+            dst = os.path.join(live, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            trash = self.path(f".{name}.dpo-old-{uuid.uuid4().hex}")
+            if os.path.isdir(dst):
+                os.rename(dst, trash)
+            os.rename(src, dst)
+            if os.path.isdir(trash):
+                shutil.rmtree(trash, ignore_errors=True)
+            replaced.append(rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return sorted(replaced)
+
+    @staticmethod
+    def _leaf_partitions(root: str, depth: int):
+        """Yield (key=value path components, abs dir) for every leaf
+        partition directory exactly ``depth`` levels below root."""
+        def walk(d: str, parts: list[str]):
+            if len(parts) == depth:
+                yield parts, d
+                return
+            for entry in sorted(os.listdir(d)):
+                sub = os.path.join(d, entry)
+                if os.path.isdir(sub) and "=" in entry:
+                    yield from walk(sub, parts + [entry])
+
+        yield from walk(root, [])

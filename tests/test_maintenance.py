@@ -431,3 +431,43 @@ def test_snapshot_diff_classifies_drift(spark):
     )
     got = {(r["id"], r["change"]) for r in snapshot_diff(old, new, ["id"]).collect()}
     assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """overwrite_partitions: re-landing one facility's data replaces
+    that partition atomically and leaves every other partition's files
+    and rows untouched."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    seed = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "id bigint, fac string"
+    )
+    store.overwrite("t", seed, ("fac",))
+    import os
+
+    b_dir = os.path.join(store.path("t"), "fac=B")
+    b_files_before = sorted(os.listdir(b_dir))
+
+    newa = spark.createDataFrame([(10, "A"), (11, "A"), (12, "A")],
+                                 "id bigint, fac string")
+    replaced = store.overwrite_partitions("t", newa, ("fac",))
+    assert replaced == ["fac=A"]
+    got = sorted(
+        (r["id"], r["fac"]) for r in store.read("t").collect()
+    )
+    assert got == [(3, "B"), (4, "B"), (10, "A"), (11, "A"), (12, "A")]
+    # partition B physically untouched (same files)
+    assert sorted(os.listdir(b_dir)) == b_files_before
+
+    # new partition lands beside existing ones
+    newc = spark.createDataFrame([(20, "C")], "id bigint, fac string")
+    assert store.overwrite_partitions("t", newc, ("fac",)) == ["fac=C"]
+    assert store.read("t").count() == 6
+    # empty partition_by rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.overwrite_partitions("t", newc, ())

@@ -357,3 +357,30 @@ def test_native_hll_distinct_calibrated_vs_exact(spark):
             F.approx_count_distinct("o_custkey", rsd=rsd)
         ).collect()[0][0]
         assert abs(est - exact) / exact <= tol, (rsd, est, exact)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE's runtime re-plan: a tiny groupBy shuffle declared at 200
+    partitions must coalesce to a handful of post-shuffle reads (the
+    companion evidence to the skew-split test — AQE shrinks AND splits
+    based on actual shuffle stats)."""
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = (
+            load_table(spark, SF_SMALL, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert len(df.collect()) == 3  # execute THIS frame: AQE finalizes
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan, plan[:500]
+        assert df.rdd.getNumPartitions() < 10
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
