@@ -686,3 +686,84 @@ def apply_bpe_merges(
     return docs.withColumn("tokens", tk).withColumn(
         "n_tokens", F.size("tokens").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-LM surprise (the perplexity-style quality filter, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_lm_surprise",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+    bg AS (
+        SELECT doc_id, substr(txt, CAST(i AS INT), 2) AS b
+        FROM (
+            SELECT doc_id, txt, unnest(range(1, length(txt))) AS i
+            FROM t WHERE length(txt) >= 2
+        )
+    ),
+    model AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM model),
+    surp AS (
+        SELECT b,
+               length(bin(n)) - length(bin(CAST(c AS BIGINT))) AS s
+        FROM model, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST((1000 * SUM(s)) // COUNT(*) AS BIGINT) AS surprise_permille
+    FROM bg JOIN surp USING (b)
+    GROUP BY doc_id
+    """,
+)
+def char_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/Gopher perplexity
+    filter, reduced to its engine-expressible core): train a character-
+    bigram model on the corpus, score each document by its mean Shannon
+    code length under that model — gibberish and boilerplate-free
+    natural text separate cleanly on this axis, and the real pipeline
+    thresholds on exactly such a score.
+
+    Cross-engine exactness is the trick: code length uses INTEGER
+    bit-length arithmetic, ``bitlen(total) - bitlen(count)`` =
+    floor-log2 surprise per bigram (``length(bin(n))`` in both
+    engines) — no float log anywhere, so the score is bit-identical
+    and integer-permille. Plan: one explode+groupBy trains the model
+    (vocabulary-sized: ≤ charset², broadcast back), one partial-agg
+    groupBy scores documents; two shuffles total, both
+    vocabulary/doc-count sized — at 100 TB the model trains on a
+    sample and the scoring pass is a scan."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("txt")
+    )
+    bg = (
+        d.filter(F.length("txt") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(txt) - 1),"
+                    " i -> substring(txt, i, 2))"
+                )
+            ).alias("b"),
+        )
+    )
+    model = bg.groupBy("b").agg(F.count("*").alias("c"))
+    tot = model.agg(F.sum("c").cast("long").alias("n"))
+    surp = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.length(F.expr("bin(n)")) - F.length(F.expr("bin(c)"))
+        ).alias("s"),
+    )
+    return (
+        bg.join(F.broadcast(surp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("(1000 * sum(s)) DIV count(*)")
+            .cast("long")
+            .alias("surprise_permille"),
+        )
+    )
