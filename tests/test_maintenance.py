@@ -471,3 +471,28 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
 
     with pytest.raises(ValueError):
         store.overwrite_partitions("t", newc, ())
+
+
+def test_dynamic_partition_overwrite_two_levels(spark, tmp_path):
+    """Nested partitioning (fac/day): only the exact (fac, day) leaves
+    present in the frame are replaced; sibling days of the same
+    facility survive."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh2"))
+    seed = spark.createDataFrame(
+        [(1, "A", "d1"), (2, "A", "d2"), (3, "B", "d1")],
+        "id bigint, fac string, day string",
+    )
+    store.overwrite("t", seed, ("fac", "day"))
+    new = spark.createDataFrame(
+        [(10, "A", "d1")], "id bigint, fac string, day string"
+    )
+    replaced = store.overwrite_partitions("t", new, ("fac", "day"))
+    assert replaced == ["fac=A/day=d1"]
+    got = sorted(
+        (r["id"], r["fac"], r["day"]) for r in store.read("t").collect()
+    )
+    assert got == [(2, "A", "d2"), (3, "B", "d1"), (10, "A", "d1")]
