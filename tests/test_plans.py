@@ -117,6 +117,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         # same ≤32-row centroid broadcast as embedding_near_dup_ivf
         "semantic_dedup_survivors",
         "ivfpq_topk_neighbors",
+        # 1-row model-total scalar broadcast (same pattern as kmv/tf_idf)
+        "char_lm_surprise",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
