@@ -734,20 +734,30 @@ def char_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy scores documents; two shuffles total, both
     vocabulary/doc-count sized — at 100 TB the model trains on a
     sample and the scoring pass is a scan."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("txt")
+    # repartition before the per-row bigram explode: the test parquet is
+    # one small file → one input partition, and the explode is the
+    # expensive interpreted expression — without this the whole pass
+    # runs on a single core (the _shingle_sets lesson, dedup.py)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.lower("text").alias("txt"))
     )
+    # explode positions THEN slice with a top-level substring: the
+    # position generator and the slice both stay in whole-stage codegen
+    # (a transform(..., i -> substring(...)) HOF evaluates interpreted
+    # per element — measured ~3x slower on this pass)
     bg = (
         d.filter(F.length("txt") >= 2)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(txt) - 1),"
-                    " i -> substring(txt, i, 2))"
-                )
-            ).alias("b"),
+            "txt",
+            F.explode(F.expr("sequence(1, length(txt) - 1)")).alias("i"),
         )
+        .select("doc_id", F.expr("substring(txt, i, 2)").alias("b"))
+        # both the model branch and the scoring branch consume bg —
+        # persist so the explode runs once (the jaccard_pairs pattern)
+        .persist()
     )
     model = bg.groupBy("b").agg(F.count("*").alias("c"))
     tot = model.agg(F.sum("c").cast("long").alias("n"))
