@@ -1341,3 +1341,21 @@ def ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK_NEIGHBORS)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+def save_pq_codebooks(store, name: str, cent: DataFrame) -> None:
+    """Persist trained PQ codebooks as a table (atomic swap) — training
+    artifacts ARE tables in this engine: train once on a sample batch,
+    every later encode/search job reads the codebooks instead of
+    re-running Lloyd (the production cadence; the minhash band index
+    follows the same persist-the-index pattern)."""
+    store.overwrite(name, cent.select("m", "cid", "cv", "ncv"))
+
+
+def load_pq_codebooks(store, name: str) -> DataFrame:
+    """Read persisted codebooks back in the exact shape _pq_assign
+    expects. Determinism contract: encoding with RELOADED codebooks is
+    bit-identical to encoding with the in-session frame (centroid
+    arrays round-trip parquet exactly — they are doubles, not
+    re-derived), asserted in tests."""
+    return store.read(name).select("m", "cid", "cv", "ncv")

@@ -898,3 +898,42 @@ def test_bpe_train_apply_round_trip(spark):
         for r in apply_bpe_merges(docs, merges).collect()
     }
     assert again == rows
+
+
+def test_pq_codebooks_persist_and_reload_identically(spark, tmp_path):
+    """Trained-artifact persistence: codebooks saved to the table store
+    and reloaded must encode the corpus to EXACTLY the same codes as
+    the in-session frame (parquet round-trips the centroid doubles
+    bit-for-bit)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        _pq_assign,
+        _pq_slices,
+        load_pq_codebooks,
+        save_pq_codebooks,
+        to_double_array,
+        train_pq_codebooks,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cent = train_pq_codebooks(e)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    save_pq_codebooks(store, "pq_codebooks", cent)
+    reloaded = load_pq_codebooks(store, "pq_codebooks")
+
+    sl = _pq_slices(e, ["vec_id"])
+    a = sorted(
+        (r["vec_id"], r["m"], r["cell"])
+        for r in _pq_assign(sl, cent).select("vec_id", "m", "cell").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["m"], r["cell"])
+        for r in _pq_assign(sl, reloaded)
+        .select("vec_id", "m", "cell")
+        .collect()
+    )
+    assert a == b and a
