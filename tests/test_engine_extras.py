@@ -195,3 +195,54 @@ def test_schema_drift_report_detects_all_kinds(spark):
     assert any(k == "type_mismatch" for k, _ in kinds)
     with pytest.raises(ValueError):
         schema_drift_report(target, "no_such_table")
+
+
+def test_schema_drift_report_reconstructs_any_mutation(spark):
+    """Property: for ANY observed schema built by dropping / retyping /
+    adding columns, the drift report exactly characterizes the
+    mutation (findings are a faithful diff, no false positives)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.schemas import (
+        schema_drift_report,
+        schema_for_table,
+    )
+
+    target = schema_for_table("patient_person")
+    names = [f.name for f in target.fields]
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        dropped=st.sets(st.sampled_from(names), max_size=3),
+        retyped=st.sets(st.sampled_from(names), max_size=3),
+        extra=st.sets(
+            st.text("abcxyz", min_size=1, max_size=6).filter(
+                lambda s: s not in names
+            ),
+            max_size=2,
+        ),
+    )
+    def check(dropped, retyped, extra):
+        retyped = retyped - dropped
+        fields = []
+        for f in target.fields:
+            if f.name in dropped:
+                continue
+            if f.name in retyped and not isinstance(f.dataType, T.BinaryType):
+                fields.append(T.StructField(f.name, T.BinaryType(), True))
+            else:
+                fields.append(f)
+        for name in sorted(extra):
+            fields.append(T.StructField(name, T.StringType(), True))
+        findings = schema_drift_report(T.StructType(fields), "patient_person")
+        got = {(f["kind"], f["column"]) for f in findings}
+        want = (
+            {("missing", c) for c in dropped}
+            | {("type_mismatch", c) for c in retyped}
+            | {("extra", c) for c in extra}
+        )
+        assert got == want, (got, want)
+
+    check()
