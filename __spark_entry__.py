@@ -84,6 +84,7 @@ _PRIORITY_FIRST = [
     "ivfpq_topk_neighbors",
     "asof_next_click",
     "char_lm_surprise",
+    "vocab_dense_ids",
     # new in round 4, final batch (tpch_final.py — completes the
     # 22-shape TPC-H spectrum; no driver row exists for any of these)
     "q2_regional_best_supplier",

@@ -22,7 +22,7 @@ build the same corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -776,4 +776,53 @@ def char_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("surprise_permille"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (dense token ids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_dense_ids",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({TOK_SQL.format(c='text')}) AS token
+              FROM documents)
+        GROUP BY token
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+               AS token_id
+    FROM tf
+    """,
+)
+def vocab_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: every distinct token assigned a dense
+    contiguous id, most-frequent-first — the id space an embedding
+    table indexes by, and the frequency order that puts hot tokens in
+    the low ids (cache/compression-friendly; every tokenizer ships
+    exactly this table).
+
+    Plan: one explode + partial-agg groupBy collapses the corpus to
+    the VOCABULARY (the shuffle carries per-partition token partials,
+    never positions), then the rank window runs over vocabulary-sized
+    data — bounded by V, not corpus size, the same deliberately-small
+    ordered tail as key_skew_profile. For open-web vocabularies too
+    big for one partition, the two-phase bucketed-prefix rank of
+    global_shuffle_rank applies verbatim (hash-prefix buckets →
+    broadcast exclusive prefixes)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    return tf.select(
+        "token",
+        "n",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
     )
