@@ -52,76 +52,25 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.registry imp
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver caps how many entries get a correctness row per round
-# (50 of 74+ in rounds 2-3), in registration order. Entries listed here
+# (50 of 74+ in rounds 2-4, in registration order). Entries listed here
 # are emitted FIRST. The list rotates each round so every query's newest
-# driver row stays at most one round old. Round-4 allocation of the 50
-# slots (continuation): the 12 continuation-batch queries (weighted
-# sampling, SQ8/PQ/SemDeDup, UDTF, BPE pairs, recursive spread, MinHash
-# calibration, label centroids, M4, concurrency, nearest as-of — never
-# driver-checked anywhere), then the round-4 final batch (TPC-H
-# completion etc.), then as much of the second batch as fits; a
-# never-checked query outranks renewing one that has the committed
-# fresh-process 147+/151 record (VERIFY_LOCAL_r04.txt, regenerated this
-# session). Everything past the cap is re-verified at HEAD by that
-# record; round 5 should front-load, in order: the relational renewals
-# (their newest driver rows are r02 — three rounds old), the displaced
-# second-batch tail (kmv_distinct_by_day, q7/q8/q17/q22 onward), the
-# first-batch entries, then the appended-file entries at the bottom.
+# driver row stays at most one round old. Round-5 allocation of the 50
+# slots, per the round-4 verdict ("renewals, not new surface"):
+# (a) the 31 queries that have NEVER had a driver CORRECTNESS row
+#     (the round-4 tail the cap displaced: histogram_quantiles …
+#     user_value_outliers, kmv_distinct_by_day, q7/q8/q17/q22,
+#     first-batch block),
+# (b) peak_concurrency_daily — its r04 row is invalidated this round by
+#     the advisor-mandated ('us','event_id') tiebreak fix in
+#     timeseries.py (semantics touched ⇒ must re-sample),
+# (c) maintenance_report_tables — the one NEW query this round (verdict
+#     task 7), never sampled,
+# (d) the r02-stale relational renewals (three rounds old; their file
+#     gained TPC-H code in round 4) — first 17 fit the cap.
+# Everything past the cap is re-verified at HEAD by the fresh-process
+# VERIFY_LOCAL_r05.txt record and the pytest oracle-parity suite.
 _PRIORITY_FIRST = [
-    # newest (round-4 continuation): no driver row, no prior local record
-    "weighted_sample_docs",
-    "sq8_quantized_topk",
-    "udtf_char_chunks",
-    "bpe_merge_pair_counts",
-    "contamination_spread",
-    "pq_topk_adc",
-    "label_centroids",
-    "semantic_dedup_survivors",
-    "minhash_estimate_calibration",
-    "m4_downsample_events",
-    "peak_concurrency_daily",
-    "asof_nearest_click",
-    "ivfpq_topk_neighbors",
-    "asof_next_click",
-    "char_lm_surprise",
-    "vocab_dense_ids",
-    # new in round 4, final batch (tpch_final.py — completes the
-    # 22-shape TPC-H spectrum; no driver row exists for any of these)
-    "q2_regional_best_supplier",
-    "q9_nation_year_profit",
-    "q11_part_value_concentration",
-    "q12_delay_priority_classes",
-    "q13_customer_order_distribution",
-    "q15_top_revenue_supplier",
-    "q16_supplier_part_variety",
-    "q20_dominant_share_suppliers",
-    "q21_sole_late_suppliers",
-    "ntile_customer_quartiles",
-    "percent_rank_part_prices",
-    "image_near_dup_ahash",
-    "variant_props_metrics",
-    "audio_fingerprint_classes",
-    "click_attribution_batch",
-    "grouping_sets_status_priority",
-    "dense_rank_order_values",
-    "user_event_type_arrays",
-    "near_dup_triangles",
-    "exact_moment_correlation",
-    # new in round 4, second batch (tpch/warehouse/matching/profiling)
-    "q6_forecast_revenue",
-    "q14_promo_effect",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q4_late_shipment_priority",
-    "scd2_user_state_intervals",
-    "cohort_retention",
-    "fuzzy_part_match",
-    "token_cooccurrence_lift",
-    "key_skew_profile",
-    "stratified_sample_docs",
-    "time_weighted_avg_value",
-    "gap_fill_hourly_locf",
-    "value_histogram_events",
+    # (a) never driver-sampled — round-4 second-batch tail
     "histogram_quantiles",
     "count_min_heavy_hitters",
     "cluster_size_histogram",
@@ -139,7 +88,7 @@ _PRIORITY_FIRST = [
     "q8_market_share",
     "q17_small_quantity_revenue",
     "q22_idle_customers",
-    # new in round 4, first batch
+    # (a) never driver-sampled — round-4 first batch
     "media_pixel_stats",
     "span_dedup_reassemble",
     "minhash_incremental_near_dup",
@@ -154,9 +103,11 @@ _PRIORITY_FIRST = [
     "funnel_conversion",
     "normalized_exact_dedup",
     "user_value_outliers",
-    # displaced from CORRECTNESS_r03.json by the driver cap, and their
-    # file (relational.py) gained the TPC-H/bulk-update code this round
-    # — renew now
+    # (b) semantics touched this round (tiebreak fix) — re-sample
+    "peak_concurrency_daily",
+    # (c) new this round (maintenance telemetry surface)
+    "maintenance_report_tables",
+    # (d) r02-stale relational renewals (first 17 fit the 50-slot cap)
     "update_join_propagate",
     "count_distinct_users",
     "minmax_priority_window",
@@ -174,6 +125,10 @@ _PRIORITY_FIRST = [
     "filename_parse_lineage",
     "null_normalization",
     "date_validation_split",
+    # --- positions 51+ (beyond the 50-slot cap; round 6 front-loads
+    # these): the remaining r02-stale masking/string renewals, then the
+    # r03-era entries in files appended-to during round 4, then the
+    # r04-green blocks (newest evidence, rotate last)
     "pii_mask_constant",
     "json_extract_props",
     "struct_field_mask",
@@ -181,10 +136,6 @@ _PRIORITY_FIRST = [
     "substring_truncate",
     "concat_runid_format",
     "session_duration_secs",
-    # --- positions 51+ (beyond the round-4 driver cap; round-5 should
-    # front-load these): sequence_packing (plan rewritten to two-phase
-    # prefix-sum this round; r03 row + local suite cover it) and the
-    # r03-green entries in files that gained appended code this round
     "sequence_packing",
     "cosine_topk",
     "embedding_near_dup_ivf",

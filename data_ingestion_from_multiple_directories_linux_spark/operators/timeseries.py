@@ -700,7 +700,7 @@ DAY_US = 86_400_000_000
     "peak_concurrency_daily",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
                CASE WHEN CAST(epoch_us(ts) AS BIGINT)
                          - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
                                PARTITION BY user_id ORDER BY ts, event_id)
@@ -710,7 +710,8 @@ DAY_US = 86_400_000_000
     ),
     islands AS (
         SELECT user_id, us,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+               SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS island
         FROM marked
@@ -770,6 +771,7 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.expr("unix_micros(ts)")
     marked = e.select(
         "user_id",
+        "event_id",
         us.alias("us"),
         F.when(
             us
@@ -782,11 +784,15 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("brk"),
     )
+    # island cumsum ordered by ('us', 'event_id') — the SAME total
+    # order the brk lag used. Ordering by 'us' alone would assign the
+    # session-boundary row nondeterministically among duplicate
+    # (user_id, ts) events (advisor finding, round 4).
     islands = marked.withColumn(
         "island",
         F.sum("brk").over(
             Window.partitionBy("user_id")
-            .orderBy("us")
+            .orderBy("us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -193,6 +193,21 @@ class UploadWriter(DataSourceWriter):
         #: stamped into file names; defaults to a fixed batch tag so
         #: reruns are deterministic — pass a timestamp for real loads
         self.suffix = options.get("suffix", "00000000000000")
+        #: "error" (default) refuses to clobber an existing final file —
+        #: two append jobs sharing the default suffix would otherwise
+        #: silently overwrite each other's uploads in an arrival log.
+        #: "overwrite" restores the old clobbering behavior explicitly.
+        self.if_exists = options.get("if_exists", "error")
+        if self.if_exists not in ("error", "overwrite"):
+            raise ValueError("upload_json: if_exists must be error|overwrite")
+        #: staged .tmp-* files older than this many seconds found in a
+        #: committed directory are swept as leftovers of failed or
+        #: speculative task attempts (abort() only runs on whole-job
+        #: failure, so a task-level failure inside an ultimately
+        #: successful job would otherwise leak its staging files
+        #: forever). The TTL keeps the sweep safe against a CONCURRENT
+        #: append job that is mid-stage in the same facility directory.
+        self.tmp_ttl_sec = float(options.get("tmp_ttl_sec", "3600"))
 
     def write(self, iterator) -> _UploadCommit:
         import json as _json
@@ -229,10 +244,49 @@ class UploadWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import os as _os
+        import time as _time
 
-        for m in messages:
-            for tmp, final in m.renames:
+        renames = [r for m in messages for r in m.renames]
+        if self.if_exists == "error":
+            # Refuse to clobber: os.link is atomic-exclusive (EEXIST if
+            # the final name is taken), unlike os.replace. Pre-check all
+            # targets first so a collision fails the WHOLE commit before
+            # any file goes live, then link() still closes the
+            # check-to-publish race.
+            taken = sorted(f for _t, f in renames if _os.path.exists(f))
+            if taken:
+                raise FileExistsError(
+                    "upload_json append would overwrite existing upload(s) "
+                    f"{taken[:3]}{'…' if len(taken) > 3 else ''}; pass a "
+                    "unique .option('suffix', …) per job or "
+                    ".option('if_exists', 'overwrite') explicitly"
+                )
+            for tmp, final in renames:
+                _os.link(tmp, final)  # raises FileExistsError on race
+                _os.unlink(tmp)
+        else:
+            for tmp, final in renames:
                 _os.replace(tmp, final)
+        # Sweep stale staging files from failed/speculative task
+        # attempts in the directories this job touched: abort() never
+        # runs when the job succeeds, so without this they accumulate
+        # invisibly (discovery lists <table>_*.json only). TTL-guarded
+        # so a concurrent job's in-flight .tmp-* files survive.
+        cutoff = _time.time() - self.tmp_ttl_sec
+        for d in sorted({_os.path.dirname(f) for _t, f in renames}):
+            try:
+                entries = _os.listdir(d)
+            except OSError:
+                continue
+            for fn in entries:
+                if not fn.startswith(".tmp-"):
+                    continue
+                p = _os.path.join(d, fn)
+                try:
+                    if _os.path.getmtime(p) < cutoff:
+                        _os.remove(p)
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os as _os

@@ -117,8 +117,21 @@ class TableStore:
         into a full-table write. Here ``df`` materializes partitioned
         into scratch, then each leaf partition directory it produced is
         swapped into the live tree with the same rename discipline as
-        :meth:`overwrite` (readers of a partition see old or new,
-        never half). Returns the relative partition paths replaced."""
+        :meth:`overwrite`. Returns the relative partition paths
+        replaced.
+
+        Atomicity contract (documented, not hand-waved): the swap is
+        atomic PER PARTITION, not per call — a reader racing a
+        multi-partition refresh can observe a mix of old and new
+        partitions, but never a half-written single partition (each
+        rename is atomic, and a table format with real snapshot
+        isolation — Delta/Iceberg — is the cluster-scale upgrade). The
+        old data for each partition is parked in a per-call
+        ``.{name}.dpo-old-*`` trash dir UNDER ITS RELATIVE PATH, so a
+        crash between "old moved to trash" and "new moved in" is
+        repairable: :meth:`repair` restores any partition that is
+        missing from the live tree from the newest trash copy, then
+        clears all ``.dpo-*`` residue. Call it at startup."""
         if not partition_by:
             raise ValueError("overwrite_partitions needs partition columns")
         tmp = self.path(f".{name}.dpo-{uuid.uuid4().hex}")
@@ -130,20 +143,55 @@ class TableStore:
                 os.path.join(*parts)
                 for parts, _d in self._leaf_partitions(live, len(partition_by))
             )
+        trash = self.path(f".{name}.dpo-old-{uuid.uuid4().hex}")
         replaced = []
         for parts, src in self._leaf_partitions(tmp, len(partition_by)):
             rel = os.path.join(*parts)
             dst = os.path.join(live, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            trash = self.path(f".{name}.dpo-old-{uuid.uuid4().hex}")
             if os.path.isdir(dst):
-                os.rename(dst, trash)
+                parked = os.path.join(trash, rel)
+                os.makedirs(os.path.dirname(parked), exist_ok=True)
+                os.rename(dst, parked)
             os.rename(src, dst)
-            if os.path.isdir(trash):
-                shutil.rmtree(trash, ignore_errors=True)
             replaced.append(rel)
+        shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return sorted(replaced)
+
+    def repair(self, name: str) -> dict[str, list[str]]:
+        """Crash-recovery scan for :meth:`overwrite_partitions` (and
+        :meth:`overwrite`) residue — run at startup, like a table
+        format's orphan-file cleanup.
+
+        For every ``.{name}.dpo-old-*`` trash dir: any partition parked
+        there whose live counterpart is MISSING (the crash landed
+        between the two renames) is restored; parked partitions whose
+        live copy exists are dropped (the swap completed). Then all
+        ``.dpo-*`` scratch dirs (uncommitted writer output from a
+        crashed call) and ``.{name}.tmp-*`` / ``.{name}.old-*`` residue
+        from :meth:`overwrite` are removed. Returns
+        ``{"restored": [...relpaths], "removed": [...dirnames]}``."""
+        live = self.path(name)
+        restored: list[str] = []
+        removed: list[str] = []
+        for d in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, d)
+            if not (d.startswith(f".{name}.") and os.path.isdir(p)):
+                continue
+            if d.startswith(f".{name}.dpo-old-"):
+                for dirpath, _dirs, files in os.walk(p):
+                    if not files:
+                        continue
+                    rel = os.path.relpath(dirpath, p)
+                    dst = os.path.join(live, rel)
+                    if not os.path.isdir(dst):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.rename(dirpath, dst)
+                        restored.append(rel)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(d)
+        return {"restored": sorted(restored), "removed": removed}
 
     @staticmethod
     def _leaf_partitions(root: str, depth: int):

@@ -496,3 +496,53 @@ def test_dynamic_partition_overwrite_two_levels(spark, tmp_path):
         (r["id"], r["fac"], r["day"]) for r in store.read("t").collect()
     )
     assert got == [(2, "A", "d2"), (3, "B", "d1"), (10, "A", "d1")]
+
+
+def test_repair_restores_partition_lost_mid_swap(spark, tmp_path):
+    """Crash-window recovery: simulate dying between 'old partition
+    moved to trash' and 'new partition moved in' — the live tree is
+    missing fac=A, the old data sits in a .dpo-old-* dir. repair()
+    restores it and clears every .dpo-* / .tmp-* residue dir."""
+    import os
+    import shutil
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whr"))
+    seed = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "id bigint, fac string"
+    )
+    store.overwrite("t", seed, ("fac",))
+
+    # simulate the torn swap: park fac=A in trash (rel path preserved,
+    # as overwrite_partitions does), never complete the second rename;
+    # leave an uncommitted scratch dir and an old overwrite() trash too
+    trash = store.path(".t.dpo-old-cafef00d")
+    os.makedirs(trash)
+    os.rename(os.path.join(store.path("t"), "fac=A"),
+              os.path.join(trash, "fac=A"))
+    os.makedirs(store.path(".t.dpo-12345678"))
+    os.makedirs(store.path(".t.tmp-87654321"))
+    assert sorted(r["fac"] for r in store.read("t").collect()) == ["B"]
+
+    out = store.repair("t")
+    assert out["restored"] == ["fac=A"]
+    assert sorted(out["removed"]) == [
+        ".t.dpo-12345678", ".t.dpo-old-cafef00d", ".t.tmp-87654321"
+    ]
+    assert sorted(
+        (r["id"], r["fac"]) for r in store.read("t").collect()
+    ) == [(1, "A"), (2, "B")]
+    assert not [d for d in os.listdir(store.root) if d.startswith(".t.")]
+
+    # completed-swap residue: parked copy whose live partition EXISTS
+    # is dropped, not restored over the newer data
+    trash2 = store.path(".t.dpo-old-deadbeef")
+    shutil.copytree(os.path.join(store.path("t"), "fac=B"),
+                    os.path.join(trash2, "fac=B"))
+    out2 = store.repair("t")
+    assert out2["restored"] == []
+    assert out2["removed"] == [".t.dpo-old-deadbeef"]
+    assert store.read("t").count() == 2

@@ -152,6 +152,72 @@ def test_writer_abort_leaves_no_staged_files(spark, tmp_path):
     assert os.listdir(d) == []
 
 
+def test_writer_refuses_to_clobber_prior_append(spark, tmp_path):
+    """Two append jobs sharing the (default) suffix must NOT silently
+    overwrite each other's files in the arrival log: the second commit
+    fails whole, the first job's data survives intact, and an explicit
+    if_exists=overwrite restores the clobbering behavior."""
+    out = str(tmp_path / "noclobber")
+    df = spark.createDataFrame(
+        [("FAC001", "t", json.dumps({"id": 1}))],
+        "facility_id string, table_name string, record string",
+    ).coalesce(1)
+    write = lambda d, **opts: (  # noqa: E731
+        d.write.format("upload_json").mode("append").option("path", out)
+        .options(**opts).save()
+    )
+    write(df)
+    first = os.path.join(out, "FAC001", "t_0_00000000000000.json")
+    with open(first) as f:
+        assert json.load(f) == [{"id": 1}]
+    df2 = spark.createDataFrame(
+        [("FAC001", "t", json.dumps({"id": 2}))],
+        "facility_id string, table_name string, record string",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="overwrite existing upload"):
+        write(df2)
+    with open(first) as f:  # loser's data untouched
+        assert json.load(f) == [{"id": 1}]
+    # no staged residue from the failed commit
+    assert not [n for n in os.listdir(os.path.join(out, "FAC001"))
+                if n.startswith(".tmp-")]
+    write(df2, if_exists="overwrite")
+    with open(first) as f:
+        assert json.load(f) == [{"id": 2}]
+    # distinct suffixes coexist — the supported append pattern
+    write(df, suffix="20250101000000")
+    assert len(os.listdir(os.path.join(out, "FAC001"))) == 2
+
+
+def test_writer_commit_sweeps_stale_tmp_files(spark, tmp_path):
+    """A stale .tmp-* file (failed/speculative task attempt from an
+    earlier job) is swept by the next successful commit in that
+    directory, while a FRESH .tmp-* (concurrent in-flight job) is
+    preserved by the TTL guard."""
+    out = str(tmp_path / "sweep")
+    d = os.path.join(out, "FAC001")
+    os.makedirs(d)
+    stale = os.path.join(d, ".tmp-deadbeef")
+    fresh = os.path.join(d, ".tmp-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("[]")
+    old = os.path.getmtime(stale) - 7200
+    os.utime(stale, (old, old))
+    df = spark.createDataFrame(
+        [("FAC001", "t", json.dumps({"id": 1}))],
+        "facility_id string, table_name string, record string",
+    ).coalesce(1)
+    (
+        df.write.format("upload_json").mode("append")
+        .option("path", out).save()
+    )
+    names = set(os.listdir(d))
+    assert ".tmp-deadbeef" not in names  # stale: swept
+    assert ".tmp-cafebabe" in names      # fresh: concurrent-safe
+    assert "t_0_00000000000000.json" in names
+
+
 def test_writer_rejects_overwrite_and_malformed_records(spark, tmp_path):
     out = str(tmp_path / "rejects")
     df = spark.createDataFrame(
