@@ -30,6 +30,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     dedup,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
+    maintenance,  # noqa: F401
     matching,  # noqa: F401
     multimodal,  # noqa: F401
     profiling,  # noqa: F401

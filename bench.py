@@ -357,7 +357,9 @@ def bench_skew_guard(spark) -> dict:
     return out
 
 
-def _make_upload_tree(uploads: str, n_files: int, rows_per_file: int) -> None:
+def _make_upload_tree(
+    uploads: str, n_files: int, rows_per_file: int, table: str = "patient_person"
+) -> None:
     for i in range(n_files):
         fac = f"FAC{i % 8:03d}"
         os.makedirs(os.path.join(uploads, fac), exist_ok=True)
@@ -377,18 +379,29 @@ def _make_upload_tree(uploads: str, n_files: int, rows_per_file: int) -> None:
             }
             for j in range(rows_per_file)
         ]
-        fn = f"patient_person_{i}_2025010314{i:04d}.json"
+        fn = f"{table}_{i}_2025010314{i:04d}.json"
         with open(os.path.join(uploads, fac, fn), "w") as f:
             json.dump(recs, f)
 
 
-def bench_ingest(spark, n_files: int = 40, rows_per_file: int = 200) -> dict:
+#: ingest batch sizes — two points expose whether per-file cost
+#: amortizes with batch size (BASELINE.md's claim): the larger batch's
+#: files/sec should be >= the smaller's
+INGEST_POINTS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_INGEST_FILES", "40,400").split(",")
+)
+
+
+def bench_ingest(spark, rows_per_file: int = 200) -> dict:
     """Files/sec + rows/sec of the full engine path (read → cleanse →
-    quarantine → lineage → partitioned write → audit).
+    quarantine → lineage → partitioned write → audit), at each
+    INGEST_POINTS batch size, plus a two-table concurrent-vs-serial
+    point for the G5 scheduler fan-out.
 
     A small untimed warm-up run (separate warehouse) pays the one-time
     JVM costs (parquet committer init, write-path codegen) first, so the
-    timed run measures the steady state a cron micro-batch actually runs
+    timed runs measure the steady state a cron micro-batch actually runs
     at — the same convention the query bench uses (min over reps)."""
     from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import IngestionEngine
 
@@ -398,19 +411,55 @@ def bench_ingest(spark, n_files: int = 40, rows_per_file: int = 200) -> dict:
         _make_upload_tree(warm, n_files=4, rows_per_file=20)
         IngestionEngine(spark, os.path.join(tmp, "warm_wh")).run(warm)
 
-        uploads = os.path.join(tmp, "up")
-        _make_upload_tree(uploads, n_files, rows_per_file)
-        eng = IngestionEngine(spark, os.path.join(tmp, "wh"))
-        t0 = time.perf_counter()
-        rep = eng.run(uploads)
-        dt = time.perf_counter() - t0
-        return {
-            "files": rep.files_ingested,
-            "rows": rep.records_ingested,
-            "sec": round(dt, 4),
-            "files_per_sec": round(rep.files_ingested / dt, 2),
-            "rows_per_sec": round(rep.records_ingested / dt, 1),
+        points = []
+        for n_files in INGEST_POINTS:
+            uploads = os.path.join(tmp, f"up{n_files}")
+            _make_upload_tree(uploads, n_files, rows_per_file)
+            eng = IngestionEngine(spark, os.path.join(tmp, f"wh{n_files}"))
+            t0 = time.perf_counter()
+            rep = eng.run(uploads)
+            dt = time.perf_counter() - t0
+            points.append(
+                {
+                    "files": rep.files_ingested,
+                    "rows": rep.records_ingested,
+                    "sec": round(dt, 4),
+                    "files_per_sec": round(rep.files_ingested / dt, 2),
+                    "rows_per_sec": round(rep.records_ingested / dt, 1),
+                }
+            )
+        out: dict = {"points": points}
+        if len(points) >= 2 and points[0]["files_per_sec"]:
+            out["amortization"] = round(
+                points[-1]["files_per_sec"] / points[0]["files_per_sec"], 2
+            )
+
+        # G5 evidence: the same two-table tree ingested with concurrent
+        # per-table submission (default thread-pool fan-out) vs a forced
+        # serial driver loop (submit_workers=1). Concurrent should be <=
+        # serial — the scheduler overlaps the per-table jobs.
+        n2 = max(8, INGEST_POINTS[0] // 2)
+        timings = {}
+        for label, workers in (("serial", 1), ("concurrent", None)):
+            uploads = os.path.join(tmp, f"g5_{label}")
+            _make_upload_tree(uploads, n2, rows_per_file, table="patient_person")
+            _make_upload_tree(uploads, n2, rows_per_file, table="visits")
+            eng = IngestionEngine(
+                spark, os.path.join(tmp, f"g5wh_{label}"), submit_workers=workers
+            )
+            t0 = time.perf_counter()
+            rep = eng.run(uploads)
+            timings[label] = round(time.perf_counter() - t0, 4)
+            assert rep.files_ingested == 2 * n2
+        out["two_table_g5"] = {
+            "files_per_table": n2,
+            "serial_sec": timings["serial"],
+            "concurrent_sec": timings["concurrent"],
+            "speedup": round(timings["serial"] / timings["concurrent"], 2)
+            if timings["concurrent"] > 0
+            else None,
         }
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -444,6 +493,35 @@ def main() -> None:
                     "ops_100x": scale_100x,
                 },
                 "skew_guard": skew,
+                "ingest": ingest,
+            }
+        )
+    )
+    # The driver records only the last ~2000 chars of stdout and parses
+    # its FINAL line — the full payload above overflows that window with
+    # 155 per-query timings (BENCH_r02..r04 all show "parsed": null). So
+    # the last line is a compact summary that always fits; the full
+    # per-query map lives in the line above and in BENCH_LOCAL_r{N}.json.
+    slowest = dict(
+        sorted(queries.items(), key=lambda kv: -kv[1])[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sum_min_query_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+                "n_queries": len(queries),
+                "slowest": slowest,
+                "scale_ratio_100x": {
+                    k: v.get("ratio_100x") for k, v in scale_100x.items()
+                },
+                "skew_guard_growth": {
+                    k: skew.get(k)
+                    for k in ("copies_growth", "uncapped_growth", "capped_growth")
+                },
                 "ingest": ingest,
             }
         )

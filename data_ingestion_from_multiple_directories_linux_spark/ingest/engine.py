@@ -218,6 +218,7 @@ class IngestionEngine:
         warehouse: str,
         partition_by_facility: bool = True,
         max_files_per_run: int | None = 50_000,
+        submit_workers: int | None = None,
     ) -> None:
         self.spark = spark
         self.store = TableStore(spark, warehouse)
@@ -226,6 +227,10 @@ class IngestionEngine:
         self.partition_cols = ("stg_datim_id",) if partition_by_facility else ()
         # batch-size throttle (O2: LIMIT 50000, file_loader.py:255)
         self.max_files_per_run = max_files_per_run
+        # G5 fan-out width: per-table jobs submit from this many threads
+        # (None → min(8, n_tables)); 1 forces a serial driver loop —
+        # the baseline the concurrency bench compares against
+        self.submit_workers = submit_workers
         self.transforms = _default_transforms()
 
     # ------------------------------------------------------------------
@@ -603,10 +608,13 @@ class IngestionEngine:
         # table order, so audit output is deterministic.
         audit: list[dict] = []
         items = sorted(groups.items())
-        if len(items) > 1:
+        workers = self.submit_workers
+        if workers is None:
+            workers = min(8, max(1, len(items)))
+        if len(items) > 1 and workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            with ThreadPoolExecutor(max_workers=min(workers, len(items))) as pool:
                 futs = [
                     pool.submit(
                         self._ingest_table, table, group, report, start, retry_pairs

@@ -721,6 +721,15 @@ def fake_resize(payload: bytes, media_type: str, width: int, height: int) -> byt
     return make_png(width, height)
 
 
+#: resize output: MEDIA_SCHEMA plus a quarantine marker — NULL on
+#: success, the failure reason on rows whose payload could not be
+#: decoded (unsupported codec, malformed container)
+RESIZED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [T.StructField("resize_error", T.StringType(), True)]
+)
+
+
 def resize_media(
     media: DataFrame,
     width: int,
@@ -728,31 +737,46 @@ def resize_media(
     resize_fn: ResizeFn = real_resize,
 ) -> DataFrame:
     """Resize every image payload to (width, height) via Arrow-batched
-    mapInPandas — same narrow, binary-column path as decode. Output
-    keeps MEDIA_SCHEMA with the resized payload and refreshed
-    meta.n_bytes; giant-asset stragglers are spread by repartitioning on
-    a content hash upstream (module docstring)."""
+    mapInPandas — same narrow, binary-column path as decode. Output is
+    MEDIA_SCHEMA plus ``resize_error``: resized rows carry the new
+    payload, refreshed meta.n_bytes and a NULL error; rows whose
+    payload the codec cannot handle (JPEG in this container, malformed
+    bytes) become QUARANTINE rows — NULL payload, original source kept,
+    the exception text in ``resize_error`` — instead of raising. One
+    bad asset in a mixed-format 100 TB corpus must quarantine its row,
+    not kill the job; the exception surface stays on the direct
+    :func:`real_resize` call. Giant-asset stragglers are spread by
+    repartitioning on a content hash upstream (module docstring)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                resize_fn(bytes(p) if p is not None else b"", mt or "", width, height)
-                for p, mt in zip(pdf["payload"], pdf["media_type"])
-            ]
+            payloads, metas, errs = [], [], []
+            for p, mt, m in zip(pdf["payload"], pdf["media_type"], pdf["meta"]):
+                src = m.get("source") if m else None
+                try:
+                    out = resize_fn(
+                        bytes(p) if p is not None else b"", mt or "", width, height
+                    )
+                except Exception as exc:  # quarantine, never crash the job
+                    payloads.append(None)
+                    metas.append({"source": src, "n_bytes": None})
+                    errs.append(f"{type(exc).__name__}: {exc}"[:256])
+                else:
+                    payloads.append(out)
+                    metas.append({"source": src, "n_bytes": len(out)})
+                    errs.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
                     "media_type": pdf["media_type"].values,
-                    "payload": resized,
-                    "meta": [
-                        {"source": m.get("source") if m else None, "n_bytes": len(p)}
-                        for m, p in zip(pdf["meta"], resized)
-                    ],
+                    "payload": payloads,
+                    "meta": metas,
+                    "resize_error": errs,
                 }
             )
 
     return media.select("media_id", "media_type", "payload", "meta").mapInPandas(
-        run, MEDIA_SCHEMA
+        run, RESIZED_SCHEMA
     )
 
 

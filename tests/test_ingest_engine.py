@@ -418,3 +418,35 @@ def test_multi_table_run_parallel_submission(engine, uploads):
     # masking dispatch still applied on the pooled path
     masked = engine.store.read("stg_hts_index_elicitation").collect()
     assert all(r["last_name"] == "******" for r in masked)
+
+
+def test_serial_submission_equals_concurrent(spark, tmp_path):
+    """G5 correctness leg of the concurrency bench: submit_workers=1
+    (forced serial driver loop) lands row-identical staging tables and
+    the same audit outcomes as the default thread-pool fan-out."""
+    from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+        IngestionEngine,
+    )
+
+    def seed(root):
+        write_json(root, "FAC001", "patient_person_0_20250103141949.json",
+                   [patient(i) for i in range(3)])
+        write_json(root, "FAC002", "mhpss_confirmation_0_20250103141951.json",
+                   [{"id": 1, "note": "ok", "date_created": "2024-01-01"}])
+
+    results = {}
+    for label, workers in (("serial", 1), ("pool", None)):
+        root = str(tmp_path / f"up_{label}")
+        seed(root)
+        eng = IngestionEngine(
+            spark, str(tmp_path / f"wh_{label}"), submit_workers=workers
+        )
+        rep = eng.run(root)
+        assert rep.files_ingested == 2 and rep.files_failed == 0
+        results[label] = {
+            t: sorted(
+                tuple(r[c] for c in ("id",)) for r in eng.store.read(t).collect()
+            )
+            for t in ("stg_patient_person", "stg_mhpss_confirmation")
+        }
+    assert results["serial"] == results["pool"]

@@ -512,8 +512,50 @@ def test_resize_media_plumbing(spark):
         hdr = parse_image_header(bytes(r["payload"]))
         assert (hdr["width"], hdr["height"]) == (64, 48)
         assert r["meta"]["n_bytes"] == len(r["payload"])
+        assert r["resize_error"] is None
     with pytest.raises(NotImplementedError):
         real_resize(b"x", "image/png", 2, 2)
+
+
+def test_resize_media_quarantines_undecodable_payloads(spark):
+    """Scale-safety e2e: a mixed corpus (real decodable PNGs, JPEGs the
+    container has no codec for, garbage bytes) runs the REAL resize path
+    to completion — PNG rows come back resized, everything else becomes
+    a quarantine row (NULL payload, source preserved, reason recorded)
+    instead of killing the job. NotImplementedError stays on the direct
+    function call (asserted in test_resize_media_plumbing)."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.png_codec import (
+        decode_png,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_jpeg,
+        make_png_gradient,
+        resize_media,
+    )
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "image/png", make_png_gradient(i), ("synth", 0)))
+    for i in range(6, 10):
+        rows.append((i, "image/jpeg", make_jpeg(20, 10), ("synth", 0)))
+    rows.append((10, "image/png", b"\x89PNG garbage", ("synth", 0)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+
+    out = {r["media_id"]: r for r in resize_media(media, 5, 4).collect()}
+    assert len(out) == 11
+    for i in range(6):
+        r = out[i]
+        assert r["resize_error"] is None
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape[:2] == (4, 5)
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+    for i in list(range(6, 10)) + [10]:
+        r = out[i]
+        assert r["payload"] is None
+        assert r["meta"]["source"] == "synth"
+        assert r["meta"]["n_bytes"] is None
+        assert "NotImplementedError" in r["resize_error"]
 
 
 def test_minhash_incremental_index_roundtrip(spark, tmp_path):
