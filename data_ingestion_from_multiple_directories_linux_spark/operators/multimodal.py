@@ -618,33 +618,69 @@ def make_png_gradient(doc_id: int) -> bytes:
     return encode_png(np.broadcast_to(rows, (h, w)).copy())
 
 
+def make_jpeg_gradient(doc_id: int) -> bytes:
+    """A REAL entropy-coded baseline JPEG per doc_id: same dimensions
+    as :func:`make_png_gradient`, but a BLOCK-ROW gradient — row y
+    holds the constant value ``id % 200 + y // 8`` (max 199 + 5 < 256).
+    Tile-constant by construction, so the all-ones-quant codec
+    round-trips it bit-exactly (``jpeg_codec`` module docstring) and
+    the pixel stats stay closed-form. Decoding requires the full
+    baseline path: marker walk, Huffman DC differentials across blocks,
+    EOB runs, byte unstuffing, IDCT."""
+    import numpy as np
+
+    from ..functions.jpeg_codec import encode_jpeg_gray
+
+    w, h = 4 + doc_id % 60, 4 + doc_id % 40
+    base = doc_id % 200
+    rows = (base + np.arange(h) // 8).astype(np.uint8)[:, None]
+    return encode_jpeg_gray(np.broadcast_to(rows, (h, w)).copy())
+
+
 @query(
     "media_pixel_stats",
     oracle="""
     SELECT doc_id AS media_id,
            CAST(4 + doc_id % 60 AS BIGINT) AS width,
            CAST(4 + doc_id % 40 AS BIGINT) AS height,
-           CAST(doc_id % 200 + (3 + doc_id % 40) / 2.0 AS DOUBLE) AS mean_px,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 200 + (3 + doc_id % 40) / 2.0 AS DOUBLE)
+                ELSE CAST((4 + doc_id % 40) * (doc_id % 200)
+                          + 4 * ((4 + doc_id % 40) // 8)
+                              * ((4 + doc_id % 40) // 8 - 1)
+                          + ((4 + doc_id % 40) % 8)
+                              * ((4 + doc_id % 40) // 8)
+                      AS DOUBLE) / (4 + doc_id % 40)
+           END AS mean_px,
            CAST(doc_id % 200 AS BIGINT) AS min_px,
-           CAST(doc_id % 200 + 3 + doc_id % 40 AS BIGINT) AS max_px
+           CAST(doc_id % 200
+                + CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 40
+                       ELSE (3 + doc_id % 40) // 8 END
+               AS BIGINT) AS max_px
     FROM documents
     """,
 )
 def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIXEL-level image statistics, fully real end to end: per doc_id a
-    grayscale PNG with a known vertical gradient is synthesized
-    (:func:`make_png_gradient`, Up-filtered scanlines), then the pure-
-    stdlib codec inflates + unfilters the actual IDAT bytes and the
-    stats come from the decoded pixel array. The oracle predicts
-    mean/min/max in closed form from the synthesis rule (row y = base+y
-    ⇒ mean = base + (h-1)/2, exact in IEEE doubles), so any codec bug —
-    zlib framing, filter reconstruction, row order — fails the value
-    hash. Narrow plan: scan → mapInPandas → mapInPandas, no shuffle."""
+    """PIXEL-level image statistics, fully real end to end, over BOTH
+    shipped codecs: even doc_ids synthesize a grayscale PNG with a
+    per-row gradient (:func:`make_png_gradient`, Up-filtered scanlines
+    → zlib inflate + unfilter on decode), odd doc_ids a baseline
+    entropy-coded JPEG with a block-row gradient
+    (:func:`make_jpeg_gradient` → Huffman decode + dequantize + IDCT).
+    Stats come from the decoded pixel arrays; the oracle predicts them
+    in closed form from the synthesis rules (PNG: mean = base +
+    (h-1)/2, exact dyadic; JPEG: mean = (h·base + Σ y//8)/h with
+    Σ y//8 = 4q(q-1) + rq for h = 8q+r — one exact-integer division on
+    both engines, so the doubles agree bit-for-bit). Any codec bug —
+    zlib framing, filter reconstruction, Huffman table assignment, DC
+    differentials, IDCT scaling — fails the value hash. Narrow plan:
+    scan → mapInPandas → mapInPandas, no shuffle."""
     import numpy as np
 
+    from ..functions.jpeg_codec import decode_jpeg_gray
     from ..functions.png_codec import decode_png
 
-    png_schema = T.StructType(
+    img_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("payload", T.BinaryType(), True),
@@ -667,7 +703,11 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "payload": [make_png_gradient(i) for i in ids],
+                    "payload": [
+                        make_png_gradient(i) if i % 2 == 0
+                        else make_jpeg_gradient(i)
+                        for i in ids
+                    ],
                 }
             )
 
@@ -675,7 +715,11 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("width", "height", "mean_px", "min_px", "max_px")}
             for p in pdf["payload"]:
-                px = decode_png(bytes(p) if p is not None else b"")
+                raw = bytes(p) if p is not None else b""
+                px = decode_png(raw)
+                if px is None:
+                    jp = decode_jpeg_gray(raw)
+                    px = jp[:, :, None] if jp is not None else None
                 if px is None:
                     for k in out:
                         out[k].append(None)
@@ -690,28 +734,35 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"].values, **out})
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(synth, png_schema).mapInPandas(stats, out_schema)
+    return docs.mapInPandas(synth, img_schema).mapInPandas(stats, out_schema)
 
 
 ResizeFn = Callable[[bytes, str, int, int], bytes]
 
 
 def real_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
-    """Real pixel resize for PNG payloads: decode (stdlib zlib +
-    unfilter) → nearest-neighbor resample (numpy index arithmetic) →
-    re-encode. The output round-trips through both
-    :func:`parse_image_header` and ``png_codec.decode_png`` (asserted
-    e2e in tests). JPEG re-encode genuinely needs an entropy codec this
-    container does not ship — wire PIL here on a cluster that has it."""
+    """Real pixel resize, format-preserving: decode (PNG: stdlib zlib +
+    unfilter; baseline grayscale JPEG: pure-Python Huffman + IDCT,
+    ``functions.jpeg_codec``) → nearest-neighbor resample (numpy index
+    arithmetic) → re-encode in the source format. The output
+    round-trips through :func:`parse_image_header` and the matching
+    decoder (asserted e2e in tests). Payloads neither codec can decode
+    (progressive/color JPEG, truncated scans) raise here — the
+    distributed path (:func:`resize_media`) catches and quarantines."""
+    from ..functions.jpeg_codec import decode_jpeg_gray, encode_jpeg_gray
     from ..functions.png_codec import decode_png, encode_png, resize_nearest
 
     px = decode_png(payload) if payload else None
-    if px is None:
-        raise NotImplementedError(
-            "pixel resize is implemented for PNG; other formats require "
-            "an image codec not shipped in this container"
-        )
-    return encode_png(resize_nearest(px, width, height))
+    if px is not None:
+        return encode_png(resize_nearest(px, width, height))
+    jpx = decode_jpeg_gray(payload) if payload else None
+    if jpx is not None:
+        return encode_jpeg_gray(resize_nearest(jpx, width, height))
+    raise NotImplementedError(
+        "payload is not decodable by the shipped codecs (PNG, baseline "
+        "grayscale JPEG); other formats require an image codec not in "
+        "this container"
+    )
 
 
 def fake_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
