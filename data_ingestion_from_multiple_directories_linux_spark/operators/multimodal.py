@@ -733,7 +733,15 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["max_px"].append(int(px.max()))
             yield pd.DataFrame({"media_id": pdf["media_id"].values, **out})
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-parquet-file tables scan as ONE partition; spread the
+    # per-row codec work (Huffman encode/decode is the expensive part)
+    # across the executors before entering the Python stages — the
+    # shuffle carries only doc_id
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     return docs.mapInPandas(synth, img_schema).mapInPandas(stats, out_schema)
 
 

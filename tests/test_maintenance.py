@@ -546,3 +546,33 @@ def test_repair_restores_partition_lost_mid_swap(spark, tmp_path):
     assert out2["restored"] == []
     assert out2["removed"] == [".t.dpo-old-deadbeef"]
     assert store.read("t").count() == 2
+
+
+def test_repair_restores_nested_partition(spark, tmp_path):
+    """repair() with two-level (fac/day) partitioning: a leaf parked
+    under its full relative path restores into place; the sibling day
+    of the same facility is untouched."""
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whr2"))
+    seed = spark.createDataFrame(
+        [(1, "A", "d1"), (2, "A", "d2"), (3, "B", "d1")],
+        "id bigint, fac string, day string",
+    )
+    store.overwrite("t", seed, ("fac", "day"))
+    trash = store.path(".t.dpo-old-feedface")
+    os.makedirs(os.path.join(trash, "fac=A"))
+    os.rename(os.path.join(store.path("t"), "fac=A", "day=d1"),
+              os.path.join(trash, "fac=A", "day=d1"))
+    assert store.read("t").count() == 2
+    out = store.repair("t")
+    assert out["restored"] == [os.path.join("fac=A", "day=d1")]
+    got = sorted(
+        (r["id"], r["fac"], r["day"]) for r in store.read("t").collect()
+    )
+    assert got == [(1, "A", "d1"), (2, "A", "d2"), (3, "B", "d1")]
+    assert not [d for d in os.listdir(store.root) if d.startswith(".t.")]
