@@ -614,12 +614,24 @@ def connected_components(
     (measured: round 3 at 20 s vs 1 s with checkpointing). Checkpointing
     ``edges`` up front also stops the two union branches from computing
     the candidate-pair subplan twice.
+
+    Superseded rounds' checkpoint BLOCKS are freed as the loop advances
+    (:class:`~...functions.ckpt.CheckpointJanitor` — plain
+    ``DataFrame.unpersist`` cannot reach them), so executor storage
+    holds ONE copy of the label table regardless of round count instead
+    of O(rounds) copies — the difference between bounded state and an
+    OOM on a billion-node graph. Only the final round's blocks survive:
+    the returned lazy frame reads them.
     """
-    edges = edges.select(
-        F.col(src).alias("node"), F.col(dst).alias("peer")
-    ).localCheckpoint(eager=True)
+    from ..functions.ckpt import CheckpointJanitor
+
+    spark = edges.sparkSession
+    ej = CheckpointJanitor(spark)
+    edges = ej.checkpoint(
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+    )
     if algorithm == "star":
-        return _connected_components_star(edges, max_iter)
+        return _connected_components_star(edges, max_iter, edges_jan=ej)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     und = (
@@ -629,9 +641,9 @@ def connected_components(
         .repartition(F.col("node"))
         .persist()
     )
-    labels = (
+    lj = CheckpointJanitor(spark)
+    labels = lj.checkpoint(
         und.select("node").distinct().withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         converged = False
@@ -651,14 +663,12 @@ def connected_components(
             )
             # carry a changed-flag instead of re-joining old vs new labels:
             # the convergence probe then only scans the checkpointed rows
-            new_labels = (
-                labels.join(neigh, "node", "left")
-                .select(
+            new_labels = lj.checkpoint(
+                labels.join(neigh, "node", "left").select(
                     "node",
                     new_lbl.alias("lbl"),
                     (new_lbl != F.col("lbl")).alias("chg"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = new_labels.filter("chg").limit(1).count()
             labels = new_labels.select("node", "lbl")
@@ -674,9 +684,14 @@ def connected_components(
             )
             logger.warning(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        lj.detach()  # the caller reads the final round's blocks
         return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
     finally:
         und.unpersist()
+        # edges' blocks are dead: the returned frame reads only the
+        # final label checkpoint, and und (the sole edges consumer) is
+        # unpersisted above
+        ej.release()
 
 
 def _min_star(e: DataFrame) -> DataFrame:
@@ -688,7 +703,9 @@ def _min_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
+def _connected_components_star(
+    edges: DataFrame, max_iter: int, edges_jan=None
+) -> DataFrame:
     """Large-star/small-star contraction (Kiveris et al., MR-CC).
 
     State is the undirected edge multiset (deduped each round). Both
@@ -697,16 +714,26 @@ def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
     in-memory list. Terminates when the small-star output is stable
     (checksum over the sorted edge set: count + sum of xxhash64); label
     extraction then reads each node's final star center.
+
+    Superseded rounds' checkpoint blocks are freed as the contraction
+    advances (see :func:`connected_components`): storage holds one edge
+    multiset, not one per round. ``edges_jan`` (optional) is the
+    caller's janitor for the input edge checkpoint — released once the
+    first undirected checkpoint and node set are materialized.
     """
-    und = (
+    from ..functions.ckpt import CheckpointJanitor
+
+    uj = CheckpointJanitor(edges.sparkSession)
+    und = uj.checkpoint(
         edges.unionByName(
             edges.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
         )
         .filter(F.col("node") != F.col("peer"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = und.select("node").distinct().localCheckpoint(eager=True)
+    if edges_jan is not None:
+        edges_jan.release()  # und + nodes hold everything downstream needs
 
     def checksum(e: DataFrame) -> tuple:
         lo = F.least(F.col("node"), F.col("peer"))
@@ -728,11 +755,10 @@ def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("peer") > F.col("node"))
             .select(F.col("peer").alias("node"), F.col("m").alias("peer"))
         )
-        und = (
+        und = uj.checkpoint(
             ls.unionByName(ls.select(F.col("peer").alias("node"), F.col("node").alias("peer")))
             .filter(F.col("node") != F.col("peer"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # small-star: rewire less-or-equal neighbors (and u itself) to m(u)
         m = _min_star(und)
@@ -742,11 +768,10 @@ def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .select(F.col("peer").alias("node"), F.col("m").alias("peer"))
             .unionByName(m.select("node", F.col("m").alias("peer")))
         )
-        und = (
+        und = uj.checkpoint(
             ss.unionByName(ss.select(F.col("peer").alias("node"), F.col("node").alias("peer")))
             .filter(F.col("node") != F.col("peer"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         cur = checksum(und)
         if cur == prev:
@@ -766,6 +791,7 @@ def _connected_components_star(edges: DataFrame, max_iter: int) -> DataFrame:
         nodes.join(_min_star(und), "node", "left")
         .select("node", F.coalesce(F.col("m"), F.col("node")).alias("cluster_id"))
     )
+    uj.detach()  # lbl lazily reads the final edge checkpoint + nodes
     return lbl
 
 
