@@ -13,20 +13,37 @@ genuine OOM vector when the state is a billion-edge table at 100 TB,
 and dead weight even locally (a full 156-query sweep leaks ~19 cached
 tables without this).
 
-:class:`CheckpointJanitor` frees superseded rounds through
-``SparkContext.getPersistentRDDs`` (public Scala/Java API, reached via
-the JVM gateway — the only route PySpark offers): snapshot the
-persistent-RDD ids around a checkpoint, then ``free`` the previous
-round's ids once the next EAGER checkpoint has materialized. Safety
-rests on eagerness: round N+1's blocks are fully computed before round
-N's are dropped, and nothing else references round N (the loop
-variable is overwritten). The FINAL round's blocks are never freed —
-the returned lazy DataFrame reads them.
+:class:`CheckpointJanitor` frees superseded rounds by unpersisting the
+EXACT checkpointed RDD: after ``localCheckpoint`` the frame's analyzed
+plan is a ``LogicalRDD`` whose ``rdd()`` is the block-backed RDD, so
+the janitor reads its id directly and later drops it through
+``SparkContext.getPersistentRDDs`` (the only route PySpark offers to
+an RDD persisted below the DataFrame cache manager). Tracking the id —
+never a before/after set-diff of the persistent-RDD registry — means a
+``persist()`` that happens to register during the checkpoint job (or a
+concurrent thread's cache on a shared session) can never be freed by
+mistake. Safety of the cycling rests on eagerness: round N+1's blocks
+are fully computed before round N's are dropped, and nothing else
+references round N (the loop variable is overwritten). The FINAL
+round's blocks are never freed — the returned lazy frame reads them.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The id of the block-backed RDD under a localCheckpointed frame
+    (its analyzed plan is a LogicalRDD), or None when the plan is not
+    the direct product of a checkpoint."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None
 
 
 class CheckpointJanitor:
@@ -43,35 +60,30 @@ class CheckpointJanitor:
 
     def __init__(self, spark: SparkSession) -> None:
         self._jsc = spark.sparkContext._jsc
-        self._held: list[int] = []
+        self._held: int | None = None
 
-    def _ids(self) -> set[int]:
-        return {int(k) for k in self._jsc.getPersistentRDDs().keySet().toArray()}
-
-    def checkpoint(self, df: DataFrame, keep_prev: bool = False) -> DataFrame:
+    def checkpoint(self, df: DataFrame) -> DataFrame:
         """Eagerly localCheckpoint ``df``; free the blocks of the
-        previous checkpoint taken through this janitor (unless
-        ``keep_prev``). Returns the checkpointed frame."""
-        before = self._ids()
+        previous checkpoint taken through this janitor. Returns the
+        checkpointed frame."""
         out = df.localCheckpoint(eager=True)
-        new = sorted(self._ids() - before)
-        if not keep_prev:
-            self.release()
-        self._held = new
+        rid = _checkpoint_rdd_id(out)
+        self.release()
+        self._held = rid
         return out
 
     def release(self) -> None:
         """Free the currently-held checkpoint's blocks now (call when
         the tracked frame is superseded by something OUTSIDE the
         janitor, e.g. a fixed point reached before the round limit)."""
-        m = self._jsc.getPersistentRDDs()
-        for rid in self._held:
-            rdd = m.get(rid)
-            if rdd is not None:
-                rdd.unpersist(False)
-        self._held = []
+        if self._held is None:
+            return
+        rdd = self._jsc.getPersistentRDDs().get(self._held)
+        if rdd is not None:
+            rdd.unpersist(False)
+        self._held = None
 
     def detach(self) -> None:
         """Stop tracking WITHOUT freeing — call before returning the
         tracked frame to a caller (its blocks must outlive the loop)."""
-        self._held = []
+        self._held = None

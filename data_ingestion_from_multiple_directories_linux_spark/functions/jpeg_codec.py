@@ -19,8 +19,10 @@ all ones keep DCT coefficients exact, and an image that is CONSTANT
 within every 8×8 tile round-trips bit-exactly (fDCT of a constant block
 is a lone DC coefficient; float error ~1e-13 rounds away), which is
 what gives ``media_pixel_stats`` a closed-form oracle over JPEG
-payloads. Arbitrary images round-trip within ±1 (DCT float rounding),
-property-tested.
+payloads. Arbitrary images round-trip within a small rounding bound
+(coefficient rounding of ≤0.5 compounds through the IDCT basis to a
+worst case of ~±4; observed ≤±2 over large random sweeps),
+property-tested — only the tile-constant construction is exact.
 
 Performance shape: runs inside Arrow-batched ``mapInPandas`` workers;
 the DCT/IDCT are single 8×8 matrix multiplies per block (numpy), and

@@ -541,8 +541,17 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = TableStore(spark, tmp)
         store.overwrite("orders_m", orders.repartition(16, F.col("o_orderkey")))
+        # probe an EXISTING key nearest the domain midpoint: TPC-H
+        # orderkeys are sparse, and after range clustering a midpoint
+        # that falls in the gap between two files' footer spans would
+        # hit 0 files instead of 1 — an existing key always lies inside
+        # exactly one disjoint span
         lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
-        probe = (lo + hi) // 2
+        probe = (
+            orders.filter(F.col("o_orderkey") <= (lo + hi) // 2)
+            .agg(F.max("o_orderkey"))
+            .first()[0]
+        )
         n_rows = store.read("orders_m").count()
 
         def measure(phase: str) -> None:
@@ -557,7 +566,12 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((phase, len(spans), n_rows, pairs, hit))
 
         measure("fragmented")
-        rep = compact_table(store, "orders_m", min_files=8)
+        # explicit 1 TiB target pins files_after = ceil(bytes/target) = 1
+        # at ANY scale factor (the default 128 MB target would start
+        # splitting once orders outgrows it and break the closed form)
+        rep = compact_table(
+            store, "orders_m", target_bytes=1 << 40, min_files=8
+        )
         assert rep is not None and rep.files_before == 16
         measure("compacted")
         cluster_table(store, "orders_m", "o_orderkey", n_files=8)

@@ -250,9 +250,12 @@ class UploadWriter(DataSourceWriter):
         if self.if_exists == "error":
             # Refuse to clobber: os.link is atomic-exclusive (EEXIST if
             # the final name is taken), unlike os.replace. Pre-check all
-            # targets first so a collision fails the WHOLE commit before
-            # any file goes live, then link() still closes the
-            # check-to-publish race.
+            # targets so an ordinary collision fails the whole commit
+            # before anything goes live; link() then closes the
+            # check-to-publish race, and a mid-loop race UNWINDS the
+            # links already made (tmps are only deleted after every
+            # link succeeded), so the commit is all-or-nothing even
+            # when two same-suffix jobs interleave.
             taken = sorted(f for _t, f in renames if _os.path.exists(f))
             if taken:
                 raise FileExistsError(
@@ -261,8 +264,19 @@ class UploadWriter(DataSourceWriter):
                     "unique .option('suffix', …) per job or "
                     ".option('if_exists', 'overwrite') explicitly"
                 )
-            for tmp, final in renames:
-                _os.link(tmp, final)  # raises FileExistsError on race
+            linked = []
+            try:
+                for tmp, final in renames:
+                    _os.link(tmp, final)  # raises FileExistsError on race
+                    linked.append(final)
+            except FileExistsError:
+                for f in linked:  # roll back our own publishes
+                    try:
+                        _os.unlink(f)
+                    except OSError:
+                        pass
+                raise
+            for tmp, _final in renames:
                 _os.unlink(tmp)
         else:
             for tmp, final in renames:

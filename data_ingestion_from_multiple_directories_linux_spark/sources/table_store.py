@@ -160,24 +160,48 @@ class TableStore:
         return sorted(replaced)
 
     def repair(self, name: str) -> dict[str, list[str]]:
-        """Crash-recovery scan for :meth:`overwrite_partitions` (and
-        :meth:`overwrite`) residue — run at startup, like a table
+        """Crash-recovery scan for :meth:`overwrite_partitions` AND
+        :meth:`overwrite` residue — run at startup, like a table
         format's orphan-file cleanup.
 
-        For every ``.{name}.dpo-old-*`` trash dir: any partition parked
-        there whose live counterpart is MISSING (the crash landed
-        between the two renames) is restored; parked partitions whose
-        live copy exists are dropped (the swap completed). Then all
-        ``.dpo-*`` scratch dirs (uncommitted writer output from a
-        crashed call) and ``.{name}.tmp-*`` / ``.{name}.old-*`` residue
-        from :meth:`overwrite` are removed. Returns
-        ``{"restored": [...relpaths], "removed": [...dirnames]}``."""
+        Two restore rules, applied NEWEST trash first (mtime order —
+        when two crashed calls both parked a copy, the later call's
+        parked data is the one the last committed state held):
+
+        * ``.{name}.old-*`` (a full-table :meth:`overwrite` crashed
+          between "live → trash" and "tmp → live"): if the live dir is
+          MISSING entirely, the newest parked table is moved back
+          whole — without this the only surviving committed copy would
+          be deleted as residue.
+        * ``.{name}.dpo-old-*`` (partition swap): any partition parked
+          under its relative path whose live counterpart is missing is
+          restored; parked partitions whose live copy exists are
+          dropped (the swap completed).
+
+        Then all remaining residue — ``.dpo-*`` scratch, ``.tmp-*``
+        uncommitted writer output, older parked copies — is removed.
+        Returns ``{"restored": [...relpaths], "removed":
+        [...dirnames]}`` ('.' marks a whole-table restore)."""
         live = self.path(name)
         restored: list[str] = []
         removed: list[str] = []
-        for d in sorted(os.listdir(self.root)):
+        residue = [
+            d
+            for d in os.listdir(self.root)
+            if d.startswith(f".{name}.")
+            and os.path.isdir(os.path.join(self.root, d))
+        ]
+        # newest first: restores prefer the most recent parked copy
+        residue.sort(
+            key=lambda d: os.path.getmtime(os.path.join(self.root, d)),
+            reverse=True,
+        )
+        for d in residue:
             p = os.path.join(self.root, d)
-            if not (d.startswith(f".{name}.") and os.path.isdir(p)):
+            if d.startswith(f".{name}.old-") and not os.path.isdir(live):
+                os.rename(p, live)
+                restored.append(".")
+                removed.append(d)
                 continue
             if d.startswith(f".{name}.dpo-old-"):
                 for dirpath, _dirs, files in os.walk(p):

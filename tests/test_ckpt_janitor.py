@@ -43,20 +43,37 @@ def test_detach_keeps_final_blocks(spark):
     assert final.count() == 10  # still readable
 
 
-def test_keep_prev_defers_freeing(spark):
+def test_janitor_never_frees_foreign_persists(spark):
+    """The review-found hazard, pinned: a persist() whose cache RDD
+    registers DURING the checkpoint's eager job (or any concurrent
+    cache on a shared session) must NOT be freed by the janitor — only
+    the exact checkpointed RDD is tracked."""
+    from pyspark import StorageLevel
+
     from data_ingestion_from_multiple_directories_linux_spark.functions.ckpt import (
         CheckpointJanitor,
     )
 
     base = _n_persistent(spark)
     jan = CheckpointJanitor(spark)
-    a = jan.checkpoint(spark.range(5))
-    b = jan.checkpoint(a.selectExpr("id * 2 as id"), keep_prev=True)
-    assert _n_persistent(spark) == base + 2  # both alive
-    assert a.count() == 5 and b.count() == 5
-    jan.release()  # frees only the tracked (latest) one
-    assert _n_persistent(spark) == base + 1
-    assert a.count() == 5
+    side = spark.range(1000).selectExpr("id % 7 as k").persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    # first checkpoint's eager job materializes `side` too — its cache
+    # registers inside the checkpoint window
+    state = jan.checkpoint(side.groupBy("k").count())
+    for _ in range(3):
+        state = jan.checkpoint(
+            state.join(side.groupBy("k").count().withColumnRenamed("count", "c2"), "k")
+            .select("k", "count")
+        )
+    # side's cache survived every cycle: rows come back instantly from
+    # cache and the registry still holds it plus exactly one checkpoint
+    assert side.count() == 1000
+    assert _n_persistent(spark) == base + 2  # side + current round
+    jan.release()
+    side.unpersist(True)
+    assert _n_persistent(spark) == base
 
 
 def test_cc_sweep_holds_single_state_copy(spark):

@@ -27,10 +27,15 @@ def test_tile_constant_roundtrip_exact():
         assert np.array_equal(out, img)
 
 
-def test_arbitrary_roundtrip_within_one():
+def test_arbitrary_roundtrip_within_bound():
     """Full AC Huffman path (runs, ZRL, EOB, byte stuffing) via
-    hypothesis-style random images: reconstruction within ±1 (DCT float
-    rounding through an all-ones quant table)."""
+    hypothesis-style random images: reconstruction within the codec's
+    worst-case rounding bound. Coefficient rounding injects ≤0.5 per
+    coefficient; through the IDCT basis that compounds to ≤
+    0.5·(Σ|basis|)² + 0.5 ≈ 3.8, so ±4 is the safe assertion (observed
+    max over large sweeps: 2 — e.g. a 10×35 image ~750 draws into
+    RandomState(0); ±1 only holds for tile-constant images, where the
+    closed-form oracle lives)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -44,7 +49,7 @@ def test_arbitrary_roundtrip_within_one():
         img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
         out = decode_jpeg_gray(encode_jpeg_gray(img))
         assert out is not None and out.shape == (h, w)
-        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
 
     run()
 

@@ -548,6 +548,43 @@ def test_repair_restores_partition_lost_mid_swap(spark, tmp_path):
     assert store.read("t").count() == 2
 
 
+def test_repair_restores_table_lost_mid_overwrite(spark, tmp_path):
+    """The review-found data-loss path, pinned: overwrite() crashes
+    between 'live -> trash' and 'tmp -> live', leaving the ONLY
+    committed copy in .{name}.old-*. repair() must move it back, not
+    delete it as residue; the incomplete .tmp-* is removed. With TWO
+    parked copies, the newest (mtime) wins."""
+    import os
+    import time
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whofix"))
+    store.overwrite("t", spark.createDataFrame([(1,)], "id bigint"))
+    # simulate the torn overwrite: live parked, tmp left behind
+    old_a = store.path(".t.old-aaaa0000")
+    os.rename(store.path("t"), old_a)
+    os.makedirs(store.path(".t.tmp-cafe0000"))
+    # an OLDER stale parked copy from a previous crash
+    old_b = store.path(".t.old-bbbb0000")
+    os.makedirs(old_b)
+    with open(os.path.join(old_b, "stale.marker"), "w") as f:
+        f.write("x")
+    past = time.time() - 9999
+    os.utime(old_b, (past, past))
+
+    out = store.repair("t")
+    assert out["restored"] == ["."]
+    assert sorted(out["removed"]) == [
+        ".t.old-aaaa0000", ".t.old-bbbb0000", ".t.tmp-cafe0000"
+    ]
+    assert [r["id"] for r in store.read("t").collect()] == [1]
+    assert not os.path.exists(os.path.join(store.path("t"), "stale.marker"))
+    assert not [d for d in os.listdir(store.root) if d.startswith(".t.")]
+
+
 def test_repair_restores_nested_partition(spark, tmp_path):
     """repair() with two-level (fac/day) partitioning: a leaf parked
     under its full relative path restores into place; the sibling day
