@@ -96,10 +96,6 @@ def local_df(spark: SparkSession, rows: list[tuple], ddl: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ddl)
 
 
-#: Verdict flags cleanse_and_split adds to the flagged frame.
-_FLAG_COLS = ("_is_corrupt", "_all_null", "_bad_date")
-
-
 def cleanse_and_split(
     table: str, df: DataFrame, transforms: dict[str, list]
 ) -> tuple[DataFrame, DataFrame, list[str], DataFrame]:
@@ -206,6 +202,7 @@ class IngestReport:
     records_ingested: int = 0
     records_quarantined: int = 0
     tables: dict[str, int] = field(default_factory=dict)
+    #: "<facility_id>/<file_name>" -> error message
     errors: dict[str, str] = field(default_factory=dict)
 
 
@@ -380,7 +377,6 @@ class IngestionEngine:
         self,
         table: str,
         group: list[FileMeta],
-        report: IngestReport,
         now: datetime,
         retry_pairs: set[tuple[str, str]] = frozenset(),
     ) -> list[dict]:
@@ -492,19 +488,26 @@ class IngestionEngine:
     def _purge_file_rows(self, store_table: str, pairs: set[tuple[str, str]]) -> None:
         """Remove a retried file's previously-appended rows (keyed on the
         lineage pair stg_file_name/stg_datim_id) via read-filter-overwrite.
-        The filter includes the partition column (stg_datim_id), so at
-        scale the rewrite prunes to the affected facility partitions."""
+
+        The pair list joins as a broadcast frame, NOT an OR-chain
+        predicate: a 50k-pair requeue (max_files_per_run) would
+        otherwise fold into a 50k-term binary expression tree that
+        Catalyst re-analyzes per table — driver minutes / StackOverflow
+        territory (the same pathology _purge_batch_rows documents on
+        the streaming side). The anti-join is linear and the probe
+        stays a hash lookup per row."""
         if not pairs or not self.store.exists(store_table):
             return
         cur = self.store.read(store_table)
-        hit = F.lit(False)
-        for f, fac in sorted(pairs):
-            hit = hit | (
-                (F.col("stg_file_name") == f) & (F.col("stg_datim_id") == fac)
-            )
-        if cur.filter(hit).limit(1).count() == 0:
+        pdf = local_df(
+            self.spark, sorted(pairs), "file_name string, facility_id string"
+        )
+        on = (cur["stg_file_name"] == pdf["file_name"]) & (
+            cur["stg_datim_id"] == pdf["facility_id"]
+        )
+        if cur.join(F.broadcast(pdf), on, "left_semi").limit(1).count() == 0:
             return
-        remaining = cur.filter(~hit)
+        remaining = cur.join(F.broadcast(pdf), on, "left_anti")
         if remaining.limit(1).count() == 0:
             # an empty parquet dir is unreadable (no footer) — drop instead
             self.store.drop(store_table)
@@ -617,7 +620,7 @@ class IngestionEngine:
             with ThreadPoolExecutor(max_workers=min(workers, len(items))) as pool:
                 futs = [
                     pool.submit(
-                        self._ingest_table, table, group, report, start, retry_pairs
+                        self._ingest_table, table, group, start, retry_pairs
                     )
                     for table, group in items
                 ]
@@ -626,7 +629,7 @@ class IngestionEngine:
         else:
             for table, group in items:
                 audit.extend(
-                    self._ingest_table(table, group, report, start, retry_pairs)
+                    self._ingest_table(table, group, start, retry_pairs)
                 )
 
         for row in audit:
@@ -634,7 +637,11 @@ class IngestionEngine:
                 report.files_ingested += 1
             else:
                 report.files_failed += 1
-                report.errors[row["file_name"]] = row["error_message"]
+                # key includes the facility: same-named files from two
+                # facilities must not overwrite each other's entries
+                report.errors[f"{row['facility_id']}/{row['file_name']}"] = row[
+                    "error_message"
+                ]
             report.records_ingested += row["json_rec_count"]
             report.records_quarantined += row["bad_rec_count"]
             t = row["table_name"]
@@ -685,8 +692,23 @@ class IngestionEngine:
         ``process_summary_report`` (K4/A3): one row of per-status file
         counts + record totals, appended with a report timestamp —
         the reference's INSERT…SELECT of SUM(CASE WHEN processed=k…)
-        buckets (pcs_summary_report.py:27-33)."""
+        buckets (pcs_summary_report.py:27-33).
+
+        Buckets count FILES, not attempts: the log keeps one row per
+        attempt (fail → requeue → success is three rows for one file),
+        while the reference's sync_file holds one row per file — so the
+        summary reduces to the LATEST row per (file, facility) first,
+        or a retried file would inflate total_files and double-count
+        its earlier attempts' record tallies."""
         log = self.store.read_or_empty(INGESTION_LOG, INGESTION_LOG_DDL)
+        latest = Window.partitionBy("file_name", "facility_id").orderBy(
+            F.desc("load_start_time"), F.desc("load_end_time")
+        )
+        log = (
+            log.withColumn("_rn", F.row_number().over(latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
         def bucket(status: str) -> Column:
             return F.count(F.when(F.col("status") == status, 1))

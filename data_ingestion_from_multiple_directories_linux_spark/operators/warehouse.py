@@ -212,9 +212,16 @@ def merge_upsert(
     torn mix. At warehouse scale the same plan runs against a bucketed
     target (:func:`..sources.bucketed.write_bucketed`) with the join exchange
     pre-paid at write time."""
-    tgt = store.read(target)
     upd = update_cols or [c for c in source.columns if c not in keys]
     carry = [c for c in (carry_cols or []) if c not in upd]
+    if store.exists(target):
+        tgt = store.read(target)
+    else:
+        # bootstrap: a MERGE into a not-yet-created table is pure
+        # inserts (minus condition-true deletes), exactly as if the
+        # target existed empty — the first CDC batch of a fresh
+        # pipeline must create the table, not crash the stream
+        tgt = source.select(*keys, *upd).filter(F.lit(False))
     src = source.select(
         *[F.col(k).alias(f"_sk_{k}") for k in keys],
         *[F.col(c).alias(f"_sv_{c}") for c in upd + carry],

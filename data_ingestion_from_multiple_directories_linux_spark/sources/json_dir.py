@@ -122,7 +122,22 @@ def read_table_files(
     df = reader.json(paths)
     if CORRUPT_COL not in df.columns:
         df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
-    parts = F.split(F.input_file_name(), "/")
-    return df.withColumn("_src_file", F.element_at(parts, -1)).withColumn(
-        "_src_facility", F.element_at(parts, -2)
+    return with_source_lineage(df)
+
+
+def with_source_lineage(df: DataFrame) -> DataFrame:
+    """Append ``_src_file`` / ``_src_facility`` decoded back to the RAW
+    filesystem names. ``input_file_name()`` returns the file URI, which
+    percent-encodes spaces and non-ASCII characters — left encoded, the
+    lineage keys would not match driver-side file metadata (discovery,
+    purge-on-retry, audit joins), mis-auditing any file whose name
+    needs encoding and duplicating its rows on retry. The '+' guard
+    matters because ``url_decode`` is form-decoding ('+' → space) while
+    URI paths keep '+' literal."""
+    dec = lambda c: F.expr(  # noqa: E731
+        "url_decode(regexp_replace(" + c + ", '\\\\+', '%2B'))"
     )
+    parts = "split(input_file_name(), '/')"
+    return df.withColumn(
+        "_src_file", dec(f"element_at({parts}, -1)")
+    ).withColumn("_src_facility", dec(f"element_at({parts}, -2)"))

@@ -60,27 +60,62 @@ class StreamingCdcApply:
         self.schema = schema
         self.target = target
         self.keys = keys
+        #: applied batch ids for this stream identity, loaded once per
+        #: run — per-batch checks are O(1) in-memory instead of a
+        #: marker-table scan per micro-batch (linear in stream lifetime)
+        self._applied: set[int] | None = None
+
+    #: compact the marker table once it fragments past this many files
+    COMMITS_COMPACT_FILES = 64
+
+    def _load_applied(self) -> set[int]:
+        if not self.store.exists(CDC_COMMITS):
+            return set()
+        return {
+            int(r["batch_id"])
+            for r in self.store.read(CDC_COMMITS)
+            .filter(F.col("checkpoint") == self.checkpoint_dir)
+            .select("batch_id")
+            .collect()
+        }
 
     def _is_applied(self, batch_id: int) -> bool:
-        if not self.store.exists(CDC_COMMITS):
-            return False
-        return (
-            self.store.read(CDC_COMMITS)
-            .filter(
-                (F.col("checkpoint") == self.checkpoint_dir)
-                & (F.col("batch_id") == int(batch_id))
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
+        if self._applied is None:
+            self._applied = self._load_applied()
+        return int(batch_id) in self._applied
 
     def _mark_applied(self, batch_id: int) -> None:
-        row = self.spark.createDataFrame(
+        # single-slice local frame: a 1-row createDataFrame slices into
+        # defaultParallelism near-empty parquet appends otherwise (the
+        # measured pathology ingest.engine.local_df exists to avoid)
+        from ..ingest.engine import local_df
+
+        row = local_df(
+            self.spark,
             [(self.checkpoint_dir, int(batch_id))],
             "checkpoint string, batch_id long",
         )
         self.store.append(CDC_COMMITS, row)
+        if self._applied is None:
+            self._applied = self._load_applied()
+        self._applied.add(int(batch_id))
+
+    def _compact_commits(self) -> None:
+        """Bound the marker table's one-file-per-batch fragmentation
+        (same discipline as StreamingIngestion._compact_commits)."""
+        import os
+
+        if not self.store.exists(CDC_COMMITS):
+            return
+        n_files = sum(
+            1
+            for f in os.listdir(self.store.path(CDC_COMMITS))
+            if f.endswith(".parquet")
+        )
+        if n_files > self.COMMITS_COMPACT_FILES:
+            self.store.overwrite(
+                CDC_COMMITS, self.store.read(CDC_COMMITS).coalesce(1)
+            )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self._is_applied(batch_id):
@@ -110,6 +145,7 @@ class StreamingCdcApply:
         self._mark_applied(batch_id)
 
     def run_available_now(self) -> None:
+        self._applied = None  # fresh view of the marker table per run
         q = (
             self.spark.readStream.format("json")
             .schema(self.schema)
@@ -120,3 +156,4 @@ class StreamingCdcApply:
             .start()
         )
         q.awaitTermination()
+        self._compact_commits()

@@ -154,11 +154,30 @@ class StreamingCountMin:
         )
 
     def compact(self) -> None:
-        """Fold all partial segments into one (batch_id −1) — the
-        maintenance sweep once history fragments. Safe because replayed
-        batch ids never reappear after their checkpoint commits."""
+        """Fold THIS scope's settled partial segments into one
+        (batch_id −1) — the maintenance sweep once history fragments.
+
+        Two safety rules (both review-found hazards):
+
+        * only this checkpoint scope's rows fold — another stream
+          instance sharing the store keeps its own segments, which its
+          replays must still be able to find and replace;
+        * the scope's HIGHEST batch_id segment is kept un-folded: it is
+          the only batch that can still replay (a crash lands between
+          apply and checkpoint commit), and its replay repairs by
+          deleting its own (scope, batch_id) segment — folding it away
+          would make the delete a no-op and double-count the batch.
+          Everything below it is checkpoint-committed and settled."""
+        if not self.store.exists(CM_PARTIALS):
+            return
+        cur = self.store.read(CM_PARTIALS)
+        mine = cur.filter(F.col("checkpoint") == self._scope())
+        others = cur.filter(F.col("checkpoint") != self._scope())
+        last = mine.agg(F.max("batch_id")).first()[0]
+        if last is None:
+            return
         folded = (
-            self.store.read(CM_PARTIALS)
+            mine.filter(F.col("batch_id") != last)
             .groupBy("j", "bucket")
             .agg(F.sum("cell_n").cast("long").alias("cell_n"))
             .select(
@@ -169,4 +188,7 @@ class StreamingCountMin:
                 "cell_n",
             )
         )
-        self.store.overwrite(CM_PARTIALS, folded)
+        keep_last = mine.filter(F.col("batch_id") == last)
+        self.store.overwrite(
+            CM_PARTIALS, others.unionByName(folded).unionByName(keep_last)
+        )

@@ -103,10 +103,12 @@ class StreamingIngestion:
             reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
         pattern = os.path.join(self.root, "*", f"{self.table}_*.json")
         df = reader.load(pattern)
-        parts = F.split(F.input_file_name(), "/")
-        return df.withColumn("_src_file", F.element_at(parts, -1)).withColumn(
-            "_src_facility", F.element_at(parts, -2)
-        )
+        # decoded lineage names — raw filesystem keys, matching the
+        # driver-side snapshot/purge/audit joins (see
+        # json_dir.with_source_lineage)
+        from ..sources.json_dir import with_source_lineage
+
+        return with_source_lineage(df)
 
     #: sink-side commit log: (table_name, checkpoint, batch_id) per
     #: committed batch. The CHECKPOINT column scopes markers to one
@@ -126,17 +128,25 @@ class StreamingIngestion:
     def _load_committed(self) -> set[int]:
         """One scan at stream start; per-batch checks are then O(1)
         in-memory (the previous shape re-read the whole marker table
-        every micro-batch — linear growth with stream lifetime)."""
+        every micro-batch — linear growth with stream lifetime).
+
+        Only markers stamped with THIS stream's checkpoint scope count.
+        Legacy NULL-scope rows (pre-scoping format) are deliberately
+        IGNORED: they cannot prove which checkpoint committed them, and
+        honoring them after an operator clears the checkpoint (batch
+        ids restart at 0) would silently skip the new stream's first
+        batches — multi-batch data loss. The cost of ignoring them is
+        bounded and safe: at most the last pre-upgrade batch replays
+        once without a recognized marker, and the purge-before-append
+        repair makes that re-process idempotent."""
         if not self.store.exists(self.COMMITS):
             return set()
         df = self.store.read(self.COMMITS)
-        cond = F.col("table_name") == f"stg_{self.table}"
-        if "checkpoint" in df.columns:
-            # legacy rows (written before checkpoint scoping) stay
-            # recognized: they can only describe this table's history
-            cond &= F.col("checkpoint").isNull() | (
-                F.col("checkpoint") == self._commit_scope()
-            )
+        if "checkpoint" not in df.columns:
+            return set()
+        cond = (F.col("table_name") == f"stg_{self.table}") & (
+            F.col("checkpoint") == self._commit_scope()
+        )
         return {
             int(r["batch_id"])
             for r in df.filter(cond).select("batch_id").collect()
@@ -284,24 +294,36 @@ class StreamingIngestion:
             key = ["_src_file", "_src_facility"]
             is_live = ~F.col("_is_corrupt") & ~F.col("_all_null")
             stats = flagged.groupBy(*key).agg(
+                F.count("*").alias("n_raw"),
                 F.count(F.when(F.col("_is_corrupt"), 1)).alias("n_corrupt"),
                 F.count(F.when(is_live & ~F.col("_bad_date"), 1)).alias("n_valid"),
                 F.count(F.when(F.col("_bad_date"), 1)).alias("n_bad"),
             )
             from ..functions.naming import batch_of
 
+            # status/message branches MIRROR the batch engine's
+            # _audit_rows exactly (G6 parity): a non-empty file whose
+            # every row dropped as all-null is FAILED with the same
+            # triage message, not silently 'success'
+            all_null = (
+                (F.col("n_corrupt") == 0)
+                & (F.col("n_valid") + F.col("n_bad") == 0)
+                & (F.col("n_raw") > 0)
+            )
             audit = stats.select(
                 F.col("_src_file").alias("file_name"),
                 F.col("_src_facility").alias("facility_id"),
                 F.lit(f"stg_{self.table}").alias("table_name"),
                 batch_of(F.col("_src_file")).alias("batch_id"),
                 F.when(F.col("n_corrupt") > 0, "failed")
+                .when(all_null, "failed")
                 .when(F.col("n_bad") > 0, "failed")
                 .otherwise("success")
                 .alias("status"),
                 F.col("n_valid").cast("long").alias("json_rec_count"),
                 F.col("n_bad").cast("long").alias("bad_rec_count"),
                 F.when(F.col("n_corrupt") > 0, "malformed JSON")
+                .when(all_null, "all rows null after cleansing")
                 .when(
                     F.col("n_bad") > 0,
                     F.concat(

@@ -420,6 +420,41 @@ def test_multi_table_run_parallel_submission(engine, uploads):
     assert all(r["last_name"] == "******" for r in masked)
 
 
+def test_encoded_names_audit_and_lineage_match(spark, tmp_path):
+    """Review finding, pinned: facility dirs / file names containing
+    spaces or '+' come back percent-encoded from input_file_name(), so
+    the lineage columns must DECODE them — otherwise the audit join
+    misses (file logged 'empty' despite landing rows) and retry purges
+    key on the wrong name (duplicates)."""
+    from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
+        IngestionEngine,
+    )
+
+    root = str(tmp_path / "enc")
+    fac = "FAC 01+x"
+    write_json(root, fac, "patient_person_0_20250103141949.json",
+               [patient(i) for i in range(3)])
+    eng = IngestionEngine(spark, str(tmp_path / "encwh"))
+    rep = eng.run(root)
+    assert rep.files_ingested == 1 and rep.files_failed == 0
+    stg = eng.store.read("stg_patient_person").collect()
+    assert len(stg) == 3
+    assert all(r["stg_datim_id"] == fac for r in stg)
+    assert all(
+        r["stg_file_name"] == "patient_person_0_20250103141949.json"
+        for r in stg
+    )
+    log = eng.store.read(INGESTION_LOG).collect()
+    assert len(log) == 1
+    assert log[0]["facility_id"] == fac
+    assert log[0]["status"] == "success"
+    assert log[0]["json_rec_count"] == 3
+    # idempotency keys also line up: a rerun skips the file
+    rep2 = eng.run(root)
+    assert rep2.files_ingested == 0 and rep2.files_skipped == 1
+    assert eng.store.read("stg_patient_person").count() == 3
+
+
 def test_serial_submission_equals_concurrent(spark, tmp_path):
     """G5 correctness leg of the concurrency bench: submit_workers=1
     (forced serial driver loop) lands row-identical staging tables and

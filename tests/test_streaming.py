@@ -395,6 +395,25 @@ def test_zero_row_file_gets_empty_audit_row(spark, tmp_path, uploads):
     assert s.store.read(INGESTION_LOG).count() == 2
 
 
+def test_all_null_file_audited_failed_like_batch_engine(spark, tmp_path, uploads):
+    """G6 parity (review finding): a non-empty file whose every row is
+    dropped as all-null must be audited failed / 'all rows null after
+    cleansing' — the batch engine's verdict — not silently 'success'."""
+    keys = ("id", "uuid", "match_type", "match_person_uuid",
+            "match_biometric_id", "date_enrollment", "template")
+    write_json(uploads, "FAC001", "biometric_0_20250103141949.json",
+               [{k: None for k in keys} for _ in range(2)])
+    s = StreamingIngestion(
+        spark, str(tmp_path / "whnull"), uploads, "biometric"
+    )
+    s.run_available_now()
+    log = s.store.read(INGESTION_LOG).collect()
+    assert len(log) == 1
+    assert log[0]["status"] == "failed"
+    assert log[0]["error_message"] == "all rows null after cleansing"
+    assert log[0]["json_rec_count"] == 0 and log[0]["bad_rec_count"] == 0
+
+
 def test_commit_marker_table_stays_compact(spark, tmp_path, uploads):
     """The marker table appends one tiny file per micro-batch; once it
     fragments past COMMITS_COMPACT_FILES it is rewritten, so startup
@@ -417,8 +436,12 @@ def test_commit_marker_table_stays_compact(spark, tmp_path, uploads):
 
 def test_legacy_marker_table_migrates_to_scoped_schema(spark, tmp_path, uploads):
     """A marker table written before checkpoint scoping (no 'checkpoint'
-    column) is migrated in place on the next commit; its rows stay
-    recognized as committed history for this table."""
+    column) is migrated in place on the next commit. Its NULL-scope rows
+    are preserved as history but NOT honored as committed: a NULL scope
+    cannot prove which checkpoint committed the batch, and counting it
+    would silently skip a fresh checkpoint's restarted batch ids (the
+    review-found data-loss path) — the purge-before-append repair makes
+    the one possible post-upgrade replay idempotent instead."""
     from data_ingestion_from_multiple_directories_linux_spark.ingest.engine import (
         local_df,
     )
@@ -437,7 +460,11 @@ def test_legacy_marker_table_migrates_to_scoped_schema(spark, tmp_path, uploads)
     rows = {r["batch_id"]: r["checkpoint"] for r in commits.collect()}
     assert rows[99] is None  # legacy row preserved, null scope
     assert any(v is not None for v in rows.values())  # new row scoped
-    assert 99 in s._load_committed()  # legacy rows still count
+    committed = s._load_committed()
+    assert 99 not in committed  # NULL scope is history, not a skip
+    assert committed  # this run's own scoped batch IS recognized
+    # and the data really landed despite the legacy batch-99 row
+    assert s.store.read("stg_patient_person").count() == 1
 
 
 def test_streaming_incremental_minhash_dedup(spark, tmp_path):
@@ -605,10 +632,22 @@ def test_streaming_count_min_matches_one_shot(spark, tmp_path):
         == n_batches
     )
 
-    # compaction folds segments, cells unchanged
+    # compaction folds the SETTLED segments, cells unchanged — the
+    # newest batch segment is kept un-folded because it is the only one
+    # that can still replay (crash between apply and checkpoint commit)
     cm.compact()
     assert cells_dict(cm.cells()) == oneshot
-    assert store.read(CM_PARTIALS).select("batch_id").distinct().count() == 1
+    ids = sorted(
+        r["batch_id"]
+        for r in store.read(CM_PARTIALS).select("batch_id").distinct().collect()
+    )
+    assert ids == [-1, b2_id]
+
+    # the review-found double-count path, pinned: replaying the newest
+    # batch AFTER compaction still replaces its own segment (it was not
+    # folded away), so cells stay exactly the one-shot values
+    cm._merge_batch(replay, b2_id)
+    assert cells_dict(cm.cells()) == oneshot
 
 
 def _write_ndjson(path, rows):
@@ -855,6 +894,38 @@ def test_streaming_cdc_apply_merges_batches_idempotently(spark, tmp_path):
     )
     apply1._apply_batch(batch, 0)
     expect_final()
+
+
+def test_cdc_bootstrap_creates_missing_target(spark, tmp_path):
+    """First CDC batch of a FRESH pipeline: the target table does not
+    exist yet — the merge must treat it as empty (pure inserts minus
+    deletes) and CREATE it, not crash the stream with FileNotFoundError
+    (review finding)."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.cdc_apply import (
+        StreamingCdcApply,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whboot"))
+    feed = tmp_path / "cdcboot"
+    feed.mkdir()
+    _write_ndjson(
+        str(feed / "c1.json"),
+        [
+            {"op": "upsert", "seq": 1, "id": 7, "name": "g", "bal": 70},
+            {"op": "delete", "seq": 2, "id": 8, "name": None, "bal": None},
+        ],
+    )
+    schema = "op string, seq long, id long, name string, bal long"
+    StreamingCdcApply(
+        spark, store, str(feed), str(tmp_path / "ckboot"), schema,
+        "dim_new", ["id"],
+    ).run_available_now()
+    got = {(r["id"], r["name"], r["bal"])
+           for r in store.read("dim_new").collect()}
+    assert got == {(7, "g", 70)}  # delete of absent key: no-op
 
 
 def test_transform_with_state_constructs_and_schemas(spark):
