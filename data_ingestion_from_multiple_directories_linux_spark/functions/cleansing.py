@@ -37,9 +37,17 @@ def normalize_nulls(df: DataFrame, columns: list[str] | None = None) -> DataFram
     )
 
 
-def drop_all_null_rows(df: DataFrame) -> DataFrame:
-    """``dropna(how='all')`` (file_loader.py:629) — Spark-native."""
-    return df.na.drop(how="all")
+def drop_all_null_rows(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """``dropna(how='all')`` (file_loader.py:629) — Spark-native.
+
+    Pass ``columns`` to scope the check to the DATA columns: on the
+    engine's standard read shape the lineage columns (``_src_file`` /
+    ``_src_facility``) are never null, so an unscoped how='all' over
+    every column is a silent no-op (review finding). Defaults to all
+    non-underscore-prefixed columns, matching the engine's inline
+    all-null flag over its data columns."""
+    cols = columns or [c for c in df.columns if not c.startswith("_")]
+    return df.na.drop(how="all", subset=cols)
 
 
 def try_parse_timestamp(col: Column | str) -> Column:

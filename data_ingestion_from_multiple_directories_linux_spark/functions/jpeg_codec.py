@@ -308,9 +308,16 @@ def _decode(data: bytes) -> np.ndarray | None:
     while i + 4 <= n:
         if data[i] != 0xFF:
             return None
+        # legal fill bytes: any run of 0xFF may pad before the marker
+        # byte (T.81 B.1.1.2) — other encoders emit them
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         if marker == 0xD9:
             return None  # EOI before SOS: no image data
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # TEM / RSTn: standalone, no length segment
+            continue
         size = struct.unpack(">H", data[i + 2 : i + 4])[0]
         body = data[i + 4 : i + 2 + size]
         i += 2 + size

@@ -44,22 +44,37 @@ def mask_columns(df: DataFrame, columns: list[str]) -> DataFrame:
 def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:
     """mask_pii over a JSON-object string column.
 
-    Parses to ``MapType(string,string)``, overwrites the PII keys that are
-    present (others untouched), re-serializes. NULL and non-object inputs
-    pass through unchanged (from_json yields NULL → coalesce keeps the
-    original), mirroring the reference's try/except passthrough
-    (file_loader.py:534-536).
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    parsed = F.from_json(c, "map<string,string>")
-    masked = F.transform_values(
-        parsed,
-        lambda k, v: F.when(k.isin(*keys), F.lit(MASK)).otherwise(v),
+    Replaces each PII key's VALUE with ``"******"`` in place via one
+    JVM ``regexp_replace`` per key, leaving every other byte of the
+    payload untouched. The earlier shape (``from_json(map<string,
+    string>)`` → rewrite → ``to_json``) retyped EVERYTHING on the way
+    through — nested objects came back as escaped strings and numbers
+    as quoted strings (review-confirmed corruption for any hts_client
+    ``extra.value`` carrying structure); the in-place rewrite preserves
+    non-PII values, key order, and formatting exactly, like the
+    reference's ``json.loads → overwrite → json.dumps`` preserves
+    types (file_loader.py:523-536).
+
+    Matched value shapes: JSON strings (escape-aware), numbers,
+    true/false/null, and shallow (non-nested) objects/arrays. NULL and
+    non-JSON inputs pass through unchanged (no key pattern matches),
+    mirroring the reference's try/except passthrough. Keys are masked
+    at ANY nesting depth — strictly more protective than the
+    reference's top-level-only rewrite."""
+    out = F.col(col) if isinstance(col, str) else col
+    value_pat = (
+        '"(?:[^"\\\\]|\\\\.)*"'      # string, escape-aware
+        "|-?[\\d.eE+]+"              # number
+        "|true|false|null"           # literals
+        "|\\{[^{}]*\\}|\\[[^\\[\\]]*\\]"  # shallow object / array
     )
-    # to_json(NULL map) is NULL, so one parse serves both the rewrite and
-    # the non-object passthrough (a when(parsed.isNull()) guard would
-    # evaluate from_json twice in interpreted mode)
-    return F.coalesce(F.to_json(masked), c)
+    for k in keys:
+        out = F.regexp_replace(
+            out,
+            '("' + k + '"\\s*:\\s*)(' + value_pat + ")",
+            f'$1"{MASK}"',
+        )
+    return out
 
 
 def mask_struct_value(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:

@@ -22,16 +22,28 @@ BATCH_RE = r"_([0-9]+)_[0-9]{14}(?:_decrypted)?\.json$"
 TS_RE = r"_([0-9]{14})(?:_decrypted)?\.json$"
 
 
+def decode_uri_name(c: Column) -> Column:
+    """Invert ``input_file_name()``'s URI percent-encoding back to the
+    raw filesystem name. '+' is escaped first because ``url_decode`` is
+    form-decoding ('+' → space) while URI paths keep '+' literal —
+    without this the decoded name diverges from the on-disk name for
+    any path containing '+'."""
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
 def file_name_of(path: Column | str | None = None) -> Column:
-    """Bare filename from a full path (defaults to ``input_file_name()``)."""
+    """Bare filename from a full path (defaults to ``input_file_name()``),
+    DECODED to the raw filesystem name — keys must match driver-side
+    file metadata (discovery/purge/audit joins), not the encoded URI."""
     c = F.input_file_name() if path is None else (F.col(path) if isinstance(path, str) else path)
-    return F.element_at(F.split(c, "/"), -1)
+    return decode_uri_name(F.element_at(F.split(c, "/"), -1))
 
 
 def facility_of(path: Column | str | None = None) -> Column:
-    """Facility id = parent directory name (file_loader.py:264-265)."""
+    """Facility id = parent directory name (file_loader.py:264-265),
+    decoded like :func:`file_name_of`."""
     c = F.input_file_name() if path is None else (F.col(path) if isinstance(path, str) else path)
-    return F.element_at(F.split(c, "/"), -2)
+    return decode_uri_name(F.element_at(F.split(c, "/"), -2))
 
 
 def table_of(file_name: Column | str) -> Column:

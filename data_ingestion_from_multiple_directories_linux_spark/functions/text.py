@@ -118,11 +118,15 @@ def punct_count(col: Column | str) -> Column:
 
 
 def bigram_count(col: Column | str, bigram: str) -> Column:
-    """Occurrences of a character bigram via replace-length arithmetic
+    """Occurrences of a character n-gram via replace-length arithmetic
     (portable to any SQL engine; overlapping occurrences count once per
-    non-overlapping match, same on both sides)."""
+    non-overlapping match, same on both sides). Divides by the
+    pattern's ACTUAL length — a hardcoded 2 broke any non-bigram
+    caller (review finding)."""
     c = F.lower(_c(col))
-    return (F.length(c) - F.length(F.replace(c, F.lit(bigram), F.lit("")))) / 2
+    return (
+        F.length(c) - F.length(F.replace(c, F.lit(bigram), F.lit("")))
+    ) / F.lit(len(bigram))
 
 
 def simhash16_aggs(token_col: str) -> list[Column]:

@@ -64,9 +64,20 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.saveAsTable(name)
     spark = df.sparkSession
-    root = path or os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
-    )
+    if path is not None:
+        root = path
+    else:
+        # ask the CATALOG for the location instead of deriving
+        # <warehouse>/<name>: identifiers are lowercased and
+        # db-qualified names nest under <db>.db/, so the naive join
+        # walks a nonexistent dir and silently reports n_files=0
+        # (review finding)
+        loc = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r["col_name"] == "Location"
+        )
+        root = loc.removeprefix("file:")
     n_files = sum(
         1
         for _dir, _sub, files in os.walk(root)

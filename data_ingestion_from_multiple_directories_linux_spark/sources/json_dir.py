@@ -131,13 +131,10 @@ def with_source_lineage(df: DataFrame) -> DataFrame:
     percent-encodes spaces and non-ASCII characters — left encoded, the
     lineage keys would not match driver-side file metadata (discovery,
     purge-on-retry, audit joins), mis-auditing any file whose name
-    needs encoding and duplicating its rows on retry. The '+' guard
-    matters because ``url_decode`` is form-decoding ('+' → space) while
-    URI paths keep '+' literal."""
-    dec = lambda c: F.expr(  # noqa: E731
-        "url_decode(regexp_replace(" + c + ", '\\\\+', '%2B'))"
+    needs encoding and duplicating its rows on retry (decode details:
+    :func:`..functions.naming.decode_uri_name`)."""
+    from ..functions.naming import facility_of, file_name_of
+
+    return df.withColumn("_src_file", file_name_of()).withColumn(
+        "_src_facility", facility_of()
     )
-    parts = "split(input_file_name(), '/')"
-    return df.withColumn(
-        "_src_file", dec(f"element_at({parts}, -1)")
-    ).withColumn("_src_facility", dec(f"element_at({parts}, -2)"))

@@ -85,15 +85,31 @@ class UploadReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         """Accept equality/IN on lineage columns (they prune whole
-        files); everything else is returned for Spark to re-apply."""
+        files); everything else is returned for Spark to re-apply.
+
+        The filter list is a CONJUNCTION (every accepted filter must
+        hold), so repeated filters on one column INTERSECT their value
+        sets — a union would let rows through that an accepted filter
+        excludes, and Spark never re-applies accepted filters (e.g.
+        ``facility_id IN ('A','B') AND facility_id = 'A'``, which
+        Catalyst constraint propagation can generate, must prune to
+        {'A'}, not {'A','B'})."""
         for f in filters:
             col = f.attribute[0] if hasattr(f, "attribute") else None
             if isinstance(f, EqualTo) and col in _PRUNABLE:
-                self._keep.setdefault(col, set()).add(f.value)
+                vals = {f.value}
             elif isinstance(f, In) and col in _PRUNABLE:
-                self._keep.setdefault(col, set()).update(f.values)
+                # the dataclass field is `value` (a tuple); `.values`
+                # was a latent AttributeError — the In branch had never
+                # been exercised before this test
+                vals = set(f.value)
             else:
                 yield f  # unsupported → Spark evaluates it post-scan
+                continue
+            if col in self._keep:
+                self._keep[col] &= vals
+            else:
+                self._keep[col] = vals
 
     def partitions(self) -> Sequence[InputPartition]:
         """Driver-side metadata listing only (the same walk Spark's own
@@ -220,6 +236,13 @@ class UploadWriter(DataSourceWriter):
         groups: dict[tuple[str, str], list[str]] = {}
         for row in iterator:
             rec = row["record"]
+            # NULL record rows are the READER's quarantine marker for a
+            # malformed source file (read() yields record=NULL); they
+            # carry no emittable payload, so a reader→writer round trip
+            # skips them instead of crashing the job on json.loads(None)
+            # (review finding). Same for rows missing the layout keys.
+            if rec is None or row["facility_id"] is None or row["table_name"] is None:
+                continue
             # validate executor-side: a malformed record would poison
             # the whole emitted file for downstream array parsers
             _json.loads(rec)

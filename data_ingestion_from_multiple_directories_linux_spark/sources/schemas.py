@@ -143,7 +143,7 @@ def schema_drift_report(
     if target is None:
         raise ValueError(f"no registered schema for {table!r}")
     lineage = {
-        "stg_file_name", "stg_datim_id", "stg_batch_id", "stg_created_at",
+        "stg_file_name", "stg_datim_id", "stg_batch_id", "stg_load_time",
         "_corrupt_record",
     }
     obs = {f.name: f.dataType for f in observed.fields}

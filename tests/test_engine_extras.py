@@ -171,10 +171,19 @@ def test_schema_drift_report_detects_all_kinds(spark):
 
     target = schema_for_table("patient_person")
     assert schema_drift_report(target, "patient_person") == []
-    # add lineage columns: still clean
+    # add THE ACTUAL lineage columns the engine appends
+    # (finalize_lineage): still clean — the expected-extras set must
+    # name the real columns (stg_load_time, not a stale stg_created_at;
+    # review finding: every engine-written table used to report a false
+    # 'extra' for stg_load_time)
     with_lineage = T.StructType(
         list(target.fields)
-        + [T.StructField("stg_file_name", T.StringType(), True)]
+        + [
+            T.StructField("stg_batch_id", T.StringType(), True),
+            T.StructField("stg_load_time", T.TimestampType(), True),
+            T.StructField("stg_file_name", T.StringType(), True),
+            T.StructField("stg_datim_id", T.StringType(), True),
+        ]
     )
     assert schema_drift_report(with_lineage, "patient_person") == []
     # drift: drop one target column, add a stranger, flip a type

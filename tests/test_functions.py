@@ -94,6 +94,31 @@ def test_mask_json_keys_passthrough_shapes(spark):
     assert out[3] is None
 
 
+def test_mask_json_keys_preserves_value_types(spark):
+    """Review-confirmed corruption, pinned fixed: non-PII values keep
+    their JSON TYPES through masking — nested objects stay objects and
+    numbers stay numbers (the old map<string,string> round-trip turned
+    meta into an escaped string and age into '7')."""
+    payload = json.dumps(
+        {"surname": "SECRET", "meta": {"k": 1}, "age": 7,
+         "tags": [1, 2], "ok": True, "phone_number": 801234}
+    )
+    df = spark.createDataFrame([(payload,)], "j string")
+    out = json.loads(
+        df.select(mask_json_keys("j").alias("m")).collect()[0]["m"]
+    )
+    assert out == {
+        "surname": "******", "meta": {"k": 1}, "age": 7,
+        "tags": [1, 2], "ok": True, "phone_number": "******",
+    }
+    # escape-aware: a quoted brace inside a PII string value
+    tricky = '{"surname":"a\\"}b","note":"n"}'
+    got = df.sparkSession.createDataFrame([(tricky,)], "j string").select(
+        mask_json_keys("j").alias("m")
+    ).collect()[0]["m"]
+    assert json.loads(got) == {"surname": "******", "note": "n"}
+
+
 def test_mask_struct_value_null_safe(spark):
     df = spark.createDataFrame(
         [(("t1", json.dumps({"phone_number": "0801"})),), (None,)],

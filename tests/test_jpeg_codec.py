@@ -88,6 +88,21 @@ def test_decode_quarantines_unsupported():
     assert decode_jpeg_gray(bytes(good[: len(good) // 2])) is None
 
 
+def test_decode_tolerates_fill_bytes_and_rst_markers():
+    """Spec conformance (review finding): foreign encoders may pad with
+    0xFF fill bytes before a marker (T.81 B.1.1.2) and emit standalone
+    TEM markers — the walk must skip them, not desynchronize and
+    wrongly quarantine a supported baseline payload."""
+    img = np.full((8, 8), 77, np.uint8)
+    data = encode_jpeg_gray(img)
+    # inject a fill byte + a standalone TEM marker before the DQT segment
+    i = data.find(b"\xff\xdb")
+    assert i > 0
+    padded = data[:i] + b"\xff" + b"\xff\x01" + data[i:]
+    out = decode_jpeg_gray(padded)
+    assert out is not None and np.array_equal(out, img)
+
+
 def test_header_parser_interop():
     from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
         parse_image_header,

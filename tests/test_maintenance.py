@@ -374,6 +374,23 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_right")
 
 
+def test_bucketed_report_counts_files_for_mixed_case_name(spark):
+    """Review finding, pinned: the catalog lowercases identifiers, so
+    the file count must come from the catalog's reported Location —
+    the naive <warehouse>/<name> join walked a nonexistent dir for a
+    mixed-case name and silently reported n_files=0."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.bucketed import (
+        write_bucketed,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    try:
+        rep = write_bucketed(df, "BtMixed", "k", 4)
+        assert rep.n_files == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS BtMixed")
+
+
 def test_merge_upsert_full_semantics(spark, tmp_path):
     """MERGE INTO: matched rows update, source-only rows insert,
     delete-condition rows vanish, target-only rows survive — and the

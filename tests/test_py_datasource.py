@@ -74,6 +74,45 @@ def test_filter_pushdown_prunes_files(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 1
 
 
+def test_filter_pushdown_conjunction_intersects(spark, tmp_path):
+    """Review finding, pinned: the pushed filter list is an AND
+    conjunction, so IN('FAC001','FAC002') AND ='FAC002' on the same
+    column must prune to the INTERSECTION — a union would return
+    facility-FAC001 rows Spark never re-filters (accepted filters are
+    not re-applied)."""
+    root = _tree(tmp_path)
+    df = (
+        spark.read.format("upload_json").option("path", root).load()
+        .filter(
+            F.col("facility_id").isin("FAC001", "FAC002")
+            & (F.col("facility_id") == "FAC002")
+        )
+    )
+    rows = df.collect()
+    assert {r["facility_id"] for r in rows} == {"FAC002"}
+    assert len(rows) == 1
+
+
+def test_writer_skips_null_record_rows_round_trip(spark, tmp_path):
+    """Review finding, pinned: reader output for a malformed source file
+    (record=NULL quarantine row) must round-trip through the writer as
+    a SKIP, not a TypeError that kills the job."""
+    root = str(tmp_path / "nulltrip")
+    write_json(root, "FAC001", "patient_person_0_20250101000000.json",
+               [{"id": 1}])
+    write_json(root, "FAC002", "patient_person_0_20250101000001.json",
+               "{not json")
+    back = spark.read.format("upload_json").option("path", root).load()
+    assert back.filter(F.col("record").isNull()).count() == 1
+    out = str(tmp_path / "nulltrip_out")
+    back.coalesce(1).write.format("upload_json").mode("append").option(
+        "path", out
+    ).save()
+    rt = spark.read.format("upload_json").option("path", out).load().collect()
+    # the well-formed record survives; the quarantine row is not emitted
+    assert len(rt) == 1 and rt[0]["facility_id"] == "FAC001"
+
+
 def test_malformed_file_yields_null_record(spark, tmp_path):
     root = str(tmp_path / "uploads")
     write_json(root, "FAC009", "patient_person_0_20250101000000.json",
