@@ -27,7 +27,7 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.table_store import TableStore
@@ -73,15 +73,21 @@ def delete_migrated_records(
         cur = store.read(table)
         if key_col not in cur.columns:
             continue
-        remaining = cur.join(F.broadcast(keys), key_col, "left_anti")
-        n_before = cur.count()
-        n_after = remaining.count()
-        if n_after < n_before:
-            if n_after == 0:
-                store.drop(table)
-            else:
-                store.overwrite(table, remaining)
-        out[table] = n_before - n_after
+        # persist the anti-join: n_after, and the overwrite below, both
+        # read it — without this the scan + join ran three times per
+        # table (n_before, n_after, rewrite)
+        remaining = cur.join(F.broadcast(keys), key_col, "left_anti").persist()
+        try:
+            n_before = cur.count()
+            n_after = remaining.count()
+            if n_after < n_before:
+                if n_after == 0:
+                    store.drop(table)
+                else:
+                    store.overwrite(table, remaining)
+            out[table] = n_before - n_after
+        finally:
+            remaining.unpersist()
     return out
 
 
@@ -163,8 +169,12 @@ def delete_processed_files(
                 yield _count_one(root, r["file_name"], r["facility_id"])
 
         # executors do the file READS (idempotent); only
-        # (file, facility, n, exists) rows return
-        counted = todo.rdd.mapPartitions(part).collect()
+        # (file, facility, n, exists) rows return. The orderBy+limit
+        # upstream collapses to ONE partition (GlobalLimit), so spread
+        # the capped frame first or the "distributed" re-count runs
+        # serially on a single task (review finding)
+        n_slices = spark.sparkContext.defaultParallelism
+        counted = todo.repartition(n_slices).rdd.mapPartitions(part).collect()
     else:
         counted = [
             _count_one(uploads_root, r["file_name"], r["facility_id"])
@@ -199,19 +209,26 @@ def delete_processed_files(
 # ---------------------------------------------------------------------------
 
 
-def export_bad_dates_csv(store: TableStore, out_dir: str) -> dict[str, str]:
+def export_bad_dates_csv(
+    store: TableStore, out_dir: str, single_file: bool = True
+) -> dict[str, str]:
     """Dump every ``*_bad_dates`` table to a header'd CSV directory
     (reference automate_table_extraction.py:47-72: ILIKE '%_bad_dates'
     table-list scan + per-table SELECT * + to_csv). Returns
-    {table: csv_path}. Distributed write — one CSV part per partition;
-    ``coalesce(1)`` only if analysts need a single file (kept default
-    here: quarantine tables are small)."""
+    {table: csv_path}.
+
+    ``single_file=True`` (default) coalesces to one part per table —
+    quarantine tables are analyst-review-sized and one file is what the
+    reference's to_csv produced. Pass ``False`` for the distributed
+    multi-part write when a quarantine table has grown large enough
+    that a single-task funnel would bottleneck the export."""
     out: dict[str, str] = {}
     for table in store.list_tables(r"_bad_dates$"):
         path = os.path.join(out_dir, table)
-        store.read(table).coalesce(1).write.mode("overwrite").option(
-            "header", True
-        ).csv(path)
+        df = store.read(table)
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").option("header", True).csv(path)
         out[table] = path
     return out
 
@@ -298,8 +315,17 @@ def compact_table(
     n_out = max(1, -(-total // target_bytes))  # ceil
     df = store.read(name)
     if partition_by:
-        # spread within partitions; the writer splits per partition dir
-        df = df.repartition(int(n_out), *[F.col(c) for c in partition_by])
+        # spread within partitions: range-partition on (partition cols,
+        # deterministic row hash) so rows stay CLUSTERED by partition
+        # value (each task writes ~one partition dir — no small-file
+        # cross product) while a big partition still splits across
+        # multiple tasks. A plain hash repartition on the partition
+        # columns alone routed each value to ONE task — one 10 GB file
+        # for a 10 GB day, target_bytes ignored (review finding).
+        spread = F.xxhash64(*[F.col(c) for c in df.columns])
+        df = df.repartitionByRange(
+            int(n_out), *[F.col(c) for c in partition_by], spread
+        )
     else:
         df = df.coalesce(int(n_out))
     store.overwrite(name, df, partition_by)
@@ -318,10 +344,17 @@ def compact_all(
     min_files: int = 8,
 ) -> list[CompactionReport]:
     """Compact every table (optionally LIKE-filtered, reference-style
-    ``stg_%`` patterns) — the scheduled maintenance sweep."""
+    ``stg_%`` patterns) — the scheduled maintenance sweep. Each table's
+    hive partition layout is DETECTED from its directory structure and
+    preserved: without this the sweep silently rewrote partitioned
+    tables flat, destroying pruning and corrupting later partitioned
+    appends (review finding)."""
     reports = []
     for name in store.list_tables(pattern):
-        rep = compact_table(store, name, target_bytes, min_files)
+        rep = compact_table(
+            store, name, target_bytes, min_files,
+            partition_by=store.partition_columns(name),
+        )
         if rep is not None:
             reports.append(rep)
     return reports
@@ -453,22 +486,45 @@ def zorder_table(
     Returns {'spans': {key: [(file, min, max)]}} read back from parquet
     footers: the per-dimension evidence the pruning test quantifies."""
     df = store.read(name)
+
+    def numeric(col: str) -> Column:
+        """Map a key to a numeric axis for bucketing: numbers pass
+        through; date/timestamp map to epoch days/micros (the sibling
+        cluster_table handles any orderable key because it never does
+        arithmetic — here the bucket math needs numbers, and the old
+        float(hi - lo) raised TypeError on temporal keys, review
+        finding). Strings would need a rank/quantile mapping — raise
+        with that guidance rather than crash obscurely."""
+        dt = df.schema[col].dataType.simpleString()
+        if dt == "date":
+            return F.datediff(F.col(col), F.lit("1970-01-01"))
+        if dt.startswith("timestamp"):
+            return F.unix_micros(F.col(col))
+        if dt in ("string", "binary", "boolean"):
+            raise TypeError(
+                f"zorder_table: key {col!r} is {dt}; map it to a numeric "
+                "rank first (e.g. the quantile boundaries from "
+                "key_skew_profile) or use cluster_table for 1-D"
+            )
+        return F.col(col)
+
+    n1, n2 = numeric(key1), numeric(key2)
     lo1, hi1, lo2, hi2 = df.agg(
-        F.min(key1), F.max(key1), F.min(key2), F.max(key2)
+        F.min(n1), F.max(n1), F.min(n2), F.max(n2)
     ).first()
     n_buckets = 1 << ZORDER_BITS
 
-    def bucket(col, lo, hi):
+    def bucket(ncol, lo, hi):
         if hi == lo:
             return F.lit(0).cast("long")
         b = F.floor(
-            (F.col(col) - F.lit(lo))
+            (ncol - F.lit(lo))
             * F.lit(float(n_buckets))
             / F.lit(float(hi - lo) * (1 + 1e-9))
         ).cast("long")
         return F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
 
-    z = _zvalue_expr(bucket(key1, lo1, hi1), bucket(key2, lo2, hi2))
+    z = _zvalue_expr(bucket(n1, lo1, hi1), bucket(n2, lo2, hi2))
     out = (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, F.col("_z"))

@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from .registry import query
 
+# the cross-engine 60-bit hash convention is defined ONCE in
+# operators/sketches.py — imported so the two files cannot drift
+# (review finding: two copies of a determinism-critical definition)
+from .sketches import HASH_SCALE as _H60_SCALE
+from .sketches import _SQL_H60 as _SQL_H60_U
+from .sketches import _h60
+
 __all__ = ["key_skew_profile", "stratified_sample_docs"]
 
 #: how many of the heaviest keys the profile reports
@@ -441,10 +448,6 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: path exercised rather than degenerating to exact-on-all-groups)
 KMV_GROUP_K = 32
 
-_SQL_H60_U = (
-    "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
-)
-_H60_SCALE = float(1 << 60)
 
 
 @query(
@@ -504,19 +507,7 @@ def kmv_distinct_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     h = ud.select(
         "day",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.col("user_id").cast("string").cast("binary")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            .cast("double")
-            / F.lit(_H60_SCALE)
-        ).alias("hv"),
+        (_h60(F.col("user_id")).cast("double") / F.lit(_H60_SCALE)).alias("hv"),
     )
     w = Window.partitionBy("day").orderBy("hv")
     sk = (

@@ -212,8 +212,31 @@ def merge_upsert(
     torn mix. At warehouse scale the same plan runs against a bucketed
     target (:func:`..sources.bucketed.write_bucketed`) with the join exchange
     pre-paid at write time."""
-    upd = update_cols or [c for c in source.columns if c not in keys]
+    # explicit [] means "update nothing" (insert/delete-only merge) —
+    # a falsy-or fallback would silently write ALL non-key source
+    # columns, e.g. CDC bookkeeping op/seq, into the target
+    upd = (
+        update_cols
+        if update_cols is not None
+        else [c for c in source.columns if c not in keys]
+    )
     carry = [c for c in (carry_cols or []) if c not in upd]
+    # ANSI MERGE raises when several source rows match one target row
+    # (SQLSTATE 21000); silently duplicating the dimension row is worse
+    # than the probe's one extra aggregate over the (small) source side
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count("*").alias("__mu_n"))
+        .filter(F.col("__mu_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert: source has multiple rows per key — ANSI MERGE "
+            "semantics forbid it (dedupe first, e.g. last-writer-wins by "
+            "a sequence column as the CDC apply does)"
+        )
     if store.exists(target):
         tgt = store.read(target)
     else:

@@ -217,6 +217,24 @@ class TableStore:
             removed.append(d)
         return {"restored": sorted(restored), "removed": removed}
 
+    def partition_columns(self, name: str) -> tuple[str, ...]:
+        """The hive partition columns of a table, inferred from its
+        directory layout (``key=value`` nesting) — pure metadata. Empty
+        tuple for flat tables. Lets maintenance sweeps preserve a
+        table's partitioning without the caller re-stating it."""
+        cols: list[str] = []
+        d = self.path(name)
+        while True:
+            subs = [
+                e
+                for e in sorted(os.listdir(d))
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not subs:
+                return tuple(cols)
+            cols.append(subs[0].split("=", 1)[0])
+            d = os.path.join(d, subs[0])
+
     @staticmethod
     def _leaf_partitions(root: str, depth: int):
         """Yield (key=value path components, abs dir) for every leaf

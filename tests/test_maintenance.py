@@ -391,6 +391,74 @@ def test_bucketed_report_counts_files_for_mixed_case_name(spark):
         spark.sql("DROP TABLE IF EXISTS BtMixed")
 
 
+def test_compact_all_preserves_partition_layout(spark, tmp_path):
+    """Review finding, pinned: the scheduled sweep must detect and keep
+    each table's hive partitioning — rewriting a partitioned table flat
+    destroys pruning and corrupts later partitioned appends."""
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        compact_all,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whcap"))
+    df = spark.createDataFrame(
+        [(i, f"F{i % 2}") for i in range(100)], "id long, fac string"
+    )
+    for _ in range(5):  # fragment: 5 appends x 2 partitions x slices
+        store.append("t", df.repartition(2), ("fac",))
+    assert store.partition_columns("t") == ("fac",)
+    reports = compact_all(store, min_files=2)
+    assert [r.table for r in reports] == ["t"]
+    # layout survived: fac= dirs still present, rows intact, pruning alive
+    assert store.partition_columns("t") == ("fac",)
+    subs = sorted(
+        d for d in os.listdir(store.path("t")) if d.startswith("fac=")
+    )
+    assert subs == ["fac=F0", "fac=F1"]
+    assert store.read("t").count() == 500
+    assert store.read("t").filter(F.col("fac") == "F0").count() == 250
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    """ANSI MERGE semantics (review finding): several source rows for
+    one key must raise, not silently duplicate the dimension row; and
+    update_cols=[] means 'update nothing', not 'update everything'."""
+    import pytest
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.warehouse import (
+        merge_upsert,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "whdup"))
+    store.overwrite(
+        "dim", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    dup_src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        merge_upsert(store, "dim", dup_src, keys=["id"])
+    assert store.read("dim").count() == 1  # untouched
+
+    # update_cols=[]: insert-only merge — existing row keeps its value,
+    # new key inserts with ONLY the key columns (no op/seq bleed-through)
+    src = spark.createDataFrame(
+        [(1, "ignored", 9), (2, "ignored", 9)], "id long, v string, seq long"
+    )
+    rep = merge_upsert(store, "dim", src, keys=["id"], update_cols=[])
+    assert rep.inserted == 1
+    got = {(r["id"], r["v"]) for r in store.read("dim").collect()}
+    assert got == {(1, "a"), (2, None)}
+    assert store.read("dim").columns == ["id", "v"]
+
+
 def test_merge_upsert_full_semantics(spark, tmp_path):
     """MERGE INTO: matched rows update, source-only rows insert,
     delete-condition rows vanish, target-only rows survive — and the
