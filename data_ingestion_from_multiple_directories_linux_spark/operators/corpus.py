@@ -125,17 +125,13 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokd = d.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= DECON_NGRAM
     )
-    sh = tokd.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - DECON_NGRAM),
-                lambda i: F.concat_ws(
-                    " ", *[F.col("toks")[i + k] for k in range(DECON_NGRAM)]
-                ),
-            )
-        ).alias("sh"),
-    )
+    # the ONE shared shingle definition (functions.text.shingles — the
+    # same expression the dedup family uses), not a private re-derivation
+    # that could drift from it (review finding); explode_outer for the
+    # InferFiltersFromGenerate reason dedup._explode_shingles documents
+    from ..functions.text import shingles
+
+    sh = tokd.select("doc_id", shingles("toks", DECON_NGRAM).alias("sh"))
     ex = sh.select("doc_id", F.explode_outer("sh").alias("s")).filter(
         F.col("s").isNotNull()
     )
@@ -435,7 +431,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_plans.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens("text")
-    t = d.select("doc_id", F.size(toks).alias("n_tokens"))
+    # persist: the interpreted tokenize projection feeds THREE jobs
+    # (bounds, bucket subtotals, the final join) — unpersisted it would
+    # re-tokenize the corpus per job (review finding; the same
+    # run-once discipline char_lm_surprise documents)
+    t = d.select("doc_id", F.size(toks).alias("n_tokens")).persist()
 
     empty_shape = (
         "doc_id",

@@ -330,11 +330,18 @@ def incremental_dedup_batch(
         else:
             index_bands = new_bands.limit(0)
             index_sh = new_sh.limit(0)
+        # persist before the emptiness probe: isEmpty() executes the
+        # whole band-join + Jaccard-verification DAG, and an unpersisted
+        # frame would re-execute it all for the append — doubling every
+        # micro-batch's latency (review finding)
         pairs = minhash_incremental_pairs(
             new_bands, new_sh, index_bands, index_sh, threshold
-        )
-        if not pairs.isEmpty():
-            store.append(MINHASH_PAIRS_TABLE, pairs)
+        ).persist()
+        try:
+            if not pairs.isEmpty():
+                store.append(MINHASH_PAIRS_TABLE, pairs)
+        finally:
+            pairs.unpersist()
         store.append(MINHASH_INDEX_BANDS, new_bands)
         store.append(MINHASH_INDEX_SHINGLES, new_sh)
     finally:
@@ -625,6 +632,10 @@ def connected_components(
     """
     from ..functions.ckpt import CheckpointJanitor
 
+    # validate BEFORE the eager checkpoint: a bad argument must not
+    # cost a full job over the edge subplan and leak its pinned blocks
+    if algorithm not in ("star", "propagation"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = edges.sparkSession
     ej = CheckpointJanitor(spark)
     edges = ej.checkpoint(
@@ -632,8 +643,6 @@ def connected_components(
     )
     if algorithm == "star":
         return _connected_components_star(edges, max_iter, edges_jan=ej)
-    if algorithm != "propagation":
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     und = (
         edges.unionByName(
             edges.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
@@ -692,6 +701,9 @@ def connected_components(
         # final label checkpoint, and und (the sole edges consumer) is
         # unpersisted above
         ej.release()
+        # no-op on the success path (detach cleared the handle); on an
+        # exception mid-loop it frees the last label round's blocks
+        lj.release()
 
 
 def _min_star(e: DataFrame) -> DataFrame:
@@ -1012,10 +1024,13 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source label is 'mirror:' + the original's), so the matrix has the
     off-diagonal structure the operator exists to find. Plan: the pair
     machinery is shared with duplicate_clusters; each pair side then
-    joins the tiny (doc_id → source) map — broadcast at any realistic
-    source-catalog size — and one groupBy on the normalized
-    (LEAST, GREATEST) pair counts cells. Pairs shuffle once; the matrix
-    is ≤ |sources|² rows."""
+    joins the (doc_id → source) map as a plain HASH join: the map is
+    CORPUS-sized (one row per document), so broadcasting it would ship
+    the whole corpus's keys to every executor (review finding — the
+    docstring used to claim it was catalog-sized); the near-dup pair
+    frame is the small side anyway and the join keys hash-partition.
+    One groupBy on the normalized (LEAST, GREATEST) pair counts cells;
+    the output matrix is ≤ |sources|² rows."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     corpus = _cluster_corpus(spark, sf_dir)
     edges = jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD)
@@ -1042,8 +1057,8 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
     )
     return (
-        edges.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        edges.join(sa, "id_a")
+        .join(sb, "id_b")
         .groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),

@@ -179,22 +179,27 @@ def train_ivf_centroids(
     # checkpoint each round's ≤k-row centroid frame in ONE partition:
     # truncates the growing iterative plan (the classic loop pitfall)
     # without scheduling shuffle.partitions near-empty tasks per round
+    from ..functions.ckpt import CheckpointJanitor
+
     base = base.filter(
         F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 1)
         < TRAIN_SAMPLE_BELOW
     ).persist()
+    # cycle superseded rounds' checkpoint blocks (tiny ≤k-row frames,
+    # but at production round counts the leak is linear in rounds —
+    # same discipline as connected_components); the FINAL centroid
+    # frame detaches: it outlives the loop via the session memo
+    jan = CheckpointJanitor(base.sparkSession)
     try:
-        cent = (
-            _seed_centroids(base, k).repartition(1).localCheckpoint(eager=True)
-        )
+        cent = jan.checkpoint(_seed_centroids(base, k).repartition(1))
         for _ in range(rounds):
             assigned = _assign_cells(base, cent)
-            cent = (
-                _lloyd_update(assigned).repartition(1).localCheckpoint(eager=True)
-            )
+            cent = jan.checkpoint(_lloyd_update(assigned).repartition(1))
+        jan.detach()
         return cent
     finally:
         base.unpersist()
+        jan.release()  # no-op after detach; frees on an exception path
 
 
 #: trained-centroid memo per (Spark app, corpus dir): three registered
@@ -204,6 +209,26 @@ def train_ivf_centroids(
 #: the Lloyd rounds three times. (At 100 TB the same role is played by
 #: persisting the centroid table between jobs.)
 _CENTROID_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized near-dup vector corpus every similarity query
+    shares: the embeddings table plus a perturbed copy of every 5th
+    vector at vec_id + 10000 (the planted near-duplicates). Defined
+    ONCE — six queries' oracles replay this construction as
+    VEC_CORPUS_SQL, so a drift between any two Spark-side copies would
+    silently break only some oracles (review finding). Returns
+    (vec_id, v, nv)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
+        ).alias("v"),
+    )
+    return e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
 
 
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,17 +413,7 @@ def ivf_near_dup_pairs(
     tests/test_scale_techniques.py). Cross-cell duplicate candidates
     (two vectors sharing several probed cells) are reduced to one row
     per pair, keeping the output a pair list for every nprobe."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
-    base = e.withColumn("nv", norm_sq_q("v"))
-    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    corpus = _vec_corpus(spark, sf_dir)
     centroids = _trained_centroids(spark, sf_dir)
     # assigned feeds both sides of the pair join — persist so the
     # assignment chain (K cosines per vector + top-nprobe) runs once
@@ -471,17 +486,7 @@ def ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole pipeline — training included — is replicated exactly by
     the DuckDB oracle.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
-    base = e.withColumn("nv", norm_sq_q("v"))
-    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    corpus = _vec_corpus(spark, sf_dir)
     centroids = _trained_centroids(spark, sf_dir)
     assigned = _assign_cells(corpus, centroids).persist()
 
@@ -597,18 +602,8 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, more bands → recall), and the signature projection
     parallelizes with the scan — no global pass like k-means training.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
     corpus = (
-        e.unionByName(mut)
-        .withColumn("nv", norm_sq_q("v"))
+        _vec_corpus(spark, sf_dir)
         .withColumn("s0", F.expr(_band_sig_sql(0, True)))
         .withColumn("s1", F.expr(_band_sig_sql(1, True)))
     )
@@ -683,17 +678,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band filter rides the in-cell join, and the per-query ranking
     window runs over the banded candidates only. Oracle replicates the
     full pipeline — training, banding, ranking — exactly."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
-    base = e.withColumn("nv", norm_sq_q("v"))
-    corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
+    corpus = _vec_corpus(spark, sf_dir)
     assigned = _assign_cells(corpus, _trained_centroids(spark, sf_dir)).persist()
 
     q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
@@ -898,12 +883,14 @@ def train_pq_codebooks(base: DataFrame) -> DataFrame:
             .limit(PQ_K)
             .select((rn - 1).cast("long").alias("cid"), "v")
         )
-        cent = (
+        from ..functions.ckpt import CheckpointJanitor
+
+        jan = CheckpointJanitor(sample.sparkSession)
+        cent = jan.checkpoint(
             _pq_slices(seeds, ["cid"])
             .select("m", "cid", F.col("sv").alias("cv"))
             .withColumn("ncv", norm_sq_q("cv"))
             .repartition(1)
-            .localCheckpoint(eager=True)
         )
         bsl = _pq_slices(sample, ["vec_id"]).persist()
         for _ in range(PQ_ROUNDS):
@@ -924,7 +911,8 @@ def train_pq_codebooks(base: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("i", "mean"))),
                 lambda st: st["mean"],
             )
-            cent = (
+            # cycles the previous round's blocks (see train_ivf_centroids)
+            cent = jan.checkpoint(
                 sums.select("m", "cell", "i", comp)
                 .groupBy("m", "cell")
                 .agg(cv.alias("cv"))
@@ -935,9 +923,9 @@ def train_pq_codebooks(base: DataFrame) -> DataFrame:
                     norm_sq_q("cv").alias("ncv"),
                 )
                 .repartition(1)
-                .localCheckpoint(eager=True)
             )
         bsl.unpersist()
+        jan.detach()  # the session memo keeps the final codebooks
         return cent
     finally:
         sample.unpersist()
@@ -1002,7 +990,7 @@ def _pq_oracle_sql() -> str:
             FROM base)
         WHERE rn <= {PQ_K}
     ),
-    cent0 AS (SELECT m, cid, {sl.replace('v,', 'v,')} AS cv
+    cent0 AS (SELECT m, cid, {sl} AS cv
               FROM (SELECT cid, v FROM seedv), ms),
     assign0 AS ({assign.format(src='bsl', cent='cent0')}),
     cent1 AS (
@@ -1183,16 +1171,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = comp.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("vec_id")
     )
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
-    corpus = e.unionByName(mut)
+    corpus = _vec_corpus(spark, sf_dir)
     return corpus.join(drop, "vec_id", "left_anti").select("vec_id")
 
 
@@ -1284,17 +1263,8 @@ def ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and ADC ranking end to end — integer quantization
     keeps all of it bit-identical. Ranking is (adc desc, neighbor_id)
     per query over in-cell candidates only."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    )
-    mut = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            "v", lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double")
-        ).alias("v"),
-    )
-    corpus = e.unionByName(mut)
-    corpus_nv = corpus.withColumn("nv", norm_sq_q("v"))
+    corpus_nv = _vec_corpus(spark, sf_dir)
+    corpus = corpus_nv.drop("nv")
     assigned = _assign_cells(
         corpus_nv, _trained_centroids(spark, sf_dir)
     ).persist()

@@ -156,13 +156,16 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-               / len(toks) AS avg_token_len,
-           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
-               / len(toks) AS stopword_ratio,
-           CAST(length(text)
-                - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                AS DOUBLE) / length(text) AS punct_ratio
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS avg_token_len,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN length(text) > 0 THEN
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
     FROM t
     """,
 )
@@ -175,12 +178,19 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     withs = d.select("doc_id", "text", toks.alias("toks"))
     n_tok = F.size("toks")
+    # zero-denominator guards, IDENTICAL on both engines: an empty or
+    # whitespace-only document yields 0.0 ratios — unguarded, Spark's
+    # Divide returns NULL while DuckDB returns NaN, an engine
+    # divergence waiting for the first empty doc (review finding)
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
     return withs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        (token_char_sum("toks").cast("double") / n_tok).alias("avg_token_len"),
-        (stopword_hits("toks").cast("double") / n_tok).alias("stopword_ratio"),
-        (punct_count("text").cast("double") / F.length("text")).alias("punct_ratio"),
+        ratio(token_char_sum("toks"), n_tok).alias("avg_token_len"),
+        ratio(stopword_hits("toks"), n_tok).alias("stopword_ratio"),
+        ratio(punct_count("text"), F.length("text")).alias("punct_ratio"),
     )
 
 
@@ -201,8 +211,11 @@ def _en_bigram_sql() -> str:
     "language_id_ngram",
     oracle=f"""
     SELECT doc_id, lang,
-           ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) AS en_score,
-           CASE WHEN ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) >= 0.02
+           CASE WHEN length(text) > 0 THEN
+               ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS en_score,
+           CASE WHEN length(text) > 0
+                 AND ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) >= 0.02
                 THEN 'en' ELSE 'und' END AS predicted
     FROM documents
     """,
@@ -218,7 +231,9 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in EN_BIGRAMS:
         c = bigram_count("text", b)
         score = c if score is None else score + c
-    en_score = score / F.length("text").cast("double")
+    en_score = F.when(
+        F.length("text") > 0, score / F.length("text").cast("double")
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         "lang",
@@ -427,13 +442,16 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                   / len(toks) AS avg_token_len,
-               CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
-                   / len(toks) AS stopword_ratio,
-               CAST(length(text)
-                    - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-                    AS DOUBLE) / length(text) AS punct_ratio
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS avg_token_len,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                       / len(toks) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN length(text) > 0 THEN
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                        AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
         FROM scored
     )
     SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio
