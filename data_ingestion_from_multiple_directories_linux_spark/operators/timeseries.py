@@ -196,7 +196,8 @@ HIST_BINS = 20
     "value_histogram_events",
     oracle=f"""
     WITH binned AS (
-        SELECT CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+        SELECT LEAST(CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT),
+                     {HIST_BINS - 1}) AS bin,
                COUNT(*) AS n
         FROM events GROUP BY 1
     ),
@@ -224,9 +225,16 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is constant-size, so the join broadcasts it; at any data scale the
     post-aggregation work is O(bins)."""
     e = load_table(spark, sf_dir, "events")
+    # clamp into the top bin: values past the spine (observed at bench
+    # scale: value > 500) would otherwise fall off the left join and
+    # silently vanish from the histogram — the exact inaccuracy the
+    # spine exists to prevent (review finding)
     binned = (
         e.groupBy(
-            F.floor(F.col("value") / HIST_WIDTH).cast("long").alias("bin")
+            F.least(
+                F.floor(F.col("value") / HIST_WIDTH).cast("long"),
+                F.lit(HIST_BINS - 1),
+            ).alias("bin")
         ).agg(F.count("*").alias("n"))
     )
     spine = spark.range(1).select(
@@ -320,7 +328,10 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_n"),
     )
-    tot = e.agg(F.count("*").alias("n_total"))
+    # n_total derives from the ALREADY-REDUCED histogram (every event
+    # lands in exactly one bin), not a second full scan of events —
+    # at 100 TB the extra scan doubles the corpus I/O (review finding)
+    tot = hist.agg(F.sum("n").alias("n_total"))
     hit = cum.crossJoin(F.broadcast(tot)).agg(
         *[
             F.min(
@@ -574,7 +585,9 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_n"),
     )
-    tot = e.groupBy("event_type").agg(F.count("*").alias("n_group"))
+    # group totals from the reduced histogram, not a second events scan
+    # (same reasoning as histogram_quantiles)
+    tot = hist.groupBy("event_type").agg(F.sum("n").alias("n_group"))
     hit = (
         cum.join(F.broadcast(tot), "event_type")
         .groupBy("event_type")
@@ -593,7 +606,9 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = ", ".join(
-        f"{q}, b{q}, cast(b{q} as double) / {FINE_BINS_PER_UNIT}, "
+        # {q}L long literal — keep in lockstep with histogram_quantiles'
+        # stack rows (review finding: the two had drifted on the suffix)
+        f"{q}L, b{q}, cast(b{q} as double) / {FINE_BINS_PER_UNIT}, "
         f"cast(b{q} + 1 as double) / {FINE_BINS_PER_UNIT}"
         for q in QUANTILES_PERMILLE
     )

@@ -83,7 +83,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_stats",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id)
                          >= INTERVAL {SESSION_GAP}
@@ -92,7 +92,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM marked
     )
@@ -359,13 +359,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
         SELECT user_id,
                CAST(COUNT(*) AS DECIMAL(9,0)) AS n,
-               CAST(SUM(qv) AS DECIMAL(13,0)) AS s,
-               CAST(SUM(CAST(qv AS DECIMAL(19,0)) * qv) AS DECIMAL(22,0)) AS ss
+               CAST(SUM(qv) AS DECIMAL(18,0)) AS s,
+               CAST(SUM(CAST(qv AS DECIMAL(19,0)) * qv) AS DECIMAL(28,0)) AS ss
         FROM q GROUP BY user_id
     ),
     d AS (
         SELECT q.user_id, q.event_id,
-               CAST(st.n * q.qv - st.s AS DECIMAL(13,0)) AS dev,
+               CAST(st.n * q.qv - st.s AS DECIMAL(18,0)) AS dev,
                st.n, st.s, st.ss
         FROM q JOIN st ON q.user_id = st.user_id
     )
@@ -401,11 +401,11 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = q.groupBy("user_id").agg(
         F.count("*").cast("decimal(9,0)").alias("n"),
-        F.sum("qv").cast("decimal(13,0)").alias("s"),
-        F.sum(F.col("qv") * F.col("qv")).cast("decimal(22,0)").alias("ss"),
+        F.sum("qv").cast("decimal(18,0)").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("decimal(28,0)").alias("ss"),
     )
     j = q.join(st, "user_id").withColumn(
-        "dev", (F.col("n") * F.col("qv") - F.col("s")).cast("decimal(13,0)")
+        "dev", (F.col("n") * F.col("qv") - F.col("s")).cast("decimal(18,0)")
     )
     var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
     return j.filter(F.col("dev") * F.col("dev") > 4 * var_n2).select(
