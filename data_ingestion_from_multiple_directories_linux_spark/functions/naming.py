@@ -27,8 +27,17 @@ def decode_uri_name(c: Column) -> Column:
     raw filesystem name. '+' is escaped first because ``url_decode`` is
     form-decoding ('+' → space) while URI paths keep '+' literal —
     without this the decoded name diverges from the on-disk name for
-    any path containing '+'."""
-    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+    any path containing '+'. ``try_url_decode`` + coalesce: callers of
+    ``file_name_of``/``facility_of`` may pass raw (already-decoded)
+    path columns, and a raw name with a stray literal '%' (e.g.
+    'report 100%.json') must pass through unchanged instead of throwing
+    ILLEGAL_URL_DECODE (advisor-flagged contract hazard). A raw name
+    that happens to contain a VALID %XX sequence still decodes — only
+    ``input_file_name()`` (always encoded) is ambiguity-free, and
+    internal callers feed exactly that."""
+    return F.coalesce(
+        F.try_url_decode(F.regexp_replace(c, r"\+", "%2B")), c
+    )
 
 
 def file_name_of(path: Column | str | None = None) -> Column:

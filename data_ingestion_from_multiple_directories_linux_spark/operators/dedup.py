@@ -1145,55 +1145,52 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures here use the engine-portable md5 hash so the oracle
     recomputes them bit-for-bit (the production index uses xxhash64 —
     same MIN-agg plan, faster hash, no SQL twin). Plan: one explode +
-    one groupBy(doc, i) MIN for signatures (the i-fan-out is the
-    calibration cost; the production one-pass 64-agg shape is in
-    minhash_band_index), one equi-join on the known pair structure,
-    integer-permille outputs. Only the pair-participating docs (the %7
-    mutated family) are shingled and signed — 7x less signature work,
-    same result (every emitted pair involves that family by
-    construction)."""
+    ONE groupBy(doc) computing all 64 MINs as separate aggregate
+    columns — the same one-pass shape as the production
+    ``minhash_signature_aggs`` (functions/text.py:66). The earlier
+    ``posexplode(sequence(0,63))`` variant fanned every shingle row out
+    64x into a two-shuffle groupBy chain and was the suite's slowest
+    query (3.8 s); the one-pass shape computes identical signatures
+    with map-side partial MINs and shuffles (doc, 64 longs) once. One
+    equi-join on the known pair structure, integer-permille outputs.
+    Only the pair-participating docs (the %7 mutated family) are
+    shingled and signed — 7x less signature work, same result (every
+    emitted pair involves that family by construction)."""
+
+    def cal_hash(i: int) -> Column:
+        # md5-derived 60-bit hash, bit-identical to the oracle's _CAL_H
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"mh{i}:"), F.col("s")).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+        ).cast("long")
+
     corpus = _near_dup_corpus(spark, sf_dir).filter(
         (F.col("doc_id") >= 10000) | (F.col("doc_id") % 7 == 0)
     )
     sh = _shingle_sets(corpus, CAL_SHINGLE_N).persist()
     ex = _explode_shingles(sh.select("doc_id", "sh"), [])
-    hashed = ex.select(
-        "doc_id",
-        "s",
-        F.posexplode(
-            F.sequence(F.lit(0), F.lit(CAL_N_HASHES - 1))
-        ).alias("_p", "i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("mh"),
-                        F.col("i").cast("string"),
-                        F.lit(":"),
-                        F.col("s"),
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
     sig = (
-        hashed.groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("doc_id")
+        ex.groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda st: st["mh"],
-            ).alias("sig")
+            *[
+                F.min(cal_hash(i)).alias(f"mh{i}")
+                for i in range(CAL_N_HASHES)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(CAL_N_HASHES)]).alias(
+                "sig"
+            ),
         )
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

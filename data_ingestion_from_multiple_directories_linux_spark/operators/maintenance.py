@@ -466,6 +466,7 @@ def zorder_table(
     key1: str,
     key2: str,
     n_files: int = 16,
+    by_prefix_bits: int = 0,
 ) -> dict:
     """Two-dimensional clustering: rewrite a table ordered by the
     Z-VALUE of (key1, key2) so range predicates on EITHER dimension —
@@ -484,7 +485,18 @@ def zorder_table(
     quantile boundaries from key_skew_profile the same way.
 
     Returns {'spans': {key: [(file, min, max)]}} read back from parquet
-    footers: the per-dimension evidence the pruning test quantifies."""
+    footers: the per-dimension evidence the pruning test quantifies.
+
+    ``by_prefix_bits=p`` switches the physical layout from z-RANGE
+    files (row-balanced, boundary positions sampling-dependent) to one
+    file per top-``p``-bits-per-dimension z-prefix — a 2^p × 2^p grid
+    of EXACT key-space rectangles (p=2 → 16 files). Each prefix's rows
+    hash to one task and ``partition_by`` splits that task's output by
+    prefix value, so every rectangle is exactly one file and every
+    file's (key1, key2) footer span sits inside one rectangle — the
+    invariant the maintenance report's closed-form oracle is built on.
+    Row balance is traded away (a hot rectangle makes a big file), so
+    the range layout stays the default."""
     df = store.read(name)
 
     def numeric(col: str) -> Column:
@@ -525,13 +537,26 @@ def zorder_table(
         return F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
 
     z = _zvalue_expr(bucket(n1, lo1, hi1), bucket(n2, lo2, hi2))
-    out = (
-        df.withColumn("_z", z)
-        .repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )
-    store.overwrite(name, out)
+    if by_prefix_bits:
+        pb = 2 * by_prefix_bits
+        out = (
+            df.withColumn("_z", z)
+            .withColumn(
+                "_zp", F.shiftright(F.col("_z"), 2 * ZORDER_BITS - pb)
+            )
+            .repartition(1 << pb, "_zp")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        store.overwrite(name, out, partition_by=("_zp",))
+    else:
+        out = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        store.overwrite(name, out)
     root = store.path(name)
     return {
         "spans": {
@@ -548,12 +573,15 @@ def zorder_table(
     SELECT * FROM (
         SELECT 'fragmented' AS phase, CAST(16 AS BIGINT) AS n_files,
                n_rows, CAST(120 AS BIGINT) AS overlapping_pairs,
-               CAST(16 AS BIGINT) AS probe_files
+               CAST(16 AS BIGINT) AS probe_files,
+               CAST(16 AS BIGINT) AS box_probe_files
         FROM t
         UNION ALL
-        SELECT 'compacted', 1, n_rows, 0, 1 FROM t
+        SELECT 'compacted', 1, n_rows, 0, 1, 1 FROM t
         UNION ALL
-        SELECT 'clustered', 8, n_rows, 0, 1 FROM t
+        SELECT 'clustered', 8, n_rows, 0, 1, 8 FROM t
+        UNION ALL
+        SELECT 'zordered', 16, n_rows, 24, 1, 8 FROM t
     ) ORDER BY phase
     """,
 )
@@ -569,17 +597,35 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
       footer spans intersect (the zone-map health measure: 16 near-full
       spans → C(16,2)=120; disjoint ranges → 0);
     * ``probe_files`` — files a mid-domain point probe must read per
-      the footer stats (full fragmentation → all 16; clustered → 1).
+      the footer stats (full fragmentation → all 16; clustered → 1);
+    * ``box_probe_files`` — files a 2-D box scan (full o_orderkey ×
+      top-half o_custkey) must read per BOTH dimensions' footer stats
+      (:func:`files_overlapping_box`) — the measure 1-D clustering
+      cannot improve.
 
     Phases: ``fragmented`` (seeded layout) → ``compacted``
     (:func:`compact_table`: tiny files fold into ceil(bytes/128MB)=1) →
     ``clustered`` (:func:`cluster_table` on o_orderkey: 8 disjoint
-    ranges). Every number is MEASURED from real parquet footers
-    (:func:`_key_spans`) after running the real jobs through the
-    atomic-swap write path; the oracle predicts them in closed form
-    from the construction invariants (the media_pixel_stats pattern).
-    The 3-row report materializes driver-side — bounded metadata, the
-    maintenance-utility convention (VERDICT r4 'What's wrong' §driver).
+    ranges) → ``zordered`` (:func:`zorder_table` on (o_orderkey,
+    o_custkey) with ``by_prefix_bits=2``: a 4×4 grid of exact key-space
+    rectangles, one file each). Every number is MEASURED from real
+    parquet footers (:func:`_key_spans`) after running the real jobs
+    through the atomic-swap write path; the oracle predicts them in
+    closed form from the construction invariants (the media_pixel_stats
+    pattern). Zordered closed forms, from the bit-interleave grid:
+    ``n_files=16`` (all 16 rectangles populated); ``overlapping_pairs=
+    24`` (o_orderkey spans: the 4 orderkey-quarters are bucket-monotone
+    DISJOINT across quarters, and the 4 custkey-cells within a quarter
+    mutually overlap → 4·C(4,2)); ``probe_files=1`` (the probe is the
+    LARGEST existing key of orderkey-quarter 1, so only its own cell's
+    span reaches it — sibling cells' maxima lie strictly below,
+    adjacent quarters are disjoint); ``box_probe_files=8`` (exactly the
+    8 rectangles with custkey-bucket top bit set — where ``clustered``
+    reads all 8 files for the same box because every orderkey-ranged
+    file spans all of custkey: the Z-curve's pruning win, halved again
+    with each added box dimension/bit). The 4-row report materializes
+    driver-side — bounded metadata, the maintenance-utility convention
+    (VERDICT r4 'What's wrong' §driver).
 
     Reference parity: the report is the engine's analogue of the
     reference's table_sizes.sql/pg_total_relation_size maintenance
@@ -603,15 +649,22 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hit 0 files instead of 1 — an existing key always lies inside
         # exactly one disjoint span
         lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        lo2, hi2 = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
         probe = (
             orders.filter(F.col("o_orderkey") <= (lo + hi) // 2)
             .agg(F.max("o_orderkey"))
             .first()[0]
         )
+        # box lower edge = the custkey value where the z-order bucket's
+        # top bit flips (same float arithmetic as zorder_table's bucket
+        # expression), so the box is EXACTLY the top two custkey
+        # bucket-quarters — the closed form's alignment
+        box2_lo = lo2 + float(hi2 - lo2) * (1 + 1e-9) / 2
         n_rows = store.read("orders_m").count()
 
         def measure(phase: str) -> None:
             spans = _key_spans(store.path("orders_m"), "o_orderkey")
+            spans2 = _key_spans(store.path("orders_m"), "o_custkey")
             pairs = sum(
                 1
                 for i in range(len(spans))
@@ -619,7 +672,14 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not (spans[i][2] < spans[j][1] or spans[j][2] < spans[i][1])
             )
             hit = sum(1 for _f, mn, mx in spans if mn <= probe <= mx)
-            rows.append((phase, len(spans), n_rows, pairs, hit))
+            box = files_overlapping_box(
+                {"o_orderkey": spans, "o_custkey": spans2},
+                "o_orderkey",
+                (lo, hi),
+                "o_custkey",
+                (box2_lo, hi2),
+            )
+            rows.append((phase, len(spans), n_rows, pairs, hit, box))
 
         measure("fragmented")
         # explicit 1 TiB target pins files_after = ceil(bytes/target) = 1
@@ -632,12 +692,16 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure("compacted")
         cluster_table(store, "orders_m", "o_orderkey", n_files=8)
         measure("clustered")
+        zorder_table(
+            store, "orders_m", "o_orderkey", "o_custkey", by_prefix_bits=2
+        )
+        measure("zordered")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows,
         "phase string, n_files long, n_rows long, "
-        "overlapping_pairs long, probe_files long",
+        "overlapping_pairs long, probe_files long, box_probe_files long",
     ).orderBy("phase")
 
 

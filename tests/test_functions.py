@@ -119,6 +119,61 @@ def test_mask_json_keys_preserves_value_types(spark):
     assert json.loads(got) == {"surname": "******", "note": "n"}
 
 
+def test_mask_json_keys_nested_and_exponent_values(spark):
+    """Advisor findings pinned fixed: (1) a PII key whose value is a
+    NESTED object/array must still be masked (the shallow-only pattern
+    leaked it); (2) negative-exponent numbers must be consumed whole
+    ('1e-05' half-matched to '"******"-05' — corrupt JSON)."""
+    cases = [
+        {"surname": {"a": {"b": 1}}, "note": "k"},          # depth-2 obj
+        {"surname": [{"x": [1, {"y": 2}]}], "note": "k"},   # mixed nesting
+        {"phone_number": 1e-05, "note": "k"},               # neg exponent
+        {"phone_number": -2.5e7, "age": 3},                 # sign + exp
+        {"surname": {"s": "}{"}, "note": "k"},              # braces in str
+    ]
+    df = spark.createDataFrame([(json.dumps(c),) for c in cases], "j string")
+    outs = [r["m"] for r in df.select(mask_json_keys("j").alias("m")).collect()]
+    for raw, out in zip(cases, outs):
+        got = json.loads(out)  # output must stay valid JSON
+        for k in ("surname", "phone_number"):
+            if k in raw:
+                assert got[k] == "******", (raw, got)
+        # non-PII values keep their types
+        if "note" in raw:
+            assert got["note"] == "k"
+        if "age" in raw:
+            assert got["age"] == 3
+
+
+def test_mask_json_keys_deep_fallback_no_leak(spark):
+    """A PII value nested DEEPER than the regex depth cap falls back to
+    the map rewrite: types degrade for that row, but the key is masked
+    (leak-proof contract)."""
+    deep = {"surname": {"a": {"b": {"c": {"d": {"e": 1}}}}}, "age": 7}
+    df = spark.createDataFrame([(json.dumps(deep),)], "j string")
+    got = json.loads(
+        df.select(mask_json_keys("j").alias("m")).collect()[0]["m"]
+    )
+    assert got["surname"] == "******"
+    assert got["age"] in (7, "7")  # fallback path may stringify
+
+
+def test_decode_uri_name_raw_percent_passthrough(spark):
+    """Advisor-flagged contract hazard pinned fixed: a raw (non-URI)
+    name with a literal '%' passes through unchanged instead of
+    throwing ILLEGAL_URL_DECODE; encoded names still decode."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.naming import (
+        file_name_of,
+    )
+
+    df = spark.createDataFrame(
+        [("/d/report 100%.json",), ("/d/a%20b+c.json",)], "p string"
+    )
+    out = [r["f"] for r in df.select(file_name_of("p").alias("f")).collect()]
+    assert out[0] == "report 100%.json"
+    assert out[1] == "a b+c.json"
+
+
 def test_mask_struct_value_null_safe(spark):
     df = spark.createDataFrame(
         [(("t1", json.dumps({"phone_number": "0801"})),), (None,)],

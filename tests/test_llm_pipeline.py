@@ -942,6 +942,71 @@ def test_bpe_train_apply_round_trip(spark):
     assert again == rows
 
 
+def test_ivf_centroids_persist_and_reload_identically(spark, tmp_path):
+    """Round-5 verdict task pinned: IVF centroids persist/reload like
+    PQ codebooks — assignment with the RELOADED table is bit-identical
+    to assignment with the in-session frame, and the store-fed IVFPQ
+    search equals the registered query's output."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        _assign_cells,
+        _trained_centroids,
+        _vec_corpus,
+        ivfpq_topk_from_store,
+        ivfpq_topk_neighbors,
+        load_ivf_centroids,
+        save_ivf_centroids,
+        save_pq_codebooks,
+        _trained_pq_codebooks,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    cent = _trained_centroids(spark, SF_SMALL)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    save_ivf_centroids(store, "ivf_centroids", cent)
+    reloaded = load_ivf_centroids(store, "ivf_centroids")
+
+    corpus = _vec_corpus(spark, SF_SMALL)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells(corpus, cent).select("vec_id", "cell").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells(corpus, reloaded)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    assert a == b and a
+
+    save_pq_codebooks(
+        store, "pq_codebooks", _trained_pq_codebooks(spark, SF_SMALL)
+    )
+    want = sorted(
+        tuple(r) for r in ivfpq_topk_neighbors(spark, SF_SMALL).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk_from_store(spark, SF_SMALL, store).collect()
+    )
+    assert got == want and got
+
+
+def test_choose_k_sqrt_rule():
+    """Auto-K helper: √n, clamped, monotone."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        choose_k,
+    )
+
+    assert choose_k(0) == 8  # clamp floor
+    assert choose_k(10_000) == 100
+    assert choose_k(1_000_000) == 1000
+    assert choose_k(10**12) == 1 << 16  # clamp ceiling
+    ks = [choose_k(n) for n in (10, 100, 10_000, 10**8)]
+    assert ks == sorted(ks)
+
+
 def test_pq_codebooks_persist_and_reload_identically(spark, tmp_path):
     """Trained-artifact persistence: codebooks saved to the table store
     and reloaded must encode the corpus to EXACTLY the same codes as

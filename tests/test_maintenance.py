@@ -331,6 +331,41 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert files_z <= n_files_z // 2
 
 
+def test_zorder_by_prefix_exact_grid(spark, tmp_path):
+    """by_prefix_bits=2 layout: exactly one file per 4x4 z-prefix
+    rectangle, every file's (x, y) footer span inside its rectangle
+    (the invariant the maintenance report's closed-form oracle uses),
+    rows preserved."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.maintenance import (
+        _key_spans,
+        files_overlapping_box,
+        zorder_table,
+    )
+
+    rows = [((i * 37) % 64, (i * 53) % 64, i) for i in range(4096)]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.append(
+        "grid",
+        spark.createDataFrame(rows, "x long, y long, payload long")
+        .repartition(8),
+    )
+    rep = zorder_table(store, "grid", "x", "y", by_prefix_bits=2)
+    sx, sy = rep["spans"]["x"], rep["spans"]["y"]
+    assert len(sx) == 16
+    # every file's span sits inside one quarter in BOTH dimensions
+    # (x,y uniform over 0..63 → quarter edges at 16/32/48)
+    for _f, mn, mx in sx + sy:
+        assert mx - mn < 16 and mn // 16 == mx // 16
+    # a one-quarter x one-quarter box touches exactly 1 file
+    assert files_overlapping_box(rep["spans"], "x", (17, 30), "y", (33, 46)) == 1
+    # a full-x x half-y box touches exactly the 8 top-y rectangles
+    assert files_overlapping_box(rep["spans"], "x", (0, 63), "y", (32, 63)) == 8
+    got = sorted(
+        (r["x"], r["y"], r["payload"]) for r in store.read("grid").collect()
+    )
+    assert got == sorted(rows)
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """write_bucketed: two tables hash-bucketed on the same key join
     with ZERO Exchange in the physical plan (the shuffle happened once,
