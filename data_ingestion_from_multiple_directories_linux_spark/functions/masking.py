@@ -15,8 +15,10 @@ rewrite: one ``regexp_replace`` per PII key swaps that key's value for
 and formatting of non-PII values survive, like the reference's
 ``json.loads → overwrite → json.dumps`` preserves types). A guarded
 ``from_json(map<string,string>)`` fallback catches the rare value
-nested deeper than the regex covers, so no PII key is ever left
-unmasked.
+nested deeper than the regex covers; a PII key can survive only in
+the doubly-adversarial case of a >24-level-deep value inside a
+document whose root is not a parseable JSON object (the reference's
+own ``json.loads`` path masks nothing at all for such documents).
 """
 
 from __future__ import annotations
@@ -43,19 +45,23 @@ _STR = '"(?:[^"\\\\]|\\\\.)*"'
 _NUM = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?"
 
 #: containers nested deeper than this fall through to the map fallback.
-_CONTAINER_DEPTH = 4
+_CONTAINER_DEPTH = 24
 
 
 def _container_pat(depth: int) -> str:
     """Object/array pattern matching containers nested up to ``depth``
     levels, string-aware so braces inside quoted values don't unbalance
-    the match. Pattern size doubles per level (~1.5 kB at depth 4) —
-    compiled once per query plan, so depth is capped rather than grown."""
+    the match. Nesting is bracket-type-AGNOSTIC (one alternative for
+    ``{…}`` or ``[…]`` per level): real JSON never mismatches bracket
+    types, and collapsing the two keeps pattern size LINEAR in depth
+    (~1.2 kB at 24) instead of doubling per level, so the depth can sit
+    far beyond any non-adversarial document. Alternatives are
+    first-character-disjoint (quote / non-bracket / open-bracket), so
+    matching is backtracking-safe."""
     inner = f'(?:{_STR}|[^"{{}}\\[\\]])*'
     for _ in range(depth - 1):
-        obj = "\\{" + inner + "\\}"
-        arr = "\\[" + inner + "\\]"
-        inner = f'(?:{_STR}|[^"{{}}\\[\\]]|{obj}|{arr})*'
+        nested = "[\\{\\[]" + inner + "[\\}\\]]"
+        inner = f'(?:{_STR}|[^"{{}}\\[\\]]|{nested})*'
     return "\\{" + inner + "\\}|\\[" + inner + "\\]"
 
 
@@ -99,14 +105,18 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
 
     Matched value shapes: JSON strings (escape-aware), numbers (full
     int/frac/exponent grammar), true/false/null, and objects/arrays
-    nested up to ``_CONTAINER_DEPTH`` levels. Keys are masked at ANY
-    nesting depth. If, after the rewrite, a PII key is still followed
-    by ``{``/``[`` (a container nested deeper than the pattern covers),
-    the row falls back to the leak-proof map rewrite — type-degrading
-    for that one row, but no PII key ever survives unmasked (the
-    advisor-flagged deep-nesting leak). NULL and non-JSON inputs pass
-    through unchanged, mirroring the reference's try/except
-    passthrough."""
+    nested up to ``_CONTAINER_DEPTH`` (24) levels. Keys are masked at
+    ANY nesting depth. If, after the rewrite, a PII key is still
+    followed by ``{``/``[`` (a container nested deeper than 24 levels),
+    the ALREADY-masked string falls back through the map rewrite —
+    masking over ``out`` rather than the source so the regex pass's
+    any-depth masking of sibling keys is kept (review finding), and
+    type-degrading for that one row only. Residual guarantee: a PII
+    key can survive only when its value nests >24 deep AND the
+    document's root is not a parseable JSON object (the map fallback
+    needs an object root) — beyond any non-adversarial input. NULL and
+    non-JSON inputs pass through unchanged, mirroring the reference's
+    try/except passthrough."""
     src = F.col(col) if isinstance(col, str) else col
     value_pat = (
         _STR
@@ -123,7 +133,7 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
         )
     residual = '"(?:' + "|".join(keys) + ')"\\s*:\\s*[\\[{]'
     return F.when(
-        out.rlike(residual), F.coalesce(_legacy_map_mask(src, keys), out)
+        out.rlike(residual), F.coalesce(_legacy_map_mask(out, keys), out)
     ).otherwise(out)
 
 

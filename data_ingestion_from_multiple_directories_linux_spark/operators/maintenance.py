@@ -491,12 +491,14 @@ def zorder_table(
     files (row-balanced, boundary positions sampling-dependent) to one
     file per top-``p``-bits-per-dimension z-prefix — a 2^p × 2^p grid
     of EXACT key-space rectangles (p=2 → 16 files). Each prefix's rows
-    hash to one task and ``partition_by`` splits that task's output by
-    prefix value, so every rectangle is exactly one file and every
-    file's (key1, key2) footer span sits inside one rectangle — the
-    invariant the maintenance report's closed-form oracle is built on.
-    Row balance is traded away (a hot rectangle makes a big file), so
-    the range layout stays the default."""
+    hash to one task and a flattened partitioned write splits that
+    task's output by prefix value (the prefix column is used only to
+    split files — it never enters the table's schema), so every
+    rectangle is exactly one file and every file's (key1, key2) footer
+    span sits inside one rectangle — the invariant the maintenance
+    report's closed-form oracle is built on. Row balance is traded
+    away (a hot rectangle makes a big file), so the range layout stays
+    the default."""
     df = store.read(name)
 
     def numeric(col: str) -> Column:
@@ -548,7 +550,7 @@ def zorder_table(
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        store.overwrite(name, out, partition_by=("_zp",))
+        store.overwrite(name, out, partition_by=("_zp",), flatten=True)
     else:
         out = (
             df.withColumn("_z", z)

@@ -53,16 +53,48 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
-    def overwrite(self, name: str, df: DataFrame, partition_by: tuple[str, ...] = ()) -> None:
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        flatten: bool = False,
+    ) -> None:
         """Write-temp-swap: materialize to a scratch dir, then atomically
         replace the live dir. df may be derived FROM the live table (the
         read-modify-write pattern), which plain mode('overwrite') to the
-        same path would corrupt — Spark would delete its own input."""
+        same path would corrupt — Spark would delete its own input.
+
+        ``flatten=True`` (with ``partition_by``) uses the partition
+        columns only to SPLIT files — one file per partition value —
+        then hoists the leaf files to the table root before the swap,
+        so the partition columns never enter the table's visible schema
+        (hive layout stores them in directory names, not in the parquet
+        data files). Layout-maintenance jobs use this to control
+        file-to-value assignment exactly (zorder_table's rectangle
+        grid) without leaving an internal column behind in reads,
+        appends, or later compactions (review finding)."""
         tmp = self.path(f".{name}.tmp-{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        if partition_by and flatten:
+            n = 0
+            for dirpath, _dirs, files in os.walk(tmp):
+                if dirpath == tmp:
+                    continue
+                for f in files:
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(dirpath, f),
+                            os.path.join(tmp, f"f{n:05d}-{f}"),
+                        )
+                        n += 1
+            for d in os.listdir(tmp):
+                p = os.path.join(tmp, d)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
         live = self.path(name)
         trash = self.path(f".{name}.old-{uuid.uuid4().hex}")
         if os.path.isdir(live):

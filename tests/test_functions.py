@@ -145,17 +145,45 @@ def test_mask_json_keys_nested_and_exponent_values(spark):
             assert got["age"] == 3
 
 
-def test_mask_json_keys_deep_fallback_no_leak(spark):
-    """A PII value nested DEEPER than the regex depth cap falls back to
-    the map rewrite: types degrade for that row, but the key is masked
-    (leak-proof contract)."""
-    deep = {"surname": {"a": {"b": {"c": {"d": {"e": 1}}}}}, "age": 7}
+def test_mask_json_keys_deep_values_regex_masked(spark):
+    """Values nested well past the old depth-4 cap are masked by the
+    linear-depth pattern WITHOUT the type-degrading fallback: sibling
+    non-PII values keep their JSON types."""
+
+    def nest(d, leaf):
+        for _ in range(d):
+            leaf = {"a": leaf}
+        return leaf
+
+    deep = {"surname": nest(10, 1), "age": 7, "meta": {"k": 1}}
     df = spark.createDataFrame([(json.dumps(deep),)], "j string")
     got = json.loads(
         df.select(mask_json_keys("j").alias("m")).collect()[0]["m"]
     )
-    assert got["surname"] == "******"
-    assert got["age"] in (7, "7")  # fallback path may stringify
+    assert got == {"surname": "******", "age": 7, "meta": {"k": 1}}
+
+
+def test_mask_json_keys_fallback_keeps_sibling_masking(spark):
+    """Review finding pinned fixed: when one PII value nests deeper
+    than the regex cap (>24) and the row falls back to the map rewrite,
+    the fallback runs over the ALREADY-masked string — a nested sibling
+    PII key masked by the regex pass must stay masked."""
+
+    def nest(d, leaf):
+        for _ in range(d):
+            leaf = {"a": leaf}
+        return leaf
+
+    deep = {
+        "phone_number": nest(30, 1),     # beyond the regex depth cap
+        "note": {"surname": "LEAK"},     # maskable only by the regex pass
+        "age": 7,
+    }
+    df = spark.createDataFrame([(json.dumps(deep),)], "j string")
+    out = df.select(mask_json_keys("j").alias("m")).collect()[0]["m"]
+    assert "LEAK" not in out
+    got = json.loads(out)
+    assert got["phone_number"] == "******"
 
 
 def test_decode_uri_name_raw_percent_passthrough(spark):

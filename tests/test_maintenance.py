@@ -360,6 +360,9 @@ def test_zorder_by_prefix_exact_grid(spark, tmp_path):
     assert files_overlapping_box(rep["spans"], "x", (17, 30), "y", (33, 46)) == 1
     # a full-x x half-y box touches exactly the 8 top-y rectangles
     assert files_overlapping_box(rep["spans"], "x", (0, 63), "y", (32, 63)) == 8
+    # the internal prefix column must NOT leak into the visible schema
+    # (review finding: hive partition discovery would re-add it)
+    assert store.read("grid").columns == ["x", "y", "payload"]
     got = sorted(
         (r["x"], r["y"], r["payload"]) for r in store.read("grid").collect()
     )
