@@ -59,23 +59,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched). Round-6
 # allocation of the 50 slots, per the round-5 verdict:
-# (a) the 7 r02-stale masking/string renewals — four rounds old, and
-#     functions/masking.py was rewritten in r05 + hardened in r06
-#     (nested-value leak + exponent-grammar advisor fixes), so the
-#     masking block leads;
-# (b) every query in a file TOUCHED this round: operators/dedup.py
+# (a) the 7 r02-stale masking/string renewals — four rounds old,
+#     functions/masking.py was rewritten in r05 + hardened in r06, AND
+#     their implementing file (operators/relational.py) was edited by
+#     the r06 review sweep, so this block leads on both criteria;
+# (b) every query whose SEMANTICS or ORACLE changed in the r06 review
+#     sweep over relational/tpch*/grouping: NULL contracts
+#     (q12 low-bucket, event-type arrays, sibling NULL keys) and
+#     explicit join-order pruning (q2/q5/q7/q8/q16/q17);
+# (c) files touched earlier this round: operators/dedup.py
 #     (minhash_estimate_calibration's one-pass plan rewrite),
 #     operators/similarity.py (IVF persistence + auto-K + IVFPQ
-#     refactor), operators/maintenance.py (zordered 4th phase —
-#     semantics extended, new column), functions/naming.py
-#     (try_url_decode fallback → filename_parse_lineage);
-# (c) the round-5-touched files' stale rows the r05 cap displaced:
-#     multimodal.py (JPEG leg, r03/r04 rows) and timeseries.py
-#     (tiebreak fix, r04 rows);
-# (d) the oldest remaining r03 rows in untouched files (windows,
-#     sketches, corpus, relational flagship block) — 14 fit; the
-#     ~26 remaining r03 rows (relational/asof/corpus/text_analysis,
-#     files untouched since r03) rotate to round 7.
+#     refactor), operators/maintenance.py (zordered 4th phase),
+#     functions/naming.py (try_url_decode → filename_parse_lineage);
+# (d) the remaining relational.py flagship block (file touched by the
+#     sweep, rows r03) — as many as fit the cap.
+# Displaced to round 7: multimodal/timeseries/windows/sketches stale
+# rows (files untouched since r05) and the rest of relational/tpch*.
 # Everything past the cap is re-verified at HEAD by the fresh-process
 # VERIFY_LOCAL_r06.txt record and the pytest oracle-parity suite.
 _PRIORITY_FIRST = [
@@ -87,7 +87,18 @@ _PRIORITY_FIRST = [
     "substring_truncate",
     "concat_runid_format",
     "session_duration_secs",
-    # (b) files touched this round: dedup.py (plan rewrite first)
+    # (b) r06 review-sweep semantic/plan changes
+    "user_event_type_arrays",
+    "exact_moment_correlation",
+    "self_join_sibling_success",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q2_regional_best_supplier",
+    "q12_delay_priority_classes",
+    "q16_supplier_part_variety",
+    # (c) files touched this round: dedup.py (plan rewrite first)
     "minhash_estimate_calibration",
     "minhash_lsh_near_dup",
     "ngram_jaccard_pairs",
@@ -97,7 +108,7 @@ _PRIORITY_FIRST = [
     "cross_source_overlap",
     "dedup_materialize_canonical",
     "minhash_incremental_near_dup",
-    # (b) similarity.py (IVFPQ refactor + centroid persistence)
+    # (c) similarity.py (IVFPQ refactor + centroid persistence)
     "ivfpq_topk_neighbors",
     "cosine_topk",
     "embedding_near_dup_ivf",
@@ -108,35 +119,23 @@ _PRIORITY_FIRST = [
     "label_centroids",
     "hard_negative_mining",
     "ivf_topk_neighbors",
-    # (b) maintenance.py (zordered phase added — semantics extended)
+    # (c) maintenance.py (zordered phase added — semantics extended)
     "maintenance_report_tables",
-    # (b) naming.py (try_url_decode fallback)
+    # (c) naming.py (try_url_decode fallback)
     "filename_parse_lineage",
-    # (c) round-5-touched files, stale rows: multimodal.py …
-    "media_dimensions",
-    "media_audio_stats",
-    "media_video_stats",
-    "image_near_dup_ahash",
-    # (c) … and timeseries.py
-    "m4_downsample_events",
-    "time_weighted_avg_value",
-    "gap_fill_hourly_locf",
-    "value_histogram_events",
-    # (d) oldest remaining r03 rows in untouched files
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "session_window_stats",
-    "event_gaps_lag",
-    "multires_rollup_events",
-    "kmv_distinct_users",
-    "table_fingerprint",
-    "sequence_packing",
+    # (d) relational.py flagship block (file touched by the sweep)
     "q1_pricing_summary",
     "work_queue_dequeue",
     "dedup_keep_newest",
     "state_machine_summary",
     "anti_join_no_orders",
     "semi_join_failed_retry",
+    "broadcast_brand_revenue",
+    "update_join_propagate",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "top_k_orders",
+    "notin_priority_counts",
 ]
 
 

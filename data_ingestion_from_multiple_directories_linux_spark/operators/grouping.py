@@ -106,7 +106,8 @@ def dense_rank_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS types
+               list_sort(list(DISTINCT event_type)
+                         FILTER (WHERE event_type IS NOT NULL)) AS types
         FROM events
         GROUP BY user_id
     )
@@ -129,7 +130,12 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen on the grouped result (bounded: ≤5 types per
     user), and the string join is only for the cross-engine hash — a
     real pipeline would keep the array column. The filter lambda is
-    JVM-side (Catalyst HigherOrderFunction), NOT a Python UDF."""
+    JVM-side (Catalyst HigherOrderFunction), NOT a Python UDF.
+
+    NULL contract: Spark's collect_set silently drops NULL elements
+    while DuckDB's list(DISTINCT) keeps them — the oracle filters
+    NULLs explicitly so both engines agree the moment event_type
+    carries a NULL (review finding)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
@@ -168,10 +174,12 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            n,
-           ROUND((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 12)
+           floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 1e12 + 0.5) / 1e12
                AS corr_qty_price,
-           ROUND((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6)
+           floor((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n)
+             * 1e6 + 0.5) / 1e6
                AS covar_pop_scaled
     FROM m
     ORDER BY l_returnflag
@@ -184,10 +192,14 @@ def exact_moment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     in floating point, so their last bits depend on partition order and
     would never hash-match across engines. Moments quantized to DECIMAL
     are associative-exact; the final formula is a fixed IEEE expression
-    over six exact inputs, rounded to 12 decimals because engines may
-    fuse the multiply-subtract differently (FMA) and drift by one ULP —
-    rounding absorbs it while keeping 12 significant digits of the
-    statistic comparable.
+    over six exact inputs, quantized to 12 decimals because engines may
+    fuse the multiply-subtract differently (FMA) and drift by one ULP.
+    The quantization is ``floor(v*1e12 + 0.5)/1e12`` SPELLED OUT in
+    both engines — each engine's native ROUND(double, n) is a
+    different algorithm (Spark: BigDecimal of the shortest repr,
+    HALF_UP; DuckDB: multiply-round-divide) and they can disagree by
+    1e-12 near .5 boundaries (review finding); the explicit IEEE
+    sequence is bit-identical by construction.
 
     Scale plan: one map-combined groupBy (six sums per group, partial
     aggregation), one shuffle of one row per (partition, flag); the
@@ -208,19 +220,24 @@ def exact_moment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+
+    def quant(c, scale: float):
+        # same IEEE op sequence as the oracle — see docstring
+        return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
     return (
         m.select(
             "l_returnflag",
             "n",
-            F.round(
+            quant(
                 num
                 / F.sqrt(
                     (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
                     * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
                 ),
-                12,
+                1e12,
             ).alias("corr_qty_price"),
-            F.round(num / (n * n), 6).alias("covar_pop_scaled"),
+            quant(num / (n * n), 1e6).alias("covar_pop_scaled"),
         )
         .orderBy("l_returnflag")
     )

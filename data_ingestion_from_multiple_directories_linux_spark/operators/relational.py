@@ -286,8 +286,13 @@ def self_join_sibling_success(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n_F - (own is F) > 0``). One hash shuffle on the key, no
     orders×orders pair explosion on skewed keys (per-key quadratic in
     the join form; the reference's Postgres leaned on an index instead).
+    NULL keys are dropped first: the oracle's equi-join never matches
+    NULL = NULL, while Window.partitionBy would group all NULL keys
+    into one sibling set (review finding).
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     w = W.partitionBy("o_custkey")
     is_f = F.when(F.col("o_orderstatus") == "F", 1)
     n_f = F.count(is_f).over(w)
@@ -1093,11 +1098,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q5 shape: 6-table join where customer and supplier must sit
     in the SAME nation, revenue per nation over one order year. Scale
-    plan: nation⋈region prune to one region and BROADCAST (explicitly —
-    dims are tiny); the fact-side joins shuffle on orderkey/suppkey; the
-    local-supplier predicate (c_nationkey = s_nationkey) rides the
-    supplier join as an equi-key, not a post-filter. One partial-agg
-    shuffle on n_name at the end."""
+    plan: nation⋈region prune to one region and BROADCAST into BOTH
+    fact-dim sides BEFORE any fact shuffle — supplier joins the pruned
+    nation dim (keeping n_name) and customer semi-joins the same key
+    set, so the orderkey/suppkey shuffles only ever carry the region's
+    rows (~1/5; Catalyst won't reorder the joins itself — review
+    finding). The local-supplier predicate (c_nationkey = s_nationkey)
+    rides the supplier join as an equi-key, not a post-filter. One
+    partial-agg shuffle on n_name at the end."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1107,21 +1115,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dims = F.broadcast(
-        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
-            "n_nationkey", "n_name"
-        )
+    nat = n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    s2 = s.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c2 = c.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+        "left_semi",
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c2.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s,
+            s2,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(rev, 4).alias("revenue"))
     )

@@ -30,7 +30,7 @@ so the value hash is byte-stable between Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -347,8 +347,6 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
     return (
         rev.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -388,12 +386,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific (supplier nation, customer nation) pairs per ship year.
 
     The disjunctive nation-pair predicate references BOTH dimension
-    joins, so it runs after them — but each nation table is pre-pruned
-    to the two named nations scan-side (a superset of the disjunction),
-    and both nation dims broadcast. The two fact joins
-    (lineitem⋈orders⋈customer chains through supplier) shuffle on
-    their natural keys; the ship-date range prunes lineitem at the
-    scan. Four result rows per year pair; partial aggs everywhere."""
+    joins, so it runs after them — but each nation dim is pre-pruned
+    to the two named nations (a superset of the disjunction) and
+    BROADCAST-JOINED INTO ITS FACT-DIM SIDE FIRST: supplier⋈n1 and
+    customer⋈n2 shrink to the two nations' rows (~2/25 of each)
+    BEFORE any fact shuffle, so the expensive lineitem/orders joins
+    never carry out-of-scope suppliers or customers (Catalyst does
+    not reorder joins — CBO off — so the pruning order is stated
+    explicitly; review finding). The ship-date range prunes lineitem
+    at the scan. Four result rows per year pair; partial aggs
+    everywhere."""
     n1_names = list(Q7_NATIONS)
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin(n1_names)
@@ -418,12 +420,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == Q7_NATIONS[1])
         & (F.col("cust_nation") == Q7_NATIONS[0])
     )
+    s2 = s.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    c2 = c.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
     return (
-        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        s2.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -482,11 +488,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale plan: part is pre-filtered to the type and BROADCAST (it
     prunes the fact stream hardest, so it joins first); region/nation
-    prune customer-side membership and broadcast; the supplier-side
-    nation arrives as a second broadcast alias. Numerator and
-    denominator compute in the SAME aggregate pass (conditional sum),
-    and the share divides two decimal-quantized doubles — one pass,
-    no union of two plans, deterministic IEEE ratio."""
+    prune CUSTOMER membership via a broadcast join BEFORE customer
+    enters the orders shuffle (Catalyst doesn't reorder joins, so the
+    region pruning is placed explicitly where it shrinks the fact
+    chain — review finding); the supplier-side nation (unselective, a
+    label) broadcasts after. Numerator and denominator compute in the
+    SAME aggregate pass (conditional sum), and the share divides two
+    decimal-quantized doubles — one pass, no union of two plans,
+    deterministic IEEE ratio."""
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == Q8_TYPE
     ).select("p_partkey")
@@ -507,11 +516,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(0)
+    c2 = c.join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey")
+    ).select("c_custkey")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -561,21 +572,32 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer rewrite, stated explicitly so the plan is the scalable
     one by construction on any engine).
 
-    Scale plan: the per-part threshold frame is one map-combined
-    groupBy (one row per part — small, broadcastable); the fact scan
-    joins it and the brand-pruned part dim (both broadcast) and
-    filters in one pass. The average is decimal-quantized-sum / exact
+    Scale plan: the per-part threshold frame aggregates ONLY the
+    brand's parts — a broadcast SEMI join against the pruned part dim
+    restricts lineitem before the groupBy, so ~96% of the per-part
+    aggregation work and broadcast payload that the final brand join
+    would discard is never computed (each part's average uses exactly
+    its own rows, so pre-restricting the part set changes nothing —
+    review finding). The average is decimal-quantized-sum / exact
     count, then scaled by {Q17_QTY_FACTOR} — the same IEEE sequence in
     both engines, so the threshold COMPARISON is exact cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == Q17_BRAND
     ).select("p_partkey")
-    avgq = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (
-            F.lit(Q17_QTY_FACTOR)
-            * (dsum("l_quantity", 2) / F.count("*").cast("double"))
-        ).alias("qty_threshold")
+    avgq = (
+        li.join(
+            F.broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg(
+            (
+                F.lit(Q17_QTY_FACTOR)
+                * (dsum("l_quantity", 2) / F.count("*").cast("double"))
+            ).alias("qty_threshold")
+        )
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

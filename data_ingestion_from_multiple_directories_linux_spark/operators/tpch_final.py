@@ -93,14 +93,18 @@ def q2_regional_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge is the DISTINCT (partkey, suppkey) projection of lineitem;
     "min cost" becomes "max account balance", same extremum shape).
 
-    Scale plan: the bridge dedup is one map-combined groupBy of two
-    int64 columns (never carries text); part is size+type-pruned at
-    the scan and broadcast; supplier⋈nation⋈region is a broadcast
-    chain that prunes suppliers to one region BEFORE the bridge join.
-    The window partitions by p_partkey — the same key the bridge join
-    just shuffled on, so AQE reuses the partitioning; per-part
-    candidate lists are bridge-bounded (suppliers-per-part), never the
-    full table."""
+    Scale plan: the bridge dedup runs AFTER a broadcast semi join
+    against the size+type-pruned part dim — only the surviving parts'
+    (partkey, suppkey) pairs enter the dedup shuffle, shrinking the
+    query's dominant exchange by the part-filter selectivity (dedup
+    per pair is independent, so pre-restricting the part set changes
+    nothing — review finding); the dedup itself is one map-combined
+    groupBy of two int64 columns (never carries text).
+    supplier⋈nation⋈region is a broadcast chain that prunes suppliers
+    to one region BEFORE the bridge join. The window partitions by
+    p_partkey — the same key the bridge join just shuffled on, so AQE
+    reuses the partitioning; per-part candidate lists are
+    bridge-bounded (suppliers-per-part), never the full table."""
     li = load_table(spark, sf_dir, "lineitem")
     p = (
         load_table(spark, sf_dir, "part")
@@ -121,7 +125,15 @@ def q2_regional_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             s["s_nationkey"] == F.col("n_nationkey"),
         ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
+    )
     w = Window.partitionBy("p_partkey").orderBy(
         F.desc("s_acctbal"), F.col("s_suppkey")
     )
@@ -337,7 +349,10 @@ def q12_delay_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
                 "high_line_count"
             ),
-            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+            # ~high, not otherwise(1): a NULL priority must count in
+            # NEITHER bucket, matching the oracle's NOT IN three-valued
+            # logic (when(high, 0).otherwise(1) would call NULL "low")
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
                 "low_line_count"
             ),
         )
@@ -490,7 +505,6 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level partial aggregate, both levels map-combined. Nothing in
     the plan carries strings except the 3 grouping columns."""
     li = load_table(spark, sf_dir, "lineitem")
-    bridge = li.select("l_partkey", "l_suppkey").distinct()
     p = (
         load_table(spark, sf_dir, "part")
         .filter(
@@ -499,6 +513,18 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_size").isin(*Q16_SIZES))
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    # semi-join BEFORE the distinct: only surviving parts' pairs enter
+    # the dedup shuffle (per-pair dedup is independent of the part set
+    # — review finding, same device as q2's bridge)
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .distinct()
     )
     bad_supp = (
         load_table(spark, sf_dir, "supplier")
