@@ -64,9 +64,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     their implementing file (operators/relational.py) was edited by
 #     the r06 review sweep, so this block leads on both criteria;
 # (b) every query whose SEMANTICS or ORACLE changed in the r06 review
-#     sweep over relational/tpch*/grouping: NULL contracts
-#     (q12 low-bucket, event-type arrays, sibling NULL keys) and
-#     explicit join-order pruning (q2/q5/q7/q8/q16/q17);
+#     sweeps over relational/tpch*/grouping and asof/sketches/matching/
+#     semistructured: NULL contracts (q12 low-bucket, event-type
+#     arrays, sibling NULL keys, as-of NULL users, KMV NULL hash),
+#     crash fixes (single-token block key, malformed-JSON try
+#     semantics), and explicit join-order pruning (q2/q5/q7/q8/q16/q17);
 # (c) files touched earlier this round: operators/dedup.py
 #     (minhash_estimate_calibration's one-pass plan rewrite),
 #     operators/similarity.py (IVF persistence + auto-K + IVFPQ
@@ -98,6 +100,12 @@ _PRIORITY_FIRST = [
     "q2_regional_best_supplier",
     "q12_delay_priority_classes",
     "q16_supplier_part_variety",
+    "asof_last_click",
+    "asof_nearest_click",
+    "asof_next_click",
+    "kmv_distinct_users",
+    "fuzzy_part_match",
+    "variant_props_metrics",
     # (c) files touched this round: dedup.py (plan rewrite first)
     "minhash_estimate_calibration",
     "minhash_lsh_near_dup",
@@ -130,12 +138,6 @@ _PRIORITY_FIRST = [
     "state_machine_summary",
     "anti_join_no_orders",
     "semi_join_failed_retry",
-    "broadcast_brand_revenue",
-    "update_join_propagate",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "top_k_orders",
-    "notin_priority_counts",
 ]
 
 

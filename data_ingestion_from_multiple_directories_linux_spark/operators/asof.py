@@ -39,6 +39,37 @@ from ..catalog import load_table
 from .registry import dsum, dsum_sql, query
 
 
+def _tagged_union(ev: DataFrame, err_kind: int) -> DataFrame:
+    """Union-tagged error/click frame shared by the three as-of joins
+    (their only difference is the ``kind`` sort polarity: whichever
+    side must win an equal-timestamp tie sorts first).
+
+    NULL contract (review finding, confirmed by run): clicks with NULL
+    ``user_id`` are dropped — a SQL equality/ASOF join never matches
+    NULL, but ``Window.partitionBy`` groups all NULL keys into ONE
+    partition and would fabricate matches between NULL-user errors and
+    NULL-user clicks. NULL-user ERRORS stay: with every click excluded
+    from their partition the carried ``click_ts`` is NULL, reproducing
+    the oracle's LEFT-join unmatched row exactly."""
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(err_kind).alias("kind"),
+    )
+    clk = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(1 - err_kind).alias("kind"),
+    )
+    return err.unionByName(clk)
+
+
 @query(
     "asof_last_click",
     oracle="""
@@ -65,30 +96,16 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort before errors at equal timestamps (kind 0 < 1), matching the
     oracle's inclusive ``c.ts <= e.ts``. Output carries only the matched
     click's timestamp, so ties between identical-ts clicks cannot make
-    the result nondeterministic.
+    the result nondeterministic. NULL-user rows: see ``_tagged_union``.
     """
     ev = load_table(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(1).alias("kind"),
-    )
-    clk = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(0).alias("kind"),
-    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "kind")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        err.unionByName(clk)
+        _tagged_union(ev, err_kind=1)
         .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .filter(F.col("kind") == 1)
         .select(
@@ -303,22 +320,9 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     node chain without re-sorting; the equal-ts click sorts before the
     error so it wins BACKWARD with gap 0, which the nearest rule then
     selects — matching the oracle's tie rule). The CASE pick is a
-    projection; no joins, no pair explosion, at any scale."""
+    projection; no joins, no pair explosion, at any scale. NULL-user
+    rows: see ``_tagged_union``."""
     ev = load_table(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(1).alias("kind"),
-    )
-    clk = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(0).alias("kind"),
-    )
     wb = (
         W.partitionBy("user_id")
         .orderBy("ts", "kind")
@@ -330,7 +334,7 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     both = (
-        err.unionByName(clk)
+        _tagged_union(ev, err_kind=1)
         .withColumn("bts", F.last("click_ts", ignorenulls=True).over(wb))
         .withColumn("fts", F.first("click_ts", ignorenulls=True).over(wf))
         .filter(F.col("kind") == 1)
@@ -386,29 +390,15 @@ def asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal-timestamp clicks must match forward, so here clicks sort
     AFTER errors at the same ts (kind 1 > 0 — the tag polarity flips
     relative to the backward query, whose inclusive side is the past).
-    Zero physical joins."""
+    Zero physical joins. NULL-user rows: see ``_tagged_union``."""
     ev = load_table(spark, sf_dir, "events")
-    err = ev.filter(F.col("event_type") == "error").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(0).alias("kind"),
-    )
-    clk = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
-        F.lit(1).alias("kind"),
-    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "kind")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     return (
-        err.unionByName(clk)
+        _tagged_union(ev, err_kind=0)
         .withColumn("next_click_ts", F.first("click_ts", ignorenulls=True).over(w))
         .filter(F.col("kind") == 0)
         .select(

@@ -30,7 +30,7 @@ from .registry import query
     JOIN events c
       ON i.user_id = c.user_id
      AND c.ts >= i.ts
-     AND c.ts <= i.ts + INTERVAL {ATTRIBUTION_WINDOW.replace(' minutes', ' MINUTE')}
+     AND c.ts <= i.ts + INTERVAL {ATTRIBUTION_WINDOW}
     WHERE i.event_type = 'view' AND c.event_type = 'click'
     ORDER BY imp_event, click_event
     """,

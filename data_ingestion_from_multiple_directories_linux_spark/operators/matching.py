@@ -59,12 +59,26 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside each block, `name_a < name_b` kills mirrors and self-pairs.
     At 100 TB the block key would be (length bucket, first char,
     phonetic key) — the guard rails are the block-size cap pattern
-    already contract-verified by ngram_jaccard_capped."""
+    already contract-verified by ngram_jaccard_capped.
+
+    NULL/short-name contract: ``F.get`` (not ``getItem``) — under ANSI
+    mode ``getItem(1)`` ABORTS the whole query on any single-token
+    name, where the oracle's ``split_part(..., 2)`` returns ``''``
+    (review finding, confirmed by run). ``F.get`` yields NULL
+    out-of-bounds; the coalesce maps that to ``''`` so single-token
+    names block together exactly as in DuckDB, while a NULL name stays
+    NULL-blocked (and is killed by the ``<`` predicate either way)."""
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
     )
     keyed = names.select(
-        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("block")
+        "p_name",
+        F.when(
+            F.col("p_name").isNotNull(),
+            F.coalesce(
+                F.get(F.split(F.col("p_name"), " "), 1), F.lit("")
+            ),
+        ).alias("block"),
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -156,8 +170,14 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = toks.groupBy("token").agg(F.count("*").alias("n_docs"))
     vocab = df.orderBy(F.desc("n_docs"), "token").limit(COOC_VOCAB)
-    vt = toks.join(F.broadcast(vocab), "token").select(
-        "doc_id", "token", "n_docs"
+    # vt feeds BOTH sides of the within-doc pair self-join — persist so
+    # the corpus tokenize+explode runs once, not once per alias (the
+    # same device as dedup.jaccard_pairs' shingle frame; LRU-evicted,
+    # bounded: ≤COOC_VOCAB rows per doc after the vocab semi-join)
+    vt = (
+        toks.join(F.broadcast(vocab), "token")
+        .select("doc_id", "token", "n_docs")
+        .persist()
     )
     a = vt.alias("a")
     b = vt.alias("b")

@@ -36,7 +36,10 @@ from .registry import query
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM (
         SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               CAST(trunc(TRY_CAST(
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS DOUBLE)) AS BIGINT) AS k
         FROM events
     )
     GROUP BY event_type
@@ -49,6 +52,16 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     is absent or non-numeric — ``try``-semantics, so a single malformed
     producer can't fail the pipeline), aggregated per event type.
 
+    Try-semantics contract (review finding, confirmed by run): the
+    Spark side uses ``try_parse_json`` (strict ``parse_json`` ABORTS
+    the query on one malformed producer, contradicting the paragraph
+    above) and the oracle emulates both variant behaviors explicitly —
+    a ``json_valid`` guard (DuckDB's ``json_extract_string`` throws on
+    malformed input where try_parse_json yields NULL) and
+    ``trunc(TRY_CAST(x AS DOUBLE))`` (a fractional ``k`` truncates
+    toward zero in Spark's variant→long cast, 2.5→2/-2.5→-2, while
+    DuckDB's plain TRY_CAST VARCHAR→BIGINT rounds half away, 2.5→3).
+
     Scale plan: parse + extract are map-side expressions fused into the
     scan's codegen stage; the single shuffle is the tiny event_type
     rollup. In a persisted-lake layout the VARIANT parse happens once at
@@ -59,7 +72,7 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.try_variant_get(
-                F.parse_json("props"), "$.k", "long"
+                F.try_parse_json("props"), "$.k", "long"
             ).alias("k"),
         )
         .groupBy("event_type")

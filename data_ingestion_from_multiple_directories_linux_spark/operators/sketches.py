@@ -45,10 +45,27 @@ def _h60(col) -> F.Column:
 _SQL_H60 = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15) AS BIGINT)"
 
 
+def canon_row(cols) -> F.Column:
+    """NULL-safe canonical row encoding shared by ``table_fingerprint``
+    and ``snapshot_diff`` — the two operators must agree on what
+    "changed" means, so the encoding lives in exactly one place (review
+    finding). Each field is COALESCE'd to a chr(1) sentinel and fields
+    join on the chr(31) unit separator; see ``table_fingerprint`` for
+    why concat_ws and '|' were rejected."""
+    sep, nul = F.lit("\x1f"), F.lit("\x01")
+    parts: list = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        parts.extend([F.coalesce(col.cast("string"), nul), sep])
+    return F.concat(*parts[:-1])
+
+
 @query(
     "kmv_distinct_users",
     oracle=f"""
-    WITH u AS (SELECT DISTINCT user_id FROM events),
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
     h AS (
         SELECT CAST({_SQL_H60.format(c='user_id')} AS DOUBLE)
                / {HASH_SCALE!r} AS hv
@@ -76,8 +93,19 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (deliberate BNLJ of a scalar, the same pattern as
     tf_idf's corpus size). Expected relative error ~1/sqrt(k-1) ≈ 13%
     at k=64 — and because the hash is fixed, the estimate is a VALUE
-    the oracle reproduces exactly, not a distribution."""
-    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    the oracle reproduces exactly, not a distribution.
+
+    NULL contract (review finding, confirmed by run): NULL user_ids
+    are excluded up front — COUNT(DISTINCT x) semantics never count
+    NULL, and leaving it in diverges the engines mechanically anyway
+    (the NULL hash sorts NULLS-FIRST into Spark's k-set but NULLS-LAST
+    out of DuckDB's, shifting the k-th hash and the estimate)."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
     h = u.select(
         (_h60(F.col("user_id")).cast("double") / F.lit(HASH_SCALE)).alias("hv")
     )
@@ -139,13 +167,7 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     validating a migrated or replicated table without moving data: ship
     the per-group fingerprints, not the rows."""
     o = load_table(spark, sf_dir, "orders")
-    sep = F.lit("\x1f")
-    nul = F.lit("\x01")
-    row_str = F.concat(
-        F.coalesce(F.col("o_orderkey").cast("string"), nul), sep,
-        F.coalesce(F.col("o_custkey").cast("string"), nul), sep,
-        F.coalesce(F.col("o_orderpriority"), nul),
-    )
+    row_str = canon_row(["o_orderkey", "o_custkey", "o_orderpriority"])
     return (
         o.select(F.col("o_orderstatus").alias("status"), _h60(row_str).alias("h"))
         .groupBy("status")
@@ -179,20 +201,16 @@ def snapshot_diff(
     one hash per group; this answers "WHICH rows differ?" when they are
     not. Shape: one full-outer hash join on the keys; equality of the
     non-key payload compares a NULL-safe canonical concat (same
-    chr(31)/chr(1) encoding as the fingerprint, so the two operators
-    agree on what "changed" means). The join shuffles each side once;
+    chr(31)/chr(1) encoding as the fingerprint via the shared
+    :func:`canon_row`, so the two operators agree on what "changed"
+    means by construction). The join shuffles each side once;
     no collect, no per-row Python."""
-    sep, nul = F.lit("\x1f"), F.lit("\x01")
     val_cols = [c for c in left.columns if c not in keys]
 
     def canon(df: DataFrame, alias: str) -> DataFrame:
-        enc = [F.coalesce(F.col(c).cast("string"), nul) for c in val_cols]
-        parts: list = []
-        for e in enc:
-            parts.extend([e, sep])
         return df.select(
             *[F.col(k).alias(f"{alias}_{k}") for k in keys],
-            F.concat(*parts[:-1]).alias(f"{alias}_payload"),
+            canon_row(val_cols).alias(f"{alias}_payload"),
         )
 
     l, r = canon(left, "l"), canon(right, "r")

@@ -87,14 +87,22 @@ _NULL_EDGE_QUERIES = (
     "user_event_type_arrays",        # NULL event_type: dropped both sides
     "self_join_sibling_success",     # NULL o_custkey: never a sibling
     "notin_priority_counts",         # NOT IN with NULLs in the column
+    "asof_last_click",               # NULL user_id: never a window sibling
+    "asof_nearest_click",            # (same, both directions)
+    "asof_next_click",               # (same, forward)
+    "kmv_distinct_users",            # NULL user_id: out of the sketch
+    "fuzzy_part_match",              # single-token p_name: '' block, no abort
+    "variant_props_metrics",         # malformed / fractional / string k
 )
 
 
 def test_null_edge_parity(spark, tmp_path):
-    """Oracle parity on NULL-bearing data (review findings pinned):
-    copy the small SF, then null out a slice of o_custkey,
-    o_orderpriority and event_type — every flagged query must still
-    hash-match its oracle."""
+    """Oracle parity on adversarial data the synthetic tables lack
+    (review findings pinned): copy the small SF, then inject NULL keys
+    (o_custkey, o_orderpriority, event_type, user_id), single-token
+    part names, and malformed/fractional/non-numeric props JSON —
+    every flagged query must still hash-match its oracle (and not
+    abort, which is how three of these bugs manifested)."""
     import shutil
 
     d = tmp_path / "nulls"
@@ -118,9 +126,23 @@ def test_null_edge_parity(spark, tmp_path):
     con.execute(
         f"""COPY (SELECT * REPLACE (
                 CASE WHEN event_id % 83 = 0 THEN NULL
-                     ELSE event_type END AS event_type)
+                     ELSE event_type END AS event_type,
+                CASE WHEN event_id % 101 = 0 THEN NULL
+                     ELSE user_id END AS user_id,
+                CASE WHEN event_id % 103 = 0 THEN 'not json'
+                     WHEN event_id % 107 = 0 THEN '{{"k": 2.5}}'
+                     WHEN event_id % 109 = 0 THEN '{{"k": "abc"}}'
+                     ELSE props END AS props)
              FROM read_parquet('{SF_SMALL}/events.parquet'))
             TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN p_partkey % 113 = 0
+                     THEN split_part(p_name, ' ', 1)
+                     ELSE p_name END AS p_name)
+             FROM read_parquet('{SF_SMALL}/part.parquet'))
+            TO '{d}/part.parquet' (FORMAT PARQUET)"""
     )
     con.close()
     for name in _NULL_EDGE_QUERIES:

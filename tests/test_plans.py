@@ -454,9 +454,11 @@ def test_rolling_active_users_single_wide_reduction(spark, queries):
 def test_q17_decorrelated_not_rescanned(spark, queries):
     """The per-part average joins back as a broadcast aggregate — the
     correlated subquery never re-executes per row: exactly two scans
-    of lineitem (facts + the average frame), no nested loop."""
+    of lineitem (facts + the average frame, each semi-pruned by the
+    broadcast part dim, which is scanned once per consumer), no
+    nested loop."""
     plan = plan_of(queries["q17_small_quantity_revenue"](spark, SF_SMALL))
-    assert plan.count("Scan parquet") == 3  # lineitem x2 + part
+    assert plan.count("Scan parquet") == 4  # lineitem x2 + part x2
     assert "NestedLoop" not in plan
 
 
