@@ -136,8 +136,11 @@ _PRIORITY_FIRST = [
     "work_queue_dequeue",
     "dedup_keep_newest",
     "state_machine_summary",
-    "anti_join_no_orders",
-    "semi_join_failed_retry",
+    # (b′) late r06 sweep: multimodal/jpeg_codec/vectors — the audio
+    # key stride changed (new fingerprint values) and the JPEG decode
+    # path gained the accumulator/zero-width fixes
+    "audio_fingerprint_classes",
+    "media_pixel_stats",
 ]
 
 

@@ -126,6 +126,10 @@ class _BitWriter:
             self.buf.append(b)
             if b == 0xFF:  # byte stuffing: 0xFF in entropy data → FF 00
                 self.buf.append(0x00)
+        # drop the emitted bits — without this the accumulator grows
+        # into a bigint of the entire stream and every shift above
+        # copies it: quadratic encode time on real images
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -274,7 +278,7 @@ def _receive_extend(r: _BitReader, s: int) -> int:
 
 def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
-    while length < 17:
+    while length < 16:  # no JPEG Huffman code exceeds 16 bits (T.81 C.2)
         code = (code << 1) | r.bit()
         length += 1
         sym = table.get((length, code))
@@ -354,7 +358,7 @@ def _decode(data: bytes) -> np.ndarray | None:
         elif marker == 0xDD:
             return None  # restart intervals unsupported
         elif marker == 0xDA:  # SOS: entropy data follows
-            if not h or body[0] != 1:
+            if not h or not w or body[0] != 1:
                 return None
             dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
             return _decode_scan(
@@ -394,7 +398,7 @@ def _decode_scan(
                 zz[k] = _receive_extend(r, sym & 0x0F)
                 k += 1
             coef = np.zeros(64, dtype=np.float64)
-            coef[inv_zz] = zz * qt[np.arange(64)]
+            coef[inv_zz] = zz * qt
             block = _M.T @ coef.reshape(8, 8) @ _M + 128.0
             out[by : by + 8, bx : bx + 8] = block
     return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)

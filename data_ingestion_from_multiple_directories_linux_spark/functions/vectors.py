@@ -63,10 +63,25 @@ def cosine_q(dot: Column, norm_sq_a: Column, norm_sq_b: Column) -> Column:
 
 
 def sql_dot_q(a_vec: str, b_vec: str) -> str:
-    """DuckDB twin of :func:`dot_q` over two list expressions."""
+    """DuckDB twin of :func:`dot_q` over two list expressions.
+
+    NULL contract matches Spark EXACTLY (review finding): Spark's
+    ``aggregate`` propagates NULL from any NULL element or from the
+    NULL padding ``zip_with`` adds on a length mismatch, while DuckDB's
+    ``list_sum`` silently SKIPS NULL terms — a malformed embedding
+    would produce a partial sum on one engine and NULL on the other.
+    The guard makes the twin return NULL for ragged/NULL-bearing
+    inputs, and 0 (not list_sum's NULL) for empty lists, mirroring
+    Spark's fold from the 0 initial value."""
+    s = (
+        f"list_sum(list_transform(range(len({a_vec})), "
+        f"i -> CAST(floor(({a_vec}[i+1] * {b_vec}[i+1]) * 1e9) AS BIGINT)))"
+    )
     return (
-        f"CAST(list_sum(list_transform(range(len({a_vec})), "
-        f"i -> CAST(floor(({a_vec}[i+1] * {b_vec}[i+1]) * 1e9) AS BIGINT))) AS BIGINT)"
+        f"CASE WHEN len({a_vec}) = len({b_vec}) "
+        f"AND len(list_filter({a_vec}, x -> x IS NULL)) = 0 "
+        f"AND len(list_filter({b_vec}, x -> x IS NULL)) = 0 "
+        f"THEN CAST(COALESCE({s}, 0) AS BIGINT) END"
     )
 
 

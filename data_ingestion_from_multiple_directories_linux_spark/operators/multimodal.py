@@ -5,12 +5,13 @@ with a typed metadata struct (SURVEY-extension; BASELINE.json north
 star). The Spark-side contract is real and tested — schema, partitioning,
 Arrow batch shape, UDF signatures — and the decode step is pluggable via
 ``decode_fn``: :func:`real_decode` parses PNG IHDR / JPEG SOF container
-headers in pure Python, and for PNG goes all the way to PIXELS (stdlib
-zlib inflate + scanline unfilter, ``functions.png_codec``) — per-channel
-means as ``feature`` and real nearest-neighbor :func:`real_resize`.
-JPEG entropy decode still needs a codec the container does not ship, so
-JPEG feature extraction is exercised with :func:`fake_decode`
-(deterministic, byte-derived).
+headers in pure Python and goes all the way to PIXELS for both formats
+(stdlib zlib inflate + scanline unfilter in ``functions.png_codec``;
+pure-Python baseline entropy decode in ``functions.jpeg_codec``) —
+per-channel means as ``feature`` and real nearest-neighbor
+:func:`real_resize`. :func:`fake_decode` (deterministic, byte-derived)
+remains the no-codec stand-in for plumbing tests and for formats the
+codecs don't cover (progressive/color JPEG, video).
 
 Design for 100 TB of media:
 * payloads stay in ``binary`` columns — no base64 inflation, Arrow moves
@@ -94,7 +95,8 @@ def parse_image_header(payload: bytes) -> dict | None:
     if payload[:2] == b"\xff\xd8":
         i = 2
         n = len(payload)
-        while i + 9 < n:
+        # <=: the SOF dims may END at the payload's last byte (i+9 == n)
+        while i + 9 <= n:
             if payload[i] != 0xFF:
                 i += 1
                 continue
@@ -231,12 +233,14 @@ def make_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
 
 def real_decode(payload: bytes, media_type: str) -> dict:
     """Real decode, no codec library: PNG/JPEG dimensions via
-    :func:`parse_image_header`, and for PNG payloads a FULL pixel decode
-    (stdlib zlib inflate + scanline unfilter,
-    ``functions.png_codec.decode_png``) with ``feature`` = per-channel
-    pixel means. JPEG entropy decode genuinely needs a codec, so JPEG
-    rows keep header dimensions with ``feature`` None; unparseable
-    payloads yield all-None (quarantine upstream)."""
+    :func:`parse_image_header`, then a FULL pixel decode where the
+    pure-Python codecs reach — PNG (stdlib zlib inflate + scanline
+    unfilter, ``functions.png_codec.decode_png``) with ``feature`` =
+    per-channel pixel means, and baseline grayscale JPEG
+    (``functions.jpeg_codec.decode_jpeg_gray``) with ``feature`` =
+    [gray mean]. Rows the codecs don't cover (progressive/color JPEG,
+    header-only fixtures) keep header dimensions with ``feature``
+    None; unparseable payloads yield all-None (quarantine upstream)."""
     hdr = parse_image_header(payload) if payload else None
     if hdr is None:
         return {"width": None, "height": None, "n_frames": None, "feature": None}
@@ -253,12 +257,30 @@ def real_decode(payload: bytes, media_type: str) -> dict:
                 float(int(px[:, :, c].sum(dtype="int64"))) / n
                 for c in range(px.shape[2])
             ]
+    elif hdr["format"] == "jpeg":
+        from ..functions.jpeg_codec import decode_jpeg_gray
+
+        px = decode_jpeg_gray(payload)
+        if px is not None and px.size:
+            feature = [
+                float(int(px.sum(dtype="int64"))) / px.size
+            ]
     return {
         "width": hdr["width"],
         "height": hdr["height"],
         "n_frames": 1,
         "feature": feature,
     }
+
+
+#: fake_decode's video frame-count rule — ONE definition shared by the
+#: Python decode stub and frame_sample's plan-side Column twin, so the
+#: sampling plan can never silently desynchronize from the stub
+FAKE_FRAME_MOD = 300
+
+
+def _fake_frames(n_bytes: int) -> int:
+    return (n_bytes % FAKE_FRAME_MOD) + 1
 
 
 def fake_decode(payload: bytes, media_type: str) -> dict:
@@ -277,7 +299,7 @@ def fake_decode(payload: bytes, media_type: str) -> dict:
     return {
         "width": (n % 640) + 1,
         "height": (n % 480) + 1,
-        "n_frames": 1 if media_type.startswith("image") else (n % 300) + 1,
+        "n_frames": 1 if media_type.startswith("image") else _fake_frames(n),
         "feature": feature,
     }
 
@@ -320,8 +342,16 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
     frame index. The frame *count* comes from metadata (cheap probe or
     ingest-time info) so the plan is a pure JVM-side explode — the decode
     of sampled frames then runs through :func:`extract_features` on the
-    exploded rows only. No codec needed to build the sampling plan."""
-    n_frames = F.coalesce(F.col("meta.n_bytes") % 300 + 1, F.lit(1))
+    exploded rows only. No codec needed to build the sampling plan.
+    Image rows sample exactly frame 0 (n_frames 1, matching every
+    decode_fn); video rows use the FAKE_FRAME_MOD rule shared with
+    :func:`fake_decode` (review finding: the formula used to be a
+    second inline copy, applied to images too)."""
+    n_frames = F.when(
+        F.col("media_type").startswith("image"), F.lit(1)
+    ).otherwise(
+        F.coalesce(F.col("meta.n_bytes") % FAKE_FRAME_MOD + 1, F.lit(1))
+    )
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return media.select(
         "media_id",
@@ -1035,9 +1065,13 @@ def read_wav_pcm(payload: bytes):
         tag = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
         if tag == b"data":
-            return np.frombuffer(
-                payload[i + 8 : i + 8 + size], dtype="<i2"
-            )
+            raw = payload[i + 8 : i + 8 + size]
+            if len(raw) != size or size % 2:
+                # truncated or odd-byte data chunk: malformed, not a
+                # ValueError out of np.frombuffer mid-task (the 'or
+                # None' quarantine contract — review finding)
+                return None
+            return np.frombuffer(raw, dtype="<i2")
         i += 8 + size + (size % 2)
     return None
 
@@ -1045,9 +1079,13 @@ def read_wav_pcm(payload: bytes):
 def _audio_key(doc_id: int) -> int:
     """The 8-bit loudness pattern audio ``doc_id`` is synthesized from:
     one of {AUDIO_CLASSES} base patterns with every second group of ten
-    flipping the top bit. Range 23..235 — never 0/255, so the energy
-    threshold always separates."""
-    base = 23 + (doc_id % AUDIO_CLASSES) * 21
+    flipping the top bit. Stride 22 keeps every base off 127/128, so no
+    key is ever 0 or 255 — the clip always has BOTH loud and quiet
+    segments and the mean-energy threshold strictly separates them
+    (the old stride 21 hit base 128, whose flipped key was 0: an
+    all-quiet clip whose fingerprint only matched by the accident of
+    exact-equal energies — review finding)."""
+    base = 23 + (doc_id % AUDIO_CLASSES) * 22
     return base ^ (128 * ((doc_id // AUDIO_CLASSES) % 2))
 
 
@@ -1079,7 +1117,7 @@ def make_wav_pattern(doc_id: int) -> bytes:
     oracle=f"""
     WITH keys AS (
         SELECT doc_id,
-               CAST(xor(23 + (doc_id % {AUDIO_CLASSES}) * 21,
+               CAST(xor(23 + (doc_id % {AUDIO_CLASSES}) * 22,
                         128 * ((doc_id // {AUDIO_CLASSES}) % 2))
                     AS BIGINT) AS fingerprint
         FROM documents

@@ -134,3 +134,29 @@ def test_real_resize_jpeg_end_to_end():
     assert np.array_equal(px, expect)
     with pytest.raises(NotImplementedError):
         real_resize(b"\xff\xd8\xff\xd9", "image/jpeg", 2, 2)
+
+
+def test_bitwriter_accumulator_stays_bounded():
+    """The entropy writer must drop bits once emitted (review finding):
+    without the mask the accumulator bigint holds the whole stream and
+    every put() copies it — quadratic encode on real images."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.jpeg_codec import (
+        _BitWriter,
+    )
+
+    bw = _BitWriter()
+    for _ in range(20_000):
+        bw.put(0x2A, 7)
+    assert bw.acc.bit_length() <= 8
+    assert len(bw.flush()) >= 20_000 * 7 // 8
+
+
+def test_zero_width_sof_quarantined():
+    """A SOF0 declaring width 0 must yield None (the quarantine
+    contract), not an empty (h, 0) array that divides by zero
+    downstream (review finding)."""
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) height(2) width(2) — zero the width
+    data[i + 7 : i + 9] = b"\x00\x00"
+    assert decode_jpeg_gray(bytes(data)) is None

@@ -1044,3 +1044,71 @@ def test_pq_codebooks_persist_and_reload_identically(spark, tmp_path):
         .collect()
     )
     assert a == b and a
+
+
+def test_image_header_sof_at_payload_end():
+    """The SOF dims may end exactly at the payload's last byte — the
+    marker walk's old `i + 9 < n` bound rejected that payload
+    (review finding)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    # SOI + SOF0 marker with dims as the final bytes
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + (11).to_bytes(2, "big")
+        + b"\x08" + (34).to_bytes(2, "big") + (12).to_bytes(2, "big")
+    )
+    hdr = parse_image_header(payload)
+    assert hdr == {"format": "jpeg", "width": 12, "height": 34}
+
+
+def test_read_wav_pcm_truncated_data_chunk_is_none():
+    """A data chunk whose declared size exceeds (or oddly misaligns
+    with) the actual bytes must yield None, not a numpy ValueError
+    inside the task (review finding)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        make_wav_pattern,
+        read_wav_pcm,
+    )
+
+    good = make_wav_pattern(3)
+    assert read_wav_pcm(good) is not None
+    assert read_wav_pcm(good[:-1]) is None  # odd-truncated data
+    assert read_wav_pcm(good[:-2]) is None  # even-truncated data
+
+
+def test_real_decode_jpeg_pixels():
+    """real_decode reaches pixels for baseline grayscale JPEG now that
+    the codec ships (review finding: feature stayed None for no
+    remaining reason)."""
+    import numpy as np
+
+    from data_ingestion_from_multiple_directories_linux_spark.functions.jpeg_codec import (
+        encode_jpeg_gray,
+    )
+
+    img = np.full((16, 8), 99, np.uint8)
+    got = real_decode(encode_jpeg_gray(img), "image/jpeg")
+    assert got["width"] == 8 and got["height"] == 16
+    assert got["feature"] == [99.0]
+
+
+def test_frame_sample_images_single_frame(spark, media):
+    """Image rows sample exactly frame 0 — the video frame-count rule
+    no longer applies to them (review finding)."""
+    rows = frame_sample(media, every_n=30).groupBy("media_id").count().collect()
+    assert rows and all(r["count"] == 1 for r in rows)
+
+
+def test_audio_key_never_degenerate():
+    """No synthesized clip is all-quiet or all-loud: the mean-energy
+    threshold must strictly separate segments for every doc_id
+    (review finding: stride 21 reached key 0)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.multimodal import (
+        _audio_key,
+    )
+
+    keys = {_audio_key(i) for i in range(1000)}
+    assert 0 not in keys and 255 not in keys
