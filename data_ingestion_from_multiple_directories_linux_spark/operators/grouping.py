@@ -106,13 +106,15 @@ def dense_rank_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_user AS (
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)
-                         FILTER (WHERE event_type IS NOT NULL)) AS types
+               list_sort(COALESCE(
+                   list(DISTINCT event_type)
+                       FILTER (WHERE event_type IS NOT NULL),
+                   [])) AS types
         FROM events
         GROUP BY user_id
     )
     SELECT user_id,
-           array_to_string(types, ',') AS type_set,
+           COALESCE(array_to_string(types, ','), '') AS type_set,
            CAST(len(types) AS BIGINT) AS n_types,
            CAST(len(list_filter(types, t -> t IN ('click', 'purchase')))
                 AS BIGINT) AS n_conversion_types
@@ -132,10 +134,14 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     real pipeline would keep the array column. The filter lambda is
     JVM-side (Catalyst HigherOrderFunction), NOT a Python UDF.
 
-    NULL contract: Spark's collect_set silently drops NULL elements
-    while DuckDB's list(DISTINCT) keeps them — the oracle filters
-    NULLs explicitly so both engines agree the moment event_type
-    carries a NULL (review finding)."""
+    NULL contract (two review findings): Spark's collect_set silently
+    drops NULL elements while DuckDB's list(DISTINCT) keeps them — the
+    oracle filters NULLs explicitly; and for a user whose EVERY event
+    has NULL event_type the FILTERed aggregate returns NULL where
+    collect_set returns [] — COALESCE(..., []) restores the empty
+    array, and a second COALESCE absorbs DuckDB's array_to_string([])
+    = NULL (Spark's join of [] is '') so both engines emit
+    ('', 0, 0)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")

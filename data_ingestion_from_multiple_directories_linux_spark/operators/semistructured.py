@@ -36,10 +36,28 @@ from .registry import query
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM (
         SELECT event_type,
-               CAST(trunc(TRY_CAST(
-                   CASE WHEN json_valid(props)
-                        THEN json_extract_string(props, '$.k') END
-                   AS DOUBLE)) AS BIGINT) AS k
+               CASE WHEN json_valid(props) THEN
+                 CASE json_type(json_extract(props, '$.k'))
+                   WHEN 'BIGINT' THEN
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   WHEN 'UBIGINT' THEN
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   WHEN 'DOUBLE' THEN
+                     TRY_CAST(trunc(TRY_CAST(
+                         json_extract_string(props, '$.k') AS DOUBLE))
+                       AS BIGINT)
+                   WHEN 'VARCHAR' THEN
+                     CASE WHEN regexp_matches(
+                              trim(json_extract_string(props, '$.k')),
+                              '^[+-]?[0-9]+$')
+                          THEN TRY_CAST(
+                              trim(json_extract_string(props, '$.k'))
+                              AS BIGINT) END
+                   WHEN 'BOOLEAN' THEN
+                     CASE json_extract_string(props, '$.k')
+                       WHEN 'true' THEN 1 WHEN 'false' THEN 0 END
+                 END
+               END AS k
         FROM events
     )
     GROUP BY event_type
@@ -52,15 +70,20 @@ def variant_props_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     is absent or non-numeric — ``try``-semantics, so a single malformed
     producer can't fail the pipeline), aggregated per event type.
 
-    Try-semantics contract (review finding, confirmed by run): the
-    Spark side uses ``try_parse_json`` (strict ``parse_json`` ABORTS
-    the query on one malformed producer, contradicting the paragraph
-    above) and the oracle emulates both variant behaviors explicitly —
-    a ``json_valid`` guard (DuckDB's ``json_extract_string`` throws on
-    malformed input where try_parse_json yields NULL) and
-    ``trunc(TRY_CAST(x AS DOUBLE))`` (a fractional ``k`` truncates
-    toward zero in Spark's variant→long cast, 2.5→2/-2.5→-2, while
-    DuckDB's plain TRY_CAST VARCHAR→BIGINT rounds half away, 2.5→3).
+    Try-semantics contract (two review findings, both confirmed by
+    run): the Spark side uses ``try_parse_json`` (strict
+    ``parse_json`` ABORTS the query on one malformed producer,
+    contradicting the paragraph above) and the oracle emulates the
+    variant→long cast TYPE BY TYPE via ``json_type`` — DuckDB's
+    untyped ``json_extract_string`` path cannot do it in one cast:
+    integers stay exact int64 (a DOUBLE round-trip loses >2^53),
+    doubles truncate toward zero (2.5→2/-2.5→-2 where VARCHAR→BIGINT
+    rounds half away, and TRY_CAST — not CAST — absorbs the 1e20
+    overflow Spark returns NULL for), strings convert only on the
+    integral grammar (trimmed ``[+-]?digits``: "007"→7 but "2.5"/
+    "1e3"→NULL), booleans map to 1/0, and objects/arrays/JSON-null
+    yield NULL. The probe matrix lives in the parity test's
+    adversarial corpus.
 
     Scale plan: parse + extract are map-side expressions fused into the
     scan's codegen stage; the single shuffle is the tiny event_type

@@ -125,13 +125,19 @@ def test_null_edge_parity(spark, tmp_path):
     )
     con.execute(
         f"""COPY (SELECT * REPLACE (
-                CASE WHEN event_id % 83 = 0 THEN NULL
+                CASE WHEN event_id % 83 = 0 OR user_id % 37 = 0 THEN NULL
                      ELSE event_type END AS event_type,
                 CASE WHEN event_id % 101 = 0 THEN NULL
                      ELSE user_id END AS user_id,
                 CASE WHEN event_id % 103 = 0 THEN 'not json'
                      WHEN event_id % 107 = 0 THEN '{{"k": 2.5}}'
                      WHEN event_id % 109 = 0 THEN '{{"k": "abc"}}'
+                     WHEN event_id % 113 = 0 THEN '{{"k": "2.5"}}'
+                     WHEN event_id % 127 = 0 THEN '{{"k": true}}'
+                     WHEN event_id % 131 = 0 THEN '{{"k": 1e20}}'
+                     WHEN event_id % 137 = 0
+                          THEN '{{"k": 9007199254740993}}'
+                     WHEN event_id % 139 = 0 THEN '{{"k": "007"}}'
                      ELSE props END AS props)
              FROM read_parquet('{SF_SMALL}/events.parquet'))
             TO '{d}/events.parquet' (FORMAT PARQUET)"""
