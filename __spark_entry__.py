@@ -131,16 +131,18 @@ _PRIORITY_FIRST = [
     "maintenance_report_tables",
     # (c) naming.py (try_url_decode fallback)
     "filename_parse_lineage",
-    # (d) relational.py flagship block (file touched by the sweep)
+    # (d) relational.py flagship
     "q1_pricing_summary",
-    "work_queue_dequeue",
-    "dedup_keep_newest",
-    "state_machine_summary",
-    # (b′) late r06 sweep: multimodal/jpeg_codec/vectors — the audio
-    # key stride changed (new fingerprint values) and the JPEG decode
-    # path gained the accumulator/zero-width fixes
+    # (b′) late r06 sweeps: audio key stride changed (new fingerprint
+    # values), JPEG decode gained the accumulator/zero-width fixes,
+    # and the adversarial-corpus audit changed NULL-key contracts in
+    # these three (NULL keys out of the skew profile and daily KMV,
+    # empty-path coalesce in the journey mining)
     "audio_fingerprint_classes",
     "media_pixel_stats",
+    "key_skew_profile",
+    "kmv_distinct_by_day",
+    "top_event_paths",
 ]
 
 

@@ -38,13 +38,16 @@ SKEW_TOP_K = 100
 @query(
     "key_skew_profile",
     oracle=f"""
-    WITH per_key AS (
+    WITH base AS (
+        SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    per_key AS (
         SELECT o_custkey AS key, COUNT(*) AS n_rows
-        FROM orders GROUP BY o_custkey
+        FROM base GROUP BY o_custkey
     ),
     tot AS (
         SELECT COUNT(*) AS n_total, COUNT(DISTINCT o_custkey) AS n_keys
-        FROM orders
+        FROM base
     ),
     top AS (
         SELECT key, n_rows FROM per_key
@@ -79,8 +82,17 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — bounded by the constant k, the same deliberately-tiny
     single-partition tail as top_k_orders (a window over the full
     histogram would be the scale bug). Totals join in as a 1-row
-    broadcast scalar. Ratios are integer permille (1000·n DIV total)."""
-    o = load_table(spark, sf_dir, "orders")
+    broadcast scalar. Ratios are integer permille (1000·n DIV total).
+
+    NULL keys are excluded consistently (adversarial-corpus finding):
+    a NULL join key never matches, so it cannot cause JOIN skew, and
+    COUNT(DISTINCT) was already excluding it from n_keys while the
+    per-key histogram and n_total counted it — besides the internal
+    inconsistency, the NULL group's position under the engines'
+    opposite NULL sort orders flipped the top-k tie-break."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count("*").alias("n_rows")
     )
@@ -456,7 +468,7 @@ KMV_GROUP_K = 32
     WITH ud AS (
         SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
                user_id
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     h AS (
         SELECT day,
@@ -499,12 +511,22 @@ def kmv_distinct_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     its whole set in the sketch, so the estimate switches to the exact
     k_used (the standard KMV small-set rule). The fixed hash makes
     every per-group estimate a reproducible VALUE the oracle replicates
-    bit-for-bit."""
+    bit-for-bit. NULL user_ids are excluded up front — COUNT(DISTINCT)
+    semantics, and the NULL hash would otherwise sort NULLS-FIRST into
+    Spark's per-day k-set but NULLS-LAST out of DuckDB's (the same
+    contract as the global kmv_distinct_users sketch;
+    adversarial-corpus finding)."""
     e = load_table(spark, sf_dir, "events")
-    ud = e.select(
-        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
-        "user_id",
-    ).distinct()
+    ud = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "user_id",
+        )
+        .distinct()
+    )
     h = ud.select(
         "day",
         (_h60(F.col("user_id")).cast("double") / F.lit(_H60_SCALE)).alias("hv"),

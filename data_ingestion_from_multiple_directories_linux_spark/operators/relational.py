@@ -817,24 +817,34 @@ def pii_mask_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RAW_PROPS_SQL = (
-    """'{"surname":"user' || CAST(user_id AS VARCHAR) || '","note":"' || event_type"""
+    """'{"surname":"user' || COALESCE(CAST(user_id AS VARCHAR), '')"""
+    """ || '","note":"' || COALESCE(event_type, '')"""
     """ || '","phone_number":"' || CAST(event_id AS VARCHAR) || '"}'"""
 )
 _MASKED_PROPS_SQL = (
-    """'{"surname":"******","note":"' || event_type || '","phone_number":"******"}'"""
+    """'{"surname":"******","note":"' || COALESCE(event_type, '')"""
+    """ || '","phone_number":"******"}'"""
 )
 
 
 def _pii_json(ev: DataFrame) -> Column:
     """A synthesized JSON-object string with PII keys (surname,
     phone_number) and a non-PII key (note) — input for the mask_pii
-    parity queries. The oracle rebuilds the identical string by concat."""
+    parity queries. The oracle rebuilds the identical string by concat.
+    NULL inputs coalesce to '' on BOTH sides: Spark's map-to_json
+    renders a NULL value as JSON null while the oracle's || chain
+    would null the whole string — the sentinel keeps the parity
+    comparison about MASKING, not null rendering (adversarial-corpus
+    finding)."""
     return F.to_json(
         F.create_map(
             F.lit("surname"),
-            F.concat(F.lit("user"), F.col("user_id").cast("string")),
+            F.concat(
+                F.lit("user"),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            ),
             F.lit("note"),
-            F.col("event_type"),
+            F.coalesce(F.col("event_type"), F.lit("")),
             F.lit("phone_number"),
             F.col("event_id").cast("string"),
         )
@@ -845,7 +855,12 @@ def _pii_json(ev: DataFrame) -> Column:
     "json_extract_props",
     oracle=f"""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_valid(props)
+                AND regexp_matches(
+                    trim(json_extract_string(props, '$.k')),
+                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(json_extract_string(props, '$.k'))
+                              AS BIGINT) END AS k_value,
            {_RAW_PROPS_SQL} AS raw_props,
            {_MASKED_PROPS_SQL} AS masked_props
     FROM events
@@ -867,7 +882,11 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _pii_json(ev)
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        # try_cast: a fractional/boolean/malformed k yields NULL
+        # instead of aborting the job under ANSI mode; the oracle's
+        # integral-grammar regex reproduces exactly which strings
+        # convert (adversarial-corpus finding)
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
         raw.alias("raw_props"),
         mask_json_keys(raw).alias("masked_props"),
     )
@@ -909,8 +928,8 @@ def struct_field_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(to_json(struct_pack(
                key := o_orderkey,
-               status := o_orderstatus,
-               priority := o_orderpriority
+               status := COALESCE(o_orderstatus, ''),
+               priority := COALESCE(o_orderpriority, '')
            )) AS VARCHAR) AS order_json
     FROM orders
     """,
@@ -922,17 +941,21 @@ def struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native form of the reference's per-cell ``json.dumps``. The
     oracle serializes the same struct in DuckDB, so field order, quoting
     and numeric formatting are all checked. Pure projection — no
-    shuffle. Note Spark's ``to_json`` omits null fields while DuckDB
-    emits them; the serialized columns here are non-null by
-    construction (orders keys/status/priority)."""
+    shuffle. Note Spark's ``to_json`` OMITS null struct fields while
+    DuckDB emits ``"field": null`` — both sides coalesce the string
+    fields to '' so a NULL priority serializes identically
+    (adversarial-corpus finding; the key column is the table key,
+    never NULL)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.to_json(
             F.struct(
                 F.col("o_orderkey").alias("key"),
-                F.col("o_orderstatus").alias("status"),
-                F.col("o_orderpriority").alias("priority"),
+                F.coalesce(F.col("o_orderstatus"), F.lit("")).alias("status"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("")).alias(
+                    "priority"
+                ),
             )
         ).alias("order_json"),
     )

@@ -502,7 +502,8 @@ PATH_TOP_K = 20
     ),
     paths AS (
         SELECT user_id,
-               string_agg(event_type, '>' ORDER BY rn) AS path
+               COALESCE(string_agg(event_type, '>' ORDER BY rn), '')
+                   AS path
         FROM ranked WHERE rn <= {PATH_LEN}
         GROUP BY user_id
     )
@@ -525,7 +526,13 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, NOT by assuming collect_list order — and the final count +
     top-k is a groupBy on the path string with TakeOrderedAndProject.
     The only full-data stage is the first window; everything after
-    operates on one row per user, then one row per distinct path."""
+    operates on one row per user, then one row per distinct path.
+
+    NULL contract (adversarial-corpus finding): both engines SKIP NULL
+    event types inside a path (concat_ws drops NULL array elements;
+    string_agg ignores NULL inputs), but a user whose every ranked
+    event is NULL gets '' from concat_ws and NULL from string_agg —
+    the oracle coalesces so both report the empty path."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")

@@ -79,30 +79,20 @@ def test_query_matches_oracle(spark, name):
     )
 
 
-#: queries whose NULL-key/NULL-category semantics were review-flagged
-#: as latent Spark-vs-oracle divergences — re-checked here on a corpus
-#: that actually CARRIES the NULLs the synthetic tables lack
-_NULL_EDGE_QUERIES = (
-    "q12_delay_priority_classes",    # NULL o_orderpriority: neither bucket
-    "user_event_type_arrays",        # NULL event_type: dropped both sides
-    "self_join_sibling_success",     # NULL o_custkey: never a sibling
-    "notin_priority_counts",         # NOT IN with NULLs in the column
-    "asof_last_click",               # NULL user_id: never a window sibling
-    "asof_nearest_click",            # (same, both directions)
-    "asof_next_click",               # (same, forward)
-    "kmv_distinct_users",            # NULL user_id: out of the sketch
-    "fuzzy_part_match",              # single-token p_name: '' block, no abort
-    "variant_props_metrics",         # malformed / fractional / string k
-)
-
-
-def test_null_edge_parity(spark, tmp_path):
-    """Oracle parity on adversarial data the synthetic tables lack
-    (review findings pinned): copy the small SF, then inject NULL keys
-    (o_custkey, o_orderpriority, event_type, user_id), single-token
-    part names, and malformed/fractional/non-numeric props JSON —
-    every flagged query must still hash-match its oracle (and not
-    abort, which is how three of these bugs manifested)."""
+def test_adversarial_corpus_parity(spark, tmp_path):
+    """Oracle parity for EVERY registered query on adversarial data the
+    synthetic tables lack: copy the small SF, then inject NULL keys
+    (o_custkey, o_orderpriority, event_type, user_id — including users
+    whose EVERY event type is NULL), single-token part names, and
+    malformed/fractional/quoted/boolean/overflowing props JSON. Every
+    query must still hash-match its oracle (and not abort, which is how
+    several of the pinned bugs manifested). The round-6 review sweeps
+    found ~15 engine-divergence bugs this single test now pins:
+    window/ASOF NULL-key grouping, collect_set vs list(DISTINCT),
+    NULLS FIRST/LAST in top-k sketches, ANSI getItem aborts, strict
+    JSON parses, variant type-by-type cast emulation, to_json null
+    field omission, string_agg/concat_ws empty-vs-NULL, and the ||
+    chain nulling whole synthesized strings."""
     import shutil
 
     d = tmp_path / "nulls"
@@ -151,15 +141,26 @@ def test_null_edge_parity(spark, tmp_path):
             TO '{d}/part.parquet' (FORMAT PARQUET)"""
     )
     con.close()
-    for name in _NULL_EDGE_QUERIES:
-        sdf = QUERIES[name](spark, str(d)).toPandas()
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            sdf = QUERIES[name](spark, str(d)).toPandas()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: Spark aborted: {e}")
+            continue
         con = _duck_con(str(d))
-        ddf = con.execute(ORACLES[name]).df()
-        con.close()
-        assert len(sdf) == len(ddf), f"{name}: {len(sdf)} != {len(ddf)}"
-        assert canonical_rows(sdf) == canonical_rows(ddf), (
-            f"{name}: NULL-edge rows diverge from oracle"
-        )
+        try:
+            ddf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: oracle aborted: {e}")
+            continue
+        finally:
+            con.close()
+        if len(sdf) != len(ddf):
+            failures.append(f"{name}: rows {len(sdf)} != {len(ddf)}")
+        elif canonical_rows(sdf) != canonical_rows(ddf):
+            failures.append(f"{name}: values diverge on adversarial data")
+    assert not failures, "\n".join(failures)
 
 
 def test_every_query_runs_and_entry_smokes(spark):

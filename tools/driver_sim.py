@@ -1,5 +1,5 @@
 """Simulate the correctness driver against /root/repo/__spark_entry__.py."""
-import decimal, math, sys, time
+import decimal, math, os, sys, time
 
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -26,7 +26,7 @@ print(f"SMOKE: entry -> {len(rows1)} rows, schema stable: {df1.schema.simpleStri
 assert len(rows1) > 0
 
 # --- t2 correctness at sf0.01 ---
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF}/{name}.parquet')")
