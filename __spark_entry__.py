@@ -131,8 +131,9 @@ _PRIORITY_FIRST = [
     "maintenance_report_tables",
     # (c) naming.py (try_url_decode fallback)
     "filename_parse_lineage",
-    # (d) relational.py flagship
-    "q1_pricing_summary",
+    # (d) NULL-window contract changed by the adversarial audit
+    # (q1's flagship shape is separately smoke-checked by entry())
+    "rolling_hash_fingerprint",
     # (b′) late r06 sweeps: audio key stride changed (new fingerprint
     # values), JPEG decode gained the accumulator/zero-width fixes,
     # and the adversarial-corpus audit changed NULL-key contracts in

@@ -71,11 +71,30 @@ TRAIN_SAMPLE_BELOW = "4"
 EMB_DIM = 64
 NEAR_DUP_COSINE = 0.8
 
-#: DuckDB: embeddings as double lists
+#: DuckDB: embeddings as double lists. The WHERE is the VALIDATION
+#: GATE every similarity query shares: malformed embeddings (NULL
+#: vector, wrong dimension, NULL elements) are excluded before any
+#: index training or search — the contract a production pipeline
+#: enforces at ingest, and the only stance that keeps k-means argmins
+#: engine-portable (a NULL distance inside a min_by tie-breaks
+#: differently per engine; adversarial-corpus finding).
 E_SQL = (
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
-    "FROM embeddings"
+    "FROM embeddings "
+    f"WHERE len(embedding) = {EMB_DIM} "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
 )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of E_SQL's validation gate: embeddings with the
+    declared dimension and no NULL elements (a NULL vector fails the
+    size check — size(NULL) is NULL). Every similarity query loads
+    through this."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == EMB_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
 
 #: corpus with synthesized near-duplicate vectors (both engines build it)
 VEC_CORPUS_SQL = f"""
@@ -118,7 +137,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once with zero shuffle of the table — the exact-search baseline the
     IVF path is measured against.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
@@ -236,7 +255,7 @@ def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     VEC_CORPUS_SQL, so a drift between any two Spark-side copies would
     silently break only some oracles (review finding). Returns
     (vec_id, v, nv)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array("embedding").alias("v")
     )
     mut = e.filter(F.col("vec_id") % 5 == 0).select(
@@ -256,7 +275,7 @@ def _trained_centroids(
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
     cent = _CENTROID_CACHE.get(key)
     if cent is None:
-        e = load_table(spark, sf_dir, "embeddings").select(
+        e = load_embeddings(spark, sf_dir).select(
             "vec_id", to_double_array("embedding").alias("v")
         )
         base = e.withColumn("nv", norm_sq_q("v"))
@@ -790,7 +809,7 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness vs cosine_topk: ranking by unnormalized quantized dot —
     the oracle replicates the FULL quantization pipeline, so the check
     certifies codes, not only the winner set."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     scales = (
@@ -966,7 +985,7 @@ def _trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cent = _PQ_CODEBOOK_CACHE.get(key)
     if cent is None:
-        e = load_table(spark, sf_dir, "embeddings").select(
+        e = load_embeddings(spark, sf_dir).select(
             "vec_id", to_double_array("embedding").alias("v")
         )
         cent = train_pq_codebooks(e)
@@ -1063,7 +1082,7 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bound trick that makes billion-vector search fit a cluster.
     The oracle replays seeding, training, encoding and ADC exactly —
     integer quantization makes every stage bit-identical."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     cent = _trained_pq_codebooks(spark, sf_dir)
@@ -1116,7 +1135,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end) so the oracle matches bit-for-bit — the same
     mergeable-statistics shape as exact_moment_correlation: per-shard
     moment sums union-merge, the statistic derives at read."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_embeddings(spark, sf_dir).select(
         "label", to_double_array("embedding").alias("v")
     )
     ex = e.select("label", F.posexplode("v").alias("pos", "x"))

@@ -393,10 +393,10 @@ def tf_idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_min(w) AS fingerprint
     FROM (
         SELECT doc_id,
-               list_transform(
+               CASE WHEN text IS NOT NULL THEN list_transform(
                    generate_series(1, greatest(length(text) - 15, 1), 4),
                    i -> md5(substr(text, i, 16))
-               ) AS w
+               ) END AS w
         FROM documents
     )
     """,
@@ -417,11 +417,17 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelize it. The stride (4) bounds cost to len/4 hashes per doc;
     at 100 TB this runs as a map-only stage whose output (one 32-char
     fingerprint per doc) is 100× smaller than the corpus.
+
+    NULL contract (adversarial-corpus finding): a NULL text has NULL
+    windows/counts/fingerprint on BOTH sides — stated explicitly
+    because the engines' ``greatest`` disagree (Spark SKIPS NULL args
+    and would fabricate one md5(NULL) window; DuckDB propagates).
     """
     d = load_table(spark, sf_dir, "documents")
     w = F.expr(
-        "transform(sequence(1, greatest(length(text) - 15, 1), 4),"
-        " i -> md5(substring(text, i, 16)))"
+        "CASE WHEN text IS NOT NULL THEN"
+        " transform(sequence(1, greatest(length(text) - 15, 1), 4),"
+        " i -> md5(substring(text, i, 16))) END"
     )
     # materialize the window array once per row; referencing `w` three
     # times in one projection would re-run the interpreted transform 3×

@@ -83,8 +83,10 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     """Oracle parity for EVERY registered query on adversarial data the
     synthetic tables lack: copy the small SF, then inject NULL keys
     (o_custkey, o_orderpriority, event_type, user_id — including users
-    whose EVERY event type is NULL), single-token part names, and
-    malformed/fractional/quoted/boolean/overflowing props JSON. Every
+    whose EVERY event type is NULL), single-token part names,
+    malformed/fractional/quoted/boolean/overflowing props JSON,
+    NULL/empty/whitespace document text, and NULL/ragged/NULL-element
+    embedding vectors. Every
     query must still hash-match its oracle (and not abort, which is how
     several of the pinned bugs manifested). The round-6 review sweeps
     found ~15 engine-divergence bugs this single test now pins:
@@ -139,6 +141,33 @@ def test_adversarial_corpus_parity(spark, tmp_path):
                      ELSE p_name END AS p_name)
              FROM read_parquet('{SF_SMALL}/part.parquet'))
             TO '{d}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN doc_id % 157 = 0 THEN NULL
+                     WHEN doc_id % 163 = 0 THEN ''
+                     WHEN doc_id % 167 = 0 THEN '   '
+                     ELSE text END AS text,
+                CASE WHEN doc_id % 173 = 0 THEN NULL
+                     ELSE lang END AS lang,
+                CASE WHEN doc_id % 179 = 0 THEN NULL
+                     ELSE source END AS source)
+             FROM read_parquet('{SF_SMALL}/documents.parquet'))
+            TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN vec_id % 157 = 0 THEN NULL
+                     WHEN vec_id % 163 = 0 THEN embedding[1:32]
+                     WHEN vec_id % 167 = 0 THEN
+                         list_transform(range(len(embedding)),
+                             i -> CASE WHEN i = 0 THEN NULL
+                                       ELSE embedding[i+1] END)
+                     ELSE embedding END AS embedding,
+                CASE WHEN vec_id % 173 = 0 THEN NULL
+                     ELSE label END AS label)
+             FROM read_parquet('{SF_SMALL}/embeddings.parquet'))
+            TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     con.close()
     failures = []
