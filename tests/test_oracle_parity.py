@@ -83,7 +83,9 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     """Oracle parity for EVERY registered query on adversarial data the
     synthetic tables lack: copy the small SF, then inject NULL keys
     (o_custkey, o_orderpriority, event_type, user_id — including users
-    whose EVERY event type is NULL), single-token part names,
+    whose EVERY event type is NULL — plus lineitem part/supp keys,
+    return flags and ship dates, customer nation/segment, supplier
+    nation), single-token part names,
     malformed/fractional/quoted/boolean/overflowing props JSON,
     NULL/empty/whitespace document text, and NULL/ragged/NULL-element
     embedding vectors. Every
@@ -141,6 +143,35 @@ def test_adversarial_corpus_parity(spark, tmp_path):
                      ELSE p_name END AS p_name)
              FROM read_parquet('{SF_SMALL}/part.parquet'))
             TO '{d}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN l_orderkey % 151 = 0 THEN NULL
+                     ELSE l_partkey END AS l_partkey,
+                CASE WHEN l_orderkey % 149 = 0 THEN NULL
+                     ELSE l_suppkey END AS l_suppkey,
+                CASE WHEN l_orderkey % 139 = 0 THEN NULL
+                     ELSE l_returnflag END AS l_returnflag,
+                CASE WHEN l_orderkey % 137 = 0 THEN NULL
+                     ELSE l_shipdate END AS l_shipdate)
+             FROM read_parquet('{SF_SMALL}/lineitem.parquet'))
+            TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN c_custkey % 127 = 0 THEN NULL
+                     ELSE c_nationkey END AS c_nationkey,
+                CASE WHEN c_custkey % 113 = 0 THEN NULL
+                     ELSE c_mktsegment END AS c_mktsegment)
+             FROM read_parquet('{SF_SMALL}/customer.parquet'))
+            TO '{d}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN s_suppkey % 97 = 0 THEN NULL
+                     ELSE s_nationkey END AS s_nationkey)
+             FROM read_parquet('{SF_SMALL}/supplier.parquet'))
+            TO '{d}/supplier.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
         f"""COPY (SELECT * REPLACE (
