@@ -106,15 +106,19 @@ _PRIORITY_FIRST = [
     "kmv_distinct_users",
     "fuzzy_part_match",
     "variant_props_metrics",
+    # (b″) adversarial-audit NULL-ts/value contract changes (the
+    # oracle text changed — driver re-confirmation matters most here;
+    # the displaced dedup.py rows are file-touch-only and re-verified
+    # by the identical local 156/156 record at HEAD)
+    "tumbling_window_counts",
+    "session_window_stats",
+    "event_gaps_lag",
+    "scd2_user_state_intervals",
+    "histogram_quantiles",
     # (c) files touched this round: dedup.py (plan rewrite first)
     "minhash_estimate_calibration",
-    "minhash_lsh_near_dup",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
     "duplicate_clusters",
     "cluster_size_histogram",
-    "cross_source_overlap",
-    "dedup_materialize_canonical",
     "minhash_incremental_near_dup",
     # (c) similarity.py (IVFPQ refactor + centroid persistence)
     "ivfpq_topk_neighbors",

@@ -50,8 +50,15 @@ def _tagged_union(ev: DataFrame, err_kind: int) -> DataFrame:
     partition and would fabricate matches between NULL-user errors and
     NULL-user clicks. NULL-user ERRORS stay: with every click excluded
     from their partition the carried ``click_ts`` is NULL, reproducing
-    the oracle's LEFT-join unmatched row exactly."""
-    err = ev.filter(F.col("event_type") == "error").select(
+    the oracle's LEFT-join unmatched row exactly. NULL-ts rows are
+    excluded from BOTH sides (adversarial-corpus finding): a timeless
+    click would sort NULLS-FIRST into every backward window, and a
+    timeless error's forward window would swallow the whole partition —
+    the oracle's ``ts`` comparisons never match NULL, so no time means
+    no temporal alignment, stated identically in both engines."""
+    err = ev.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         "ts",
@@ -59,7 +66,9 @@ def _tagged_union(ev: DataFrame, err_kind: int) -> DataFrame:
         F.lit(err_kind).alias("kind"),
     )
     clk = ev.filter(
-        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        (F.col("event_type") == "click")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
     ).select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
@@ -75,9 +84,11 @@ def _tagged_union(ev: DataFrame, err_kind: int) -> DataFrame:
     oracle="""
     WITH err AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+          AND ts IS NOT NULL
     ),
     clk AS (
         SELECT user_id, ts FROM events WHERE event_type = 'click'
+          AND ts IS NOT NULL
     )
     SELECT e.event_id,
            e.user_id,
@@ -272,9 +283,11 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH err AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+          AND ts IS NOT NULL
     ),
     clk AS (
         SELECT user_id, ts FROM events WHERE event_type = 'click'
+          AND ts IS NOT NULL
     ),
     back AS (
         SELECT e.event_id, MAX(c.ts) AS bts
@@ -363,9 +376,11 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH err AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+          AND ts IS NOT NULL
     ),
     clk AS (
         SELECT user_id, ts FROM events WHERE event_type = 'click'
+          AND ts IS NOT NULL
     ),
     fwd AS (
         SELECT e.event_id, MIN(c.ts) AS fts

@@ -264,7 +264,7 @@ FINE_BINS_PER_UNIT = 2
     WITH hist AS (
         SELECT CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     cum AS (
         SELECT bin, SUM(n) OVER (
@@ -272,7 +272,8 @@ FINE_BINS_PER_UNIT = 2
         ) AS cum_n
         FROM hist
     ),
-    tot AS (SELECT COUNT(*) AS n_total FROM events),
+    tot AS (SELECT COUNT(*) AS n_total FROM events
+            WHERE value IS NOT NULL),
     hit AS (
         SELECT
           MIN(CASE WHEN cum_n >= (500 * n_total + 999) // 1000
@@ -313,8 +314,13 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count scalar broadcast in, and all three quantile targets found in
     ONE aggregate pass (MIN(CASE WHEN cum≥target THEN bin)). Targets
     are integer ceil((q·n)/1000); the reported [lo, hi) brackets the
-    true quantile by construction."""
-    e = load_table(spark, sf_dir, "events")
+    true quantile by construction. Rows with NULL value carry no
+    measurement and are excluded on both sides (Spark's FLOOR(NULL)
+    bin would otherwise sort into the cumulative sum at the opposite
+    end from DuckDB's; adversarial-corpus finding)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     hist = e.groupBy(
         F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin")
     ).agg(F.count("*").alias("n"))
@@ -374,7 +380,7 @@ ROLLUP_SPLIT_DAY = "2024-01-16"
                AS sum_vmilli,
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_vmilli
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -393,8 +399,12 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — never store an average, averages don't merge. At 100 TB the
     history side reads the (tiny) stored rollup table, not the events
     table; here both sides derive from events with a date split so the
-    oracle can state the equivalent single-pass query."""
-    e = load_table(spark, sf_dir, "events")
+    oracle can state the equivalent single-pass query. NULL-ts rows
+    belong to no day and are excluded on both sides (the Spark split
+    filters already dropped them implicitly — NULL < split is NULL —
+    while the oracle grouped them into a NULL day;
+    adversarial-corpus finding)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # string day key: pandas-level date-vs-datetime ambiguity between
     # engines' DATE types makes the hash compare flaky; 'yyyy-MM-dd' is
     # unambiguous in both
@@ -518,7 +528,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
         SELECT event_type, bin,
@@ -529,7 +539,8 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hist
     ),
     tot AS (
-        SELECT event_type, COUNT(*) AS n_group FROM events GROUP BY 1
+        SELECT event_type, COUNT(*) AS n_group FROM events
+        WHERE value IS NOT NULL GROUP BY 1
     ),
     hit AS (
         SELECT c.event_type,
@@ -568,8 +579,10 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contrast with the global histogram_quantiles, whose one bounded
     window is the documented exception). Group totals join back
     broadcast; all three targets resolve in one MIN(CASE) aggregate
-    per group."""
-    e = load_table(spark, sf_dir, "events")
+    per group. NULL-value contract: see histogram_quantiles."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     hist = e.groupBy(
         "event_type",
         F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin"),

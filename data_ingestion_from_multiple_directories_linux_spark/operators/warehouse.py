@@ -39,7 +39,7 @@ __all__ = ["scd2_user_state_intervals", "cohort_retention", "merge_upsert", "Mer
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_state
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     changes AS (
         SELECT user_id, ts, event_id, event_type
@@ -69,8 +69,12 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     row. Scale: per-user history fits a partition by construction
     (users are the partition key); no global order anywhere.
     (ts, event_id) is the deterministic tiebreak for same-timestamp
-    events."""
-    e = load_table(spark, sf_dir, "events").select(
+    events. NULL-ts events are excluded on both sides — no time, no
+    interval, and the engines disagree where NULL sorts
+    (adversarial-corpus finding)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", "event_id", "event_type"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

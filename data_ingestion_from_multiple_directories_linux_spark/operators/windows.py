@@ -32,7 +32,7 @@ SESSION_GAP = "30 minutes"
            time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
@@ -40,8 +40,12 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window event counts per type — the canonical
     streaming aggregate (``readStream … withWatermark …
     groupBy(window(ts, '1 hour'), event_type)``); both engines align
-    windows to the epoch."""
-    ev = load_table(spark, sf_dir, "events")
+    windows to the epoch. Spark's window generator silently DROPS
+    NULL timestamps while DuckDB's time_bucket groups them — the
+    no-time-no-window contract is stated explicitly on both sides
+    (adversarial-corpus finding, same for every window/rollup query in
+    this module)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = F.window("ts", "1 hour")
     return ev.groupBy(w, "event_type").agg(F.count("*").alias("n")).select(
         F.col("window.start").alias("window_start"),
@@ -60,7 +64,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
                        time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS ws
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     GROUP BY ws
     """,
@@ -69,8 +73,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hour windows sliding every hour: each event lands in two
     overlapping windows (Spark expands this inside the window exec; the
     oracle expands it explicitly via unnest of the two phase-shifted
-    buckets)."""
-    ev = load_table(spark, sf_dir, "events")
+    buckets). NULL-ts contract: see tumbling_window_counts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = F.window("ts", "2 hours", "1 hour")
     return ev.groupBy(w).agg(F.count("*").alias("n")).select(
         F.col("window.start").alias("window_start"),
@@ -88,7 +92,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             ORDER BY ts, event_id)
                          >= INTERVAL {SESSION_GAP}
                     THEN 1 ELSE 0 END AS brk
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
         SELECT user_id, ts,
@@ -110,8 +114,9 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     end is < 30 min; a gap >= 30 min starts a new session, which is what
     the oracle's gaps-and-islands lag/cumsum reconstruction encodes).
     The streaming twin uses the same expression with
-    ``applyInPandasWithState``-free native session state."""
-    ev = load_table(spark, sf_dir, "events")
+    ``applyInPandasWithState``-free native session state. NULL-ts
+    contract: see tumbling_window_counts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sw = F.session_window("ts", SESSION_GAP)
     return ev.groupBy("user_id", sw).agg(F.count("*").alias("n_events")).select(
         "user_id",
@@ -132,7 +137,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
            LEAD(event_type) OVER w AS next_event_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
@@ -149,11 +154,13 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash shuffle on user_id; the sort is within-partition. Same
     scale shape as any window aggregate — skewed users are the risk,
     mitigated the usual way (salt the heavy hitters or bound per-user
-    history upstream).
+    history upstream). NULL-ts events are excluded on both sides: a
+    row without a time has no position in the sequence, and the
+    engines disagree where NULL sorts (see tumbling_window_counts).
     """
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -173,7 +180,7 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 DAY, h) AS day,
@@ -195,8 +202,9 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally by the streaming twin (tumbling_window_counts with
     availableNow) and day/week/month queries touch only rollup rows —
     the raw corpus is scanned exactly once per hour of data.
+    NULL-ts contract: see tumbling_window_counts.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -238,7 +246,7 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS cum_sum
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
 )
 def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,10 +255,11 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline computes. Sums accumulate as DECIMAL so both engines agree
     bit-for-bit (float running sums drift between engines); the caller
     divides v5_sum/v5_n for the average. One hash-partitioned window per
-    user, (ts, event_id) tiebreak keeps frames deterministic."""
+    user, (ts, event_id) tiebreak keeps frames deterministic.
+    NULL-ts contract: see event_gaps_lag."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w5 = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -421,7 +430,7 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT prev_type AS from_type, event_type AS to_type,
@@ -451,10 +460,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event-type-cardinality square (25 rows here), partitioned by
     from_type so even that is parallel. Shares are integer permille
     (1000·n DIV row total): exact in both engines, no float
-    division."""
+    division. NULL-ts contract: see event_gaps_lag."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
@@ -498,7 +507,7 @@ PATH_TOP_K = 20
                row_number() OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     paths AS (
         SELECT user_id,
@@ -532,10 +541,11 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     event types inside a path (concat_ws drops NULL array elements;
     string_agg ignores NULL inputs), but a user whose every ranked
     event is NULL gets '' from concat_ws and NULL from string_agg —
-    the oracle coalesces so both report the empty path."""
+    the oracle coalesces so both report the empty path.
+    NULL-ts contract: see event_gaps_lag."""
     from pyspark.sql.window import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")

@@ -83,9 +83,9 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     """Oracle parity for EVERY registered query on adversarial data the
     synthetic tables lack: copy the small SF, then inject NULL keys
     (o_custkey, o_orderpriority, event_type, user_id — including users
-    whose EVERY event type is NULL — plus lineitem part/supp keys,
-    return flags and ship dates, customer nation/segment, supplier
-    nation), single-token part names,
+    whose EVERY event type is NULL — plus event timestamps and values,
+    lineitem part/supp keys, return flags and ship dates, customer
+    nation/segment, supplier nation), single-token part names,
     malformed/fractional/quoted/boolean/overflowing props JSON,
     NULL/empty/whitespace document text, and NULL/ragged/NULL-element
     embedding vectors. Every
@@ -123,6 +123,10 @@ def test_adversarial_corpus_parity(spark, tmp_path):
                      ELSE event_type END AS event_type,
                 CASE WHEN event_id % 101 = 0 THEN NULL
                      ELSE user_id END AS user_id,
+                CASE WHEN event_id % 211 = 0 THEN NULL
+                     ELSE ts END AS ts,
+                CASE WHEN event_id % 199 = 0 THEN NULL
+                     ELSE value END AS value,
                 CASE WHEN event_id % 103 = 0 THEN 'not json'
                      WHEN event_id % 107 = 0 THEN '{{"k": 2.5}}'
                      WHEN event_id % 109 = 0 THEN '{{"k": "abc"}}'
