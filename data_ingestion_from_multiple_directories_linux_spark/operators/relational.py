@@ -869,9 +869,10 @@ def _pii_json(ev: DataFrame) -> Column:
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON parse + key masking + re-serialize (reference mask_pii,
     file_loader.py:523-536: json.loads → overwrite 5 keys if present →
-    json.dumps). Spark-first: the real ``mask_json_keys`` pipeline —
-    from_json(map) → transform_values → to_json — applied to a
-    synthesized JSON column holding PII and non-PII keys; the oracle
+    json.dumps). Spark-first: the real ``mask_json_keys`` expression —
+    one in-place regexp_replace over all PII keys (type-preserving;
+    map-rewrite fallback only for >24-deep container values) — applied
+    to a synthesized JSON column holding PII and non-PII keys; the oracle
     constructs the masked rewrite independently, so the entry fails if
     the masking expression breaks. get_json_object covers the extract
     side. All JVM expressions, no Python UDF. Pure projection — no
