@@ -186,6 +186,66 @@ def test_mask_json_keys_fallback_keeps_sibling_masking(spark):
     assert got["phone_number"] == "******"
 
 
+def test_mask_json_keys_fuzz_equals_recursive_reference(spark):
+    """Seeded fuzz pin of the single-pass regex mask: on 300 random
+    nested documents (PII keys at arbitrary depth; string values with
+    quotes/backslashes/braces/unicode; signed-exponent numbers;
+    bool/null; nesting to depth 6) the output must equal the reference
+    semantics — ``json.loads`` → recursively overwrite every PII key →
+    ``json.dumps`` — generalized to all depths. One batch, one job."""
+    import random
+
+    from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+        PII_KEYS,
+    )
+
+    rng = random.Random(20260814)
+    other_keys = ["note", "meta", "age", "tags", "k1", "k2"]
+    strings = ['a"b', "x\\y", "}{", "[{", "héllo", "", "a b c", '\\"']
+
+    def rand_value(depth):
+        kind = rng.randrange(8 if depth < 6 else 5)
+        if kind == 0:
+            return rng.choice(strings)
+        if kind == 1:
+            return rng.choice([0, 7, -3, 10**15, -(10**15)])
+        if kind == 2:
+            return rng.choice([1e-05, -2.5e7, 0.125, -0.5, 1e20])
+        if kind == 3:
+            return rng.choice([True, False])
+        if kind == 4:
+            return None
+        if kind == 5:
+            return [rand_value(depth + 1) for _ in range(rng.randrange(3))]
+        return rand_obj(depth + 1)
+
+    def rand_obj(depth):
+        n = rng.randrange(1, 4)
+        keys = rng.sample(list(PII_KEYS) + other_keys, n)
+        return {k: rand_value(depth) for k in keys}
+
+    def ref_mask(v):
+        if isinstance(v, dict):
+            return {
+                k: "******" if k in PII_KEYS else ref_mask(x)
+                for k, x in v.items()
+            }
+        if isinstance(v, list):
+            return [ref_mask(x) for x in v]
+        return v
+
+    docs = [rand_obj(0) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "i int, j string"
+    )
+    outs = {
+        r["i"]: r["m"]
+        for r in df.select("i", mask_json_keys("j").alias("m")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert json.loads(outs[i]) == ref_mask(d), (i, d, outs[i])
+
+
 def test_decode_uri_name_raw_percent_passthrough(spark):
     """Advisor-flagged contract hazard pinned fixed: a raw (non-URI)
     name with a literal '%' passes through unchanged instead of
