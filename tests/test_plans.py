@@ -265,6 +265,26 @@ def test_sequence_packing_no_single_partition_exchange(spark, queries):
     assert "Window" in plan and "hashpartitioning(_b" in plan
 
 
+def test_profile_sketch_single_pass_no_expand(spark, queries):
+    """table_profile_orders_sketch is the one-pass profile: no Expand
+    node (the exact twin's COUNT(DISTINCT) legs — asserted present
+    there as the contrast), exactly ONE exchange, and it is the
+    allowlisted single-row final aggregate; the 6 md5 base hashes and
+    96 derived-variate MINs all ride the scan-side partial aggregate
+    inside whole-stage codegen."""
+    df = queries["table_profile_orders_sketch"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    # the string min/max buffers force SortAggregate (immutable agg
+    # buffer — true of the exact twin too), but with an EMPTY grouping
+    # key that is a plain streaming fold: no Sort node may appear
+    assert "+- Sort " not in plan
+    exact = plan_of(queries["table_profile_orders"](spark, SF_SMALL))
+    assert "Expand" in exact  # the legs the sketch exists to remove
+
+
 def test_global_shuffle_rank_no_single_partition_exchange(spark, queries):
     """Global rank composes bucket prefixes + a bucket-partitioned
     window — same two-phase shape as sequence_packing, same guarantee."""

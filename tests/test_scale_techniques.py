@@ -88,6 +88,35 @@ def test_approx_count_distinct_accuracy(spark):
     assert abs(approx - exact) <= max(2, 0.1 * exact)
 
 
+def test_profile_sketch_estimates_track_exact(spark):
+    """table_profile_orders_sketch (the one-pass K-minimums profile —
+    the 100 TB swap for the exact twin's COUNT(DISTINCT) expand) stays
+    within its documented error band against the exact profile, at two
+    SFs, for every column from n=3 to n=15k. Oracle parity checks the
+    VALUES exactly; this pins that those values mean what the docstring
+    claims. Measured band 0.62-1.50x; asserted at [0.4, 2.5]."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.profiling import (
+        table_profile_orders,
+        table_profile_orders_sketch,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r["column_name"]: r["n_distinct"]
+            for r in table_profile_orders(spark, sf).collect()
+        }
+        rows = table_profile_orders_sketch(spark, sf).collect()
+        assert len(rows) == len(exact)
+        for r in rows:
+            c = r["column_name"]
+            est = r["estimate_distinct"]
+            assert est is not None
+            ratio = est / max(exact[c], 1)
+            assert 0.4 <= ratio <= 2.5, (sf, c, exact[c], est)
+            # the non-sketch statistics are exact and shared
+            assert r["n_rows"] >= r["n_nonnull"] >= exact[c]
+
+
 def test_salted_agg_matches_plain(spark):
     """Two-stage salted aggregation ≡ plain groupBy (associative,
     quantized measures)."""
