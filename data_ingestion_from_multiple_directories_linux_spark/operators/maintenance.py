@@ -584,7 +584,7 @@ def zorder_table(
         SELECT 'clustered', 8, n_rows, 0, 1, 8 FROM t
         UNION ALL
         SELECT 'zordered', 16, n_rows, 24, 1, 8 FROM t
-    ) ORDER BY phase
+    ) WHERE n_rows > 0 ORDER BY phase
     """,
 )
 def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,20 +637,30 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
 
+    _REPORT_SCHEMA = (
+        "phase string, n_files long, n_rows long, "
+        "overlapping_pairs long, probe_files long, box_probe_files long"
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    # probe an EXISTING key nearest the domain midpoint: TPC-H
+    # orderkeys are sparse, and after range clustering a midpoint
+    # that falls in the gap between two files' footer spans would
+    # hit 0 files instead of 1 — an existing key always lies inside
+    # exactly one disjoint span
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo is None:
+        # empty table → nothing to compact/cluster, and every
+        # closed-form phase invariant presumes data: the report is
+        # EMPTY (oracle gates on n_rows > 0) rather than a crash on
+        # the NULL key domain (empty-corpus sweep finding)
+        return spark.createDataFrame([], _REPORT_SCHEMA)
     tmp = _tempfile.mkdtemp(prefix="maint_report_")
     rows = []
     try:
         store = TableStore(spark, tmp)
         store.overwrite("orders_m", orders.repartition(16, F.col("o_orderkey")))
-        # probe an EXISTING key nearest the domain midpoint: TPC-H
-        # orderkeys are sparse, and after range clustering a midpoint
-        # that falls in the gap between two files' footer spans would
-        # hit 0 files instead of 1 — an existing key always lies inside
-        # exactly one disjoint span
-        lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
         lo2, hi2 = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
         probe = (
             orders.filter(F.col("o_orderkey") <= (lo + hi) // 2)
@@ -700,11 +710,7 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure("zordered")
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "phase string, n_files long, n_rows long, "
-        "overlapping_pairs long, probe_files long, box_probe_files long",
-    ).orderBy("phase")
+    return spark.createDataFrame(rows, _REPORT_SCHEMA).orderBy("phase")
 
 
 def files_overlapping_box(

@@ -599,10 +599,19 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (status → status×priority → grand total)
     in one pass — free capability beyond the reference's flat GROUP BYs
-    (§2.5 note); partial aggregation applies per grouping set."""
+    (§2.5 note); partial aggregation applies per grouping set.
+
+    The grand-total (``()``) set is a SEPARATE always-one-row aggregate
+    union'd in, not part of the grouping-sets expand: ANSI (and the
+    reference's PostgreSQL, and DuckDB) emit the () row even over EMPTY
+    input, while Spark's ``rollup`` — a groupBy over the expanded
+    grouping id — emits zero rows there (empty-corpus sweep finding).
+    The extra branch is a COUNT(*)-only scan (column-pruned to parquet
+    footer counts); on non-empty input the result is byte-identical to
+    the plain rollup."""
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n")
+    return _grouping_sets_with_grand_total(
+        o, [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]]
     )
 
 
@@ -615,11 +624,35 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations in one pass."""
+    """CUBE: all grouping-set combinations in one pass. Grand-total row
+    union'd separately for ANSI empty-input semantics — see
+    :func:`rollup_status_priority`."""
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n")
+    return _grouping_sets_with_grand_total(
+        o,
+        [
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+        ],
     )
+
+
+def _grouping_sets_with_grand_total(
+    o: DataFrame, sets: list[list[str]]
+) -> DataFrame:
+    """The non-empty grouping sets via one expand+groupBy pass, plus the
+    () set as an explicit single-row aggregate (present even over empty
+    input, per ANSI — Spark's cube/rollup drop it there)."""
+    keyed = o.groupingSets(
+        sets, "o_orderstatus", "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    grand = o.agg(F.count("*").alias("n")).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n",
+    )
+    return keyed.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------

@@ -227,6 +227,50 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_empty_corpus_parity(spark, tmp_path):
+    """Oracle parity for EVERY registered query on COMPLETELY EMPTY
+    tables (zero-row parquet copies with byte-identical Arrow schemas)
+    — the analytic generalization of the reference's G4 empty-input
+    handling. A fresh deployment, a filtered-to-nothing partition, or a
+    not-yet-landed feed must produce empty (or grand-total-only)
+    results, not crashes. The first sweep found three divergences, all
+    fixed and pinned here: maintenance_report_tables crashed on the
+    NULL key domain ((lo+hi)//2 over no rows — now an empty report,
+    oracle gated on n_rows > 0), and Spark's cube/rollup drop the ANSI
+    grand-total () row over empty input (PostgreSQL/DuckDB emit it —
+    now an explicit always-one-row union branch)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        sch = pq.read_schema(f"{SF_SMALL}/{name}.parquet")
+        pq.write_table(sch.empty_table(), str(d / f"{name}.parquet"))
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            sdf = QUERIES[name](spark, str(d)).toPandas()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: Spark aborted: {e}")
+            continue
+        con = _duck_con(str(d))
+        try:
+            ddf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: oracle aborted: {e}")
+            continue
+        finally:
+            con.close()
+        if len(sdf) != len(ddf):
+            failures.append(f"{name}: rows {len(sdf)} != {len(ddf)}")
+        elif canonical_rows(sdf) != canonical_rows(ddf):
+            failures.append(f"{name}: values diverge on empty data")
+    assert not failures, "\n".join(failures)
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
