@@ -178,16 +178,21 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY l_returnflag
     )
+    , d AS (
+        SELECT *,
+               sqrt(GREATEST(n * sxx - sx * sx, 0.0)
+                    * GREATEST(n * syy - sy * sy, 0.0)) AS den
+        FROM m
+    )
     SELECT l_returnflag,
            n,
-           floor((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-             * 1e12 + 0.5) / 1e12
-               AS corr_qty_price,
+           CASE WHEN den > 0 THEN
+               floor((n * sxy - sx * sy) / den * 1e12 + 0.5) / 1e12
+           END AS corr_qty_price,
            floor((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n)
              * 1e6 + 0.5) / 1e6
                AS covar_pop_scaled
-    FROM m
+    FROM d
     ORDER BY l_returnflag
     """,
 )
@@ -231,18 +236,23 @@ def exact_moment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same IEEE op sequence as the oracle — see docstring
         return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
+    # variance terms clamp at 0 (exact moments re-rounded to double can
+    # land one ulp NEGATIVE for a zero-variance group — n=1, or a
+    # constant column — and sqrt(-ulp) is NaN, which floor() then
+    # aborts on under ANSI); a zero denominator yields NULL correlation
+    # in BOTH engines (single-row-corpus sweep finding)
+    vx = F.greatest(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    vy = F.greatest(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0)
+    )
+    den = F.sqrt(vx * vy)
     return (
         m.select(
             "l_returnflag",
             "n",
-            quant(
-                num
-                / F.sqrt(
-                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-                ),
-                1e12,
-            ).alias("corr_qty_price"),
+            F.when(den > 0, quant(num / den, 1e12)).alias("corr_qty_price"),
             quant(num / (n * n), 1e6).alias("covar_pop_scaled"),
         )
         .orderBy("l_returnflag")

@@ -584,7 +584,7 @@ def zorder_table(
         SELECT 'clustered', 8, n_rows, 0, 1, 8 FROM t
         UNION ALL
         SELECT 'zordered', 16, n_rows, 24, 1, 8 FROM t
-    ) WHERE n_rows > 0 ORDER BY phase
+    ) WHERE n_rows >= 512 ORDER BY phase
     """,
 )
 def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,12 +649,21 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that falls in the gap between two files' footer spans would
     # hit 0 files instead of 1 — an existing key always lies inside
     # exactly one disjoint span
-    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
-    if lo is None:
-        # empty table → nothing to compact/cluster, and every
-        # closed-form phase invariant presumes data: the report is
-        # EMPTY (oracle gates on n_rows > 0) rather than a crash on
-        # the NULL key domain (empty-corpus sweep finding)
+    lo, hi, n_rows = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")
+    ).first()
+    if lo is None or n_rows < 512:
+        # empty or near-empty table → the report is EMPTY (oracle
+        # gates on the same n_rows >= 512) rather than a crash: the
+        # closed-form phase invariants presume the 16-way hash seed
+        # leaves no partition empty — a 1-row table writes ONE file,
+        # not 16, and the NULL key domain broke (lo+hi)//2 outright
+        # (empty-/single-row-corpus sweep findings). At n >= 512
+        # roughly-distinct keys, P(any of 16 murmur partitions empty)
+        # <= 16*(15/16)^512 ~ 7e-14; a pathological corpus (hundreds
+        # of rows all sharing one key) would still fail the seeded
+        # files_before==16 assertion LOUDLY below, never silently
+        # mismatch.
         return spark.createDataFrame([], _REPORT_SCHEMA)
     tmp = _tempfile.mkdtemp(prefix="maint_report_")
     rows = []
@@ -672,7 +681,6 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expression), so the box is EXACTLY the top two custkey
         # bucket-quarters — the closed form's alignment
         box2_lo = lo2 + float(hi2 - lo2) * (1 + 1e-9) / 2
-        n_rows = store.read("orders_m").count()
 
         def measure(phase: str) -> None:
             spans = _key_spans(store.path("orders_m"), "o_orderkey")

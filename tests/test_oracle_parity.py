@@ -227,6 +227,29 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def _sweep_all_queries(spark, sf_dir: str, label: str) -> None:
+    failures = []
+    for name in sorted(ORACLES):
+        try:
+            sdf = QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            failures.append(f"{name}: Spark aborted: {e}")
+            continue
+        con = _duck_con(sf_dir)
+        try:
+            ddf = con.execute(ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: oracle aborted: {e}")
+            continue
+        finally:
+            con.close()
+        if len(sdf) != len(ddf):
+            failures.append(f"{name}: rows {len(sdf)} != {len(ddf)}")
+        elif canonical_rows(sdf) != canonical_rows(ddf):
+            failures.append(f"{name}: values diverge on {label} data")
+    assert not failures, "\n".join(failures)
+
+
 def test_empty_corpus_parity(spark, tmp_path):
     """Oracle parity for EVERY registered query on COMPLETELY EMPTY
     tables (zero-row parquet copies with byte-identical Arrow schemas)
@@ -235,8 +258,9 @@ def test_empty_corpus_parity(spark, tmp_path):
     not-yet-landed feed must produce empty (or grand-total-only)
     results, not crashes. The first sweep found three divergences, all
     fixed and pinned here: maintenance_report_tables crashed on the
-    NULL key domain ((lo+hi)//2 over no rows — now an empty report,
-    oracle gated on n_rows > 0), and Spark's cube/rollup drop the ANSI
+    NULL key domain ((lo+hi)//2 over no rows — now an empty report
+    below 512 rows, where the 16-way seed invariant holds, oracle
+    gated identically), and Spark's cube/rollup drop the ANSI
     grand-total () row over empty input (PostgreSQL/DuckDB emit it —
     now an explicit always-one-row union branch)."""
     import pyarrow.parquet as pq
@@ -249,26 +273,33 @@ def test_empty_corpus_parity(spark, tmp_path):
     ):
         sch = pq.read_schema(f"{SF_SMALL}/{name}.parquet")
         pq.write_table(sch.empty_table(), str(d / f"{name}.parquet"))
-    failures = []
-    for name in sorted(ORACLES):
-        try:
-            sdf = QUERIES[name](spark, str(d)).toPandas()
-        except Exception as e:  # noqa: BLE001 — collecting a report
-            failures.append(f"{name}: Spark aborted: {e}")
-            continue
-        con = _duck_con(str(d))
-        try:
-            ddf = con.execute(ORACLES[name]).df()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: oracle aborted: {e}")
-            continue
-        finally:
-            con.close()
-        if len(sdf) != len(ddf):
-            failures.append(f"{name}: rows {len(sdf)} != {len(ddf)}")
-        elif canonical_rows(sdf) != canonical_rows(ddf):
-            failures.append(f"{name}: values diverge on empty data")
-    assert not failures, "\n".join(failures)
+    _sweep_all_queries(spark, str(d), "empty")
+
+
+def test_single_row_corpus_parity(spark, tmp_path):
+    """Oracle parity for EVERY registered query when every table holds
+    exactly ONE row — the degenerate-statistics edge the NULL-injection
+    and empty sweeps both miss: zero variances, single-element index
+    trainings, self-pair-free dedup, n=1 windows. The first sweep found
+    two crashes, fixed and pinned here: exact_moment_correlation's
+    zero-variance group made sqrt() see a -1ulp double and floor() of
+    the resulting NaN abort under ANSI (now variance terms clamp at 0
+    and a zero denominator yields NULL correlation in both engines),
+    and maintenance_report_tables' 16-way seed wrote one file, not 16
+    (now the n_rows >= 512 gate, see test_empty_corpus_parity)."""
+    d = tmp_path / "one"
+    d.mkdir()
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/{name}.parquet')"
+            f" LIMIT 1) TO '{d}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    _sweep_all_queries(spark, str(d), "single-row")
 
 
 def test_every_query_runs_and_entry_smokes(spark):
