@@ -147,10 +147,17 @@ _PRIORITY_FIRST = [
     "media_pixel_stats",
     "key_skew_profile",
     "kmv_distinct_by_day",
+    # (f) LAST r06 change, biggest single-query delta: gap-fill rewrote
+    # plan AND oracle (bounded per-observation spines, MAX_FILL_HOURS
+    # series breaks) after the extreme-timestamp audit killed the dense
+    # min..max spine. Takes the 50th slot from top_event_paths, whose
+    # r06 delta was one empty-path coalesce (adversarial-sweep-pinned).
+    "gap_fill_hourly_locf",
+    # (e) past this round's cap (positions 51+): top_event_paths'
+    # coalesce fix and the NEW table_profile_orders_sketch — first
+    # driver rows land in round 7; covered this round by the
+    # fresh-process VERIFY_LOCAL_r06 record + the oracle-parity suite
     "top_event_paths",
-    # (e) NEW in late r06 (position 51 — past this round's cap, so its
-    # first driver row lands in round 7; covered this round by the
-    # fresh-process VERIFY_LOCAL_r06 record + the oracle-parity suite)
     "table_profile_orders_sketch",
 ]
 

@@ -101,6 +101,18 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: microseconds per hour — the gap-fill bucket width
 HOUR_US = 3_600_000_000
 
+#: longest gap (in hours) the fill will synthesize rows across. Gaps
+#: longer than this break the series: synthesized rows stop after
+#: MAX_FILL_HOURS slots and resume at the next real observation. This
+#: bounds the operator's fan-out to O(observations × MAX_FILL_HOURS)
+#: regardless of the data — without it, ONE corrupt centuries-away
+#: timestamp makes the dense min..max spine ~5M slots per affected
+#: series (measured: TaskResultLost abort on a 1678..2262 corpus).
+#: 2000 h ≈ 83 days; the widest real gap at sf0.1 is 141 h (14×
+#: headroom), so results on the test corpora are identical to an
+#: unbounded fill.
+MAX_FILL_HOURS = 2000
+
 
 @query(
     "gap_fill_hourly_locf",
@@ -116,39 +128,52 @@ HOUR_US = 3_600_000_000
     last_per_hr AS (
         SELECT user_id, hr, value FROM hourly WHERE rn = 1
     ),
-    spans AS (
-        SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx
-        FROM last_per_hr GROUP BY user_id
+    obs AS (
+        SELECT user_id, hr, value,
+               lead(hr) OVER (
+                   PARTITION BY user_id ORDER BY hr NULLS FIRST
+               ) AS next_hr
+        FROM last_per_hr
     ),
-    spine AS (
-        SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM spans
+    slots AS (
+        SELECT user_id, value, hr AS obs_hr,
+               unnest(generate_series(hr,
+                   LEAST(COALESCE(next_hr - 1, hr),
+                         hr + {MAX_FILL_HOURS}))) AS hr
+        FROM obs
     )
-    SELECT s.user_id, s.hr,
-           last_value(l.value IGNORE NULLS) OVER (
-               PARTITION BY s.user_id ORDER BY s.hr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS filled_value,
-           (l.value IS NULL) AS is_gap
-    FROM spine s
-    LEFT JOIN last_per_hr l ON s.user_id = l.user_id AND s.hr = l.hr
+    SELECT user_id, hr,
+           last_value(CASE WHEN hr = obs_hr THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+           (hr != obs_hr OR value IS NULL) AS is_gap
+    FROM slots
     """,
 )
 def gap_fill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-fill each user's series to a dense hourly grid, filling
-    missing hours by last-observation-carried-forward (LOCF).
+    """Gap-fill each user's series to an hourly grid, filling missing
+    hours by last-observation-carried-forward (LOCF) — but never
+    across a gap wider than MAX_FILL_HOURS (series break instead).
 
     Plan: reduce events to one observation per (user, hour) — the
-    latest, via a per-bucket row_number — then generate each user's
-    dense hour spine with sequence()/explode (bounded by the series'
-    own span, generated in parallel per user, never a global calendar
-    spine), left-join observations back, and run the LOCF as
-    last_value(ignorenulls) over the user-partitioned hour order.
-    Every stage partitions on user_id (the bucket rn adds the hour to
-    the key), so series never cross executors; the filled value is the
-    raw stored double carried unchanged — no arithmetic, no drift.
-    is_gap marks synthesized rows. Leading gaps (before a user's first
-    observation) cannot exist since the spine starts at their first
-    hour."""
+    latest, via a per-bucket row_number — then generate each
+    OBSERVATION's slot run with sequence()/explode: from its own hour
+    up to the hour before the next observation, capped at
+    MAX_FILL_HOURS. The cap is the 100 TB safety property: fan-out is
+    O(observations × cap) by construction, so a single corrupt
+    pre-1970/far-future timestamp cannot inflate a series' spine into
+    millions of rows (the former per-series min..max dense spine
+    did exactly that — one 1678 event meant a ~5M-slot array). The
+    LOCF itself is last(ignorenulls) over the user-partitioned slot
+    order, so an observed-but-NULL value still carries the previous
+    non-null one; the filled value is the raw stored double carried
+    unchanged. is_gap marks synthesized rows and observed-NULL hours.
+    Vs the join-based spine this also drops a groupBy and the
+    spine↔observation join: slots inherit their generating
+    observation inline. NULL timestamps vanish in both engines
+    (sequence(NULL,·) explodes to nothing; lead ordering is pinned
+    NULLS FIRST to Spark's default so neighbours agree)."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.select(
         "user_id",
@@ -167,23 +192,38 @@ def gap_fill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_per_hr = hourly.filter(F.col("rn") == 1).select(
         "user_id", "hr", "value"
     )
-    spans = last_per_hr.groupBy("user_id").agg(
-        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    obs = last_per_hr.withColumn(
+        "next_hr",
+        F.lead("hr").over(
+            Window.partitionBy("user_id").orderBy(F.asc_nulls_first("hr"))
+        ),
     )
-    spine = spans.select(
-        "user_id", F.explode(F.expr("sequence(mn, mx)")).alias("hr")
+    slots = obs.select(
+        "user_id",
+        "value",
+        F.col("hr").alias("obs_hr"),
+        F.explode(
+            F.expr(
+                "sequence(hr, least(coalesce(next_hr - 1, hr),"
+                f" hr + {MAX_FILL_HOURS}))"
+            )
+        ).alias("hr"),
     )
-    joined = spine.join(last_per_hr, ["user_id", "hr"], "left")
     w = (
         Window.partitionBy("user_id")
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    return slots.select(
         "user_id",
         "hr",
-        F.last("value", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("value").isNull().alias("is_gap"),
+        F.last(
+            F.when(F.col("hr") == F.col("obs_hr"), F.col("value")),
+            ignorenulls=True,
+        ).over(w).alias("filled_value"),
+        (
+            (F.col("hr") != F.col("obs_hr")) | F.col("value").isNull()
+        ).alias("is_gap"),
     )
 
 

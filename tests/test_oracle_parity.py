@@ -302,6 +302,115 @@ def test_single_row_corpus_parity(spark, tmp_path):
     _sweep_all_queries(spark, str(d), "single-row")
 
 
+def test_extreme_timestamp_corpus_parity(spark, tmp_path):
+    """Oracle parity for EVERY registered query when timestamps sit at
+    the representable extremes: pre-1970 negative epochs (1678, 1900,
+    1969-12-31 23:59:59.999999), epoch zero, and the far future just
+    under the pandas nanosecond ceiling (2262-04-11). Pins two things
+    the NULL/empty/single-row sweeps cannot:
+
+    * negative-epoch bucketing — every `epoch_us // width` or
+      `unix_micros div width` bucket must floor (toward -inf), not
+      truncate (toward 0), or pre-1970 rows land one bucket high; the
+      tumbling/sliding/session window queries all ride this;
+    * bounded gap-fill — the first run of this sweep killed
+      gap_fill_hourly_locf with TaskResultLost: its dense per-user
+      min..max spine became ~5M hourly slots once one user held both a
+      1678 and a 2262 observation. The operator now caps synthesized
+      runs at MAX_FILL_HOURS per gap (series break across longer
+      holes), making fan-out O(observations × cap) whatever the data.
+
+    The ceiling value is 2262-04-10, not the exact 2262-04-11 23:47:16
+    maximum: derived outputs (tumbling window ENDs, +interval arith)
+    must stay under the ceiling too, or toPandas/DuckDB-to-pandas
+    overflows — a bridge representability limit, not an engine one
+    (Spark computes year-9999 timestamps fine; only the ns-backed
+    pandas comparison harness cannot hold them)."""
+    import shutil
+
+    d = tmp_path / "extreme_ts"
+    d.mkdir()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for name in tables:
+        shutil.copy(f"{SF_SMALL}/{name}.parquet", d / f"{name}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN event_id % 211 = 0
+                     THEN TIMESTAMP '1678-01-01 00:00:00'
+                 WHEN event_id % 199 = 0
+                     THEN TIMESTAMP '1900-06-15 12:34:56.123456'
+                 WHEN event_id % 193 = 0
+                     THEN TIMESTAMP '1970-01-01 00:00:00'
+                 WHEN event_id % 191 = 0
+                     THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+                 WHEN event_id % 181 = 0
+                     THEN TIMESTAMP '2262-01-01 01:02:03.000004'
+                 WHEN event_id % 179 = 0
+                     THEN TIMESTAMP '2262-04-10 10:11:12'
+                 ELSE ts END AS ts)
+         FROM read_parquet('{SF_SMALL}/events.parquet'))
+         TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN o_orderkey % 97 = 0
+                     THEN TIMESTAMP '1678-06-01 00:00:00'
+                 WHEN o_orderkey % 89 = 0
+                     THEN TIMESTAMP '2262-03-01 00:00:00'
+                 ELSE o_orderdate END AS o_orderdate)
+         FROM read_parquet('{SF_SMALL}/orders.parquet'))
+         TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN l_orderkey % 151 = 0
+                     THEN TIMESTAMP '1690-02-03 04:05:06'
+                 WHEN l_orderkey % 149 = 0
+                     THEN TIMESTAMP '2261-11-30 23:59:59'
+                 ELSE l_shipdate END AS l_shipdate)
+         FROM read_parquet('{SF_SMALL}/lineitem.parquet'))
+         TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    _sweep_all_queries(spark, str(d), "extreme-timestamp")
+
+
+def test_gap_fill_bounded_fanout(spark, tmp_path):
+    """The MAX_FILL_HOURS cap directly: one user observed in 1678 and
+    2262 produces cap+1 slots after the early observation plus the late
+    observation's own slot — NOT the ~5.1M-slot dense span — and the
+    late value is NOT carried backward nor the early one across the
+    break."""
+    import duckdb as _duck
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.timeseries import (
+        MAX_FILL_HOURS,
+        gap_fill_hourly_locf,
+    )
+
+    d = tmp_path / "two_obs"
+    d.mkdir()
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES
+            (1, TIMESTAMP '1678-01-01 00:30:00', 7, 'click', 1.5, '{{}}'),
+            (2, TIMESTAMP '2262-04-10 10:11:12', 7, 'click', 9.25, '{{}}'))
+            t(event_id, ts, user_id, event_type, value, props))
+            TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    out = gap_fill_hourly_locf(spark, str(d)).toPandas()
+    assert len(out) == MAX_FILL_HOURS + 2
+    assert out["is_gap"].sum() == MAX_FILL_HOURS
+    filled = sorted(out["filled_value"].unique())
+    assert filled == [1.5, 9.25]
+    assert (out[out["is_gap"]]["filled_value"] == 1.5).all()
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
