@@ -67,7 +67,18 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (review finding, confirmed by run). ``F.get`` yields NULL
     out-of-bounds; the coalesce maps that to ``''`` so single-token
     names block together exactly as in DuckDB, while a NULL name stays
-    NULL-blocked (and is killed by the ``<`` predicate either way)."""
+    NULL-blocked (and is killed by the ``<`` predicate either way).
+
+    Distance contract: edit distance counts UTF-8 BYTES, not
+    codepoints — DuckDB's (and PostgreSQL fuzzystrmatch's) levenshtein
+    is byte-based, while Spark's is codepoint-based ('café'→'cafe' is
+    2 vs 1; found by the unicode-zoo parity sweep as a 2-row count
+    drift). Spark computes the byte distance by running its
+    levenshtein over a latin-1 view of the UTF-8 bytes
+    (decode(encode(s,'UTF-8'),'ISO-8859-1') — one char per byte, and
+    latin-1 decodes every byte, so the view is total). Identical to
+    character distance on ASCII catalogs; on multibyte names a byte
+    edit is an upper bound of the character edit."""
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
     )
@@ -82,7 +93,13 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+
+    def _bytes_view(col):  # one latin-1 char per UTF-8 byte
+        return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
+
+    dist = F.levenshtein(
+        _bytes_view(F.col("a.p_name")), _bytes_view(F.col("b.p_name"))
+    )
     return (
         a.join(
             b,

@@ -379,6 +379,74 @@ def test_extreme_timestamp_corpus_parity(spark, tmp_path):
     _sweep_all_queries(spark, str(d), "extreme-timestamp")
 
 
+def test_unicode_corpus_parity(spark, tmp_path):
+    """Oracle parity for EVERY registered query on a unicode-zoo
+    corpus: emoji and astral-plane letters (4-byte UTF-8), ZWJ
+    family sequences, combining accents, RTL Arabic/Hebrew, spaceless
+    CJK runs, NBSP/ideographic-space whitespace variants, and repeated
+    4-byte runs — spliced into document text, part names, event types,
+    and props JSON values. Pins codepoint-vs-byte agreement across
+    every string path: length/substring (both engines codepoint),
+    binary string comparison, UTF-8 md5/fingerprinting, regex/token
+    splits, JSON key masking over non-ASCII values, and the
+    levenshtein byte-distance contract — the first run of this sweep
+    caught fuzzy_part_match drifting 2 rows because Spark's
+    levenshtein counts codepoints while DuckDB's counts UTF-8 bytes
+    (now pinned byte-level via a latin-1 bytes view on the Spark
+    side)."""
+    import shutil
+
+    d = tmp_path / "unicode"
+    d.mkdir()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    )
+    for name in tables:
+        shutil.copy(f"{SF_SMALL}/{name}.parquet", d / f"{name}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN doc_id % 31 = 0 THEN '🦄 unicorn 🌈 ' || text
+                 WHEN doc_id % 37 = 0 THEN text || ' 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕊𝕡𝕒𝕣𝕜 end'
+                 WHEN doc_id % 41 = 0
+                     THEN '👨‍👩‍👧‍👦 family ' || text || ' 👩🏽‍🚀'
+                 WHEN doc_id % 43 = 0 THEN 'café résumé naïve ' || text
+                 WHEN doc_id % 47 = 0
+                     THEN 'مرحبا بالعالم עולם שלום ' || text
+                 WHEN doc_id % 53 = 0
+                     THEN '速い茶色の狐が怠け者の犬を飛び越える' || text
+                 WHEN doc_id % 59 = 0 THEN 'no break　ideographic ' || text
+                 WHEN doc_id % 61 = 0
+                     THEN chr(120) || repeat('💩', 50) || ' ' || text
+                 ELSE text END AS text)
+         FROM read_parquet('{SF_SMALL}/documents.parquet'))
+         TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN p_partkey % 67 = 0 THEN 'grüne Öl‑Lampe ' || p_name
+                 WHEN p_partkey % 71 = 0 THEN p_name || ' 零件'
+                 WHEN p_partkey % 73 = 0 THEN '🚀 ' || p_name
+                 ELSE p_name END AS p_name)
+         FROM read_parquet('{SF_SMALL}/part.parquet'))
+         TO '{d}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN event_id % 83 = 0 THEN 'クリック'
+                 WHEN event_id % 79 = 0 THEN 'click✨'
+                 ELSE event_type END AS event_type,
+            CASE WHEN event_id % 89 = 0
+                     THEN '{{"k": "värde📦", "name": "名前"}}'
+                 ELSE props END AS props)
+         FROM read_parquet('{SF_SMALL}/events.parquet'))
+         TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    _sweep_all_queries(spark, str(d), "unicode")
+
+
 def test_gap_fill_bounded_fanout(spark, tmp_path):
     """The MAX_FILL_HOURS cap directly: one user observed in 1678 and
     2262 produces cap+1 slots after the early observation plus the late
