@@ -81,7 +81,44 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Everything past the cap is re-verified at HEAD by the fresh-process
 # VERIFY_LOCAL_r06.txt record and the pytest oracle-parity suite.
 _PRIORITY_FIRST = [
-    # (a) r02-stale masking/string block — masking.py changed r05+r06
+    # (A) LATE-r06 semantic/oracle rewrites from the six-axis
+    # robustness campaign (SURVEY §2 prose) — plan AND oracle text
+    # changed, so these need the freshest driver rows. Ordered by
+    # delta size: the gap-fill redesign (bounded per-observation
+    # spines, MAX_FILL_HOURS series breaks), the byte-distance
+    # levenshtein contract, the dirty-double canonical profiles (the
+    # sketch twin is also the ONE query added late-r06, first row
+    # due), then the nonfinite-float clamps/filters/domain guards.
+    "gap_fill_hourly_locf",
+    "fuzzy_part_match",
+    "table_profile_orders",
+    "table_profile_orders_sketch",
+    "value_histogram_events",
+    "histogram_quantiles",
+    "quantiles_by_event_type",
+    "percentile_price_by_priority",
+    "user_value_outliers",
+    "moving_avg_user_value",
+    "multires_rollup_events",
+    "salted_skew_counts",
+    "incremental_rollup_merge",
+    "time_weighted_avg_value",
+    # (B) the similarity family: the shared validation gate (E_SQL /
+    # load_embeddings) grew a finiteness leg — every oracle's text
+    # changed, identical results on canonical data
+    "cosine_topk",
+    "embedding_near_dup_ivf",
+    "embedding_near_dup_lsh",
+    "hard_negative_mining",
+    "ivf_topk_neighbors",
+    "ivfpq_topk_neighbors",
+    "label_centroids",
+    "pq_topk_adc",
+    "semantic_dedup_survivors",
+    "sq8_quantized_topk",
+    # (C) the r02-stale masking/string block — four-round-old rows for
+    # code rewritten r05 (type-preserving regexp) and again r06
+    # (single-pass combined mask)
     "pii_mask_constant",
     "json_extract_props",
     "struct_field_mask",
@@ -89,7 +126,8 @@ _PRIORITY_FIRST = [
     "substring_truncate",
     "concat_runid_format",
     "session_duration_secs",
-    # (b) r06 review-sweep semantic/plan changes
+    # (D) mid-r06 review-sweep semantic changes (NULL contracts,
+    # crash fixes, join-order pruning)
     "user_event_type_arrays",
     "exact_moment_correlation",
     "self_join_sibling_success",
@@ -104,61 +142,30 @@ _PRIORITY_FIRST = [
     "asof_nearest_click",
     "asof_next_click",
     "kmv_distinct_users",
-    "fuzzy_part_match",
     "variant_props_metrics",
-    # (b″) adversarial-audit NULL-ts/value contract changes (the
-    # oracle text changed — driver re-confirmation matters most here;
-    # the displaced dedup.py rows are file-touch-only and re-verified
-    # by the identical local 156/156 record at HEAD)
     "tumbling_window_counts",
+    # (E) mid-r06 plan/semantics extensions
+    "minhash_estimate_calibration",
+    "maintenance_report_tables",
+    "filename_parse_lineage",
+    # --- positions 51+ (past the driver's 50-row cap; first/renewed
+    # rows land in round 7, covered this round by the fresh-process
+    # VERIFY_LOCAL_r06 record + the pytest parity sweeps): the rest
+    # of the mid-r06 NULL-ts contract block, the dedup.py and
+    # multimodal blocks (file-touch renewals), and the remaining
+    # adversarial-audit one-expression fixes.
     "session_window_stats",
     "event_gaps_lag",
     "scd2_user_state_intervals",
-    "histogram_quantiles",
-    # (c) files touched this round: dedup.py (plan rewrite first)
-    "minhash_estimate_calibration",
     "duplicate_clusters",
     "cluster_size_histogram",
     "minhash_incremental_near_dup",
-    # (c) similarity.py (IVFPQ refactor + centroid persistence)
-    "ivfpq_topk_neighbors",
-    "cosine_topk",
-    "embedding_near_dup_ivf",
-    "embedding_near_dup_lsh",
-    "pq_topk_adc",
-    "sq8_quantized_topk",
-    "semantic_dedup_survivors",
-    "label_centroids",
-    "hard_negative_mining",
-    "ivf_topk_neighbors",
-    # (c) maintenance.py (zordered phase added — semantics extended)
-    "maintenance_report_tables",
-    # (c) naming.py (try_url_decode fallback)
-    "filename_parse_lineage",
-    # (d) NULL-window contract changed by the adversarial audit
-    # (q1's flagship shape is separately smoke-checked by entry())
-    "rolling_hash_fingerprint",
-    # (b′) late r06 sweeps: audio key stride changed (new fingerprint
-    # values), JPEG decode gained the accumulator/zero-width fixes,
-    # and the adversarial-corpus audit changed NULL-key contracts in
-    # these three (NULL keys out of the skew profile and daily KMV,
-    # empty-path coalesce in the journey mining)
     "audio_fingerprint_classes",
     "media_pixel_stats",
     "key_skew_profile",
     "kmv_distinct_by_day",
-    # (f) LAST r06 change, biggest single-query delta: gap-fill rewrote
-    # plan AND oracle (bounded per-observation spines, MAX_FILL_HOURS
-    # series breaks) after the extreme-timestamp audit killed the dense
-    # min..max spine. Takes the 50th slot from top_event_paths, whose
-    # r06 delta was one empty-path coalesce (adversarial-sweep-pinned).
-    "gap_fill_hourly_locf",
-    # (e) past this round's cap (positions 51+): top_event_paths'
-    # coalesce fix and the NEW table_profile_orders_sketch — first
-    # driver rows land in round 7; covered this round by the
-    # fresh-process VERIFY_LOCAL_r06 record + the oracle-parity suite
     "top_event_paths",
-    "table_profile_orders_sketch",
+    "rolling_hash_fingerprint",
 ]
 
 

@@ -87,3 +87,99 @@ def any_bad_date(columns: list[str]) -> Column:
     for c in columns:
         verdict = verdict | is_bad_date(c)
     return verdict
+
+
+#: largest finite IEEE-754 double — the BETWEEN bound is_finite uses
+DBL_MAX = 1.7976931348623157e308
+
+#: DuckDB twin of :func:`is_finite` for oracle SQL (native isfinite —
+#: NULL yields NULL, so a WHERE drops NULLs exactly like the Column)
+SQL_IS_FINITE = "isfinite({c})"
+
+
+def is_finite(col: Column | str) -> Column:
+    """True iff the value is a finite double — false for NaN and ±Inf,
+    NULL for NULL.
+
+    One BETWEEN suffices because Spark orders NaN above +Infinity in
+    comparisons (so ``NaN <= DBL_MAX`` is false) and ±Inf sit outside
+    ±DBL_MAX; DuckDB shares the NaN-is-largest convention, so the
+    oracle twin (``SQL_IS_FINITE``, native ``isfinite``) agrees on
+    every input. The analytics contract (SURVEY.md §2.12a): value
+    columns feeding quantized aggregates must be finite — nonfinite
+    floats are cleansed to NULL at ingest via :func:`null_nonfinite`,
+    the float analogue of the reference's NULL-on-bad-date rule
+    (file_loader.py:498-521)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.between(-DBL_MAX, DBL_MAX)
+
+
+def null_nonfinite(col: Column | str) -> Column:
+    """NaN/±Inf → NULL; finite values pass through unchanged.
+
+    The float twin of :func:`try_parse_timestamp`'s NULL-on-bad-value
+    contract: a nonfinite float carries no usable measurement, and
+    letting it flow into DECIMAL-quantized sums or BIGINT bucket casts
+    aborts the whole job under ANSI (one corrupt row out of 10^12
+    kills a 100 TB aggregate). Cleansing it to NULL at ingest keeps
+    every downstream NULL contract (already audited per query) doing
+    the right thing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(is_finite(c), c)
+
+
+def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Apply :func:`null_nonfinite` to every float/double column, and
+    element-wise to every array<float/double> column (a NaN element
+    becomes a NULL element, which the similarity-family validation
+    gate then excludes vector-wise).
+
+    Pass ``columns`` to scope; defaults to every float-typed column.
+    One codegen'd projection — no shuffle, no UDF."""
+    scalar = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("float", "double")
+    }
+    arrays = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("array<float>", "array<double>")
+    }
+    targets = set(columns or df.columns)
+    out = []
+    for c in df.columns:
+        if c in targets and c in scalar:
+            out.append(null_nonfinite(c).alias(c))
+        elif c in targets and c in arrays:
+            out.append(
+                F.transform(
+                    F.col(c),
+                    lambda x: F.when(x.between(-DBL_MAX, DBL_MAX), x),
+                ).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+#: |value| bound for the fixed-point quantization paths (milli/micro
+#: units summed or multiplied as BIGINT/DECIMAL): inside it every
+#: quantized product and sum fits its declared integer width; outside
+#: it the engines FAIL DIFFERENTLY (Spark's floor(double→long)
+#: silently saturates at ±LONG_MIN/MAX, DuckDB's BIGINT cast aborts —
+#: nonfinite-float-sweep finding), so portable operators must exclude
+#: the regime, not ride it. NaN/±Inf fail the < too (both engines
+#: order NaN above everything), so one predicate covers the whole
+#: dirty-float surface.
+QUANT_DOMAIN = 10_000.0
+
+#: DuckDB twin — NULL rows kept (they carry the per-query NULL
+#: contract), out-of-domain magnitudes excluded
+SQL_IN_QUANT_DOMAIN = "({c} IS NULL OR abs({c}) < 10000)"
+
+
+def in_quant_domain(col: Column | str) -> Column:
+    """Spark twin of ``SQL_IN_QUANT_DOMAIN``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (F.abs(c) < QUANT_DOMAIN)

@@ -212,6 +212,7 @@ def range_join_ship_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(quantile_cont(o_totalprice, 0.50), 2) AS DOUBLE) AS p50,
            CAST(ROUND(quantile_cont(o_totalprice, 0.75), 2) AS DOUBLE) AS p75
     FROM orders
+    WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
     GROUP BY o_orderpriority
     """,
 )
@@ -224,11 +225,24 @@ def percentile_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are rounded to cents on both sides so the comparison is on
     the defined value, not accumulation-order noise.
 
+    Percentiles are over FINITE values: a NaN/±Inf price carries no
+    rankable measurement, and the engines disagree on what to do with
+    one (Spark's percentile sorts NaN above +Inf into the top ranks;
+    DuckDB's quantile_cont returns NULL for the whole group — found by
+    the nonfinite-float sweep). The shared is_finite predicate
+    (fn/cleansing) excludes nonfinite rows on both sides; NULL-price
+    rows are KEPT (``IS NULL OR isfinite``) so group presence is
+    unchanged — the aggregate ignores them exactly as before.
+
     Scale: exact percentile sorts each group's values — fine for bounded
     group cardinality (5 priorities). For unbounded data the scale path
     is ``approx_percentile`` (t-digest sketch, mergeable map-side).
     """
-    o = load_table(spark, sf_dir, "orders")
+    from ..functions.cleansing import is_finite
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNull() | is_finite("o_totalprice")
+    )
     pct = F.expr(
         "percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))"
     )

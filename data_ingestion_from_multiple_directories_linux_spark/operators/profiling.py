@@ -16,7 +16,7 @@ Both follow the module-wide determinism rules: md5-derived ordering for
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -337,6 +337,56 @@ PROFILE_COLS = (
 )
 
 
+#: double-typed profile columns — their stringified statistics (min/
+#: max rendering, distinct-count input, sketch hash input) go through
+#: the canonical form below so dirty floats profile identically in
+#: both engines.
+_PROFILE_DOUBLE_COLS = frozenset({"o_totalprice"})
+
+
+def _canon_dbl_sql(e: str) -> str:
+    """DuckDB canonical string form of a double expression: NaN/±Inf
+    pinned to Spark's spellings ('NaN'/'Infinity'/'-Infinity' vs
+    DuckDB's native 'nan'/'inf'), ±0.0 merged to '0.0' (the engines
+    also disagree on whether MIN may surface -0.0 — DuckDB's total
+    order splits the zeros, Spark normalizes them). Finite nonzero
+    values keep the engine's shortest-roundtrip decimal rendering,
+    identical across engines in the plain-notation regime (|v| <
+    1e7-ish, where Spark switches to scientific notation and DuckDB
+    doesn't); o_totalprice is bounded well inside it. For a wider
+    domain the swap is rendering through a fixed-scale DECIMAL."""
+    return (
+        f"CASE WHEN isnan({e}) THEN 'NaN'"
+        f" WHEN {e} = 'Infinity'::DOUBLE THEN 'Infinity'"
+        f" WHEN {e} = '-Infinity'::DOUBLE THEN '-Infinity'"
+        f" WHEN {e} = 0 THEN '0.0'"
+        f" ELSE CAST({e} AS VARCHAR) END"
+    )
+
+
+def _canon_dbl(col: Column) -> Column:
+    """Spark twin of :func:`_canon_dbl_sql` (NaN first — Spark's
+    ``=`` treats NaN as equal to NaN, so the isnan guard must win)."""
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == F.lit(float("inf")), F.lit("Infinity"))
+        .when(col == F.lit(float("-inf")), F.lit("-Infinity"))
+        .when(col == F.lit(0.0), F.lit("0.0"))
+        .otherwise(col.cast("string"))
+    )
+
+
+def _sql_stat_exprs(c: str) -> tuple[str, str, str]:
+    """(distinct-input, min-render, max-render) per oracle column."""
+    if c in _PROFILE_DOUBLE_COLS:
+        return (
+            _canon_dbl_sql(c),
+            _canon_dbl_sql(f"MIN({c})"),
+            _canon_dbl_sql(f"MAX({c})"),
+        )
+    return c, f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+
+
 @query(
     "table_profile_orders",
     oracle="\nUNION ALL\n".join(
@@ -344,9 +394,10 @@ PROFILE_COLS = (
     SELECT '{c}' AS column_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
-           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_value,
-           CAST(MAX({c}) AS VARCHAR) AS max_value
+           CAST(COUNT(DISTINCT {_sql_stat_exprs(c)[0]}) AS BIGINT)
+               AS n_distinct,
+           {_sql_stat_exprs(c)[1]} AS min_value,
+           {_sql_stat_exprs(c)[2]} AS max_value
     FROM orders
     """
         for c in PROFILE_COLS
@@ -369,12 +420,20 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count("*").alias("n_rows")]
     for c in PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
-        ]
+        if c in _PROFILE_DOUBLE_COLS:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(_canon_dbl(F.col(c))).alias(f"nd_{c}"),
+                _canon_dbl(F.min(F.col(c))).alias(f"mn_{c}"),
+                _canon_dbl(F.max(F.col(c))).alias(f"mx_{c}"),
+            ]
+        else:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            ]
     wide = o.agg(*aggs)
     rows = ", ".join(
         f"'{c}', cast(n_rows as bigint), cast(nn_{c} as bigint),"
@@ -407,7 +466,7 @@ assert len(_SKETCH_A) == PROFILE_SKETCH_K and all(a % 2 == 1 for a in _SKETCH_A)
 def _profile_sketch_oracle() -> str:
     cols = []
     for c in PROFILE_COLS:
-        base = _SQL_H60_U.format(c=c)
+        base = _SQL_H60_U.format(c=_sql_stat_exprs(c)[0])
         hi, lo = f"(({base}) // {1 << 30})", f"(({base}) % {1 << 30})"
         mins = ", ".join(
             f"MIN(((({a} * {hi}) % {1 << 30}) * {1 << 30}"
@@ -431,8 +490,8 @@ def _profile_sketch_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
            {est} AS estimate_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_value,
-           CAST(MAX({c}) AS VARCHAR) AS max_value
+           {_sql_stat_exprs(c)[1]} AS min_value,
+           {_sql_stat_exprs(c)[2]} AS max_value
     FROM orders
     """
         )
@@ -485,9 +544,19 @@ def table_profile_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine, so the ORACLE CHECKS THE ESTIMATES
     EXACTLY."""
     o = load_table(spark, sf_dir, "orders")
-    # one md5-derived base hash per column, computed once per row
+    # one md5-derived base hash per column, computed once per row;
+    # double columns hash their canonical string form so NaN/±Inf/±0
+    # hash identically in both engines (_canon_dbl)
     o = o.select(
-        "*", *[_h60(F.col(c)).alias(f"h_{c}") for c in PROFILE_COLS]
+        "*",
+        *[
+            _h60(
+                _canon_dbl(F.col(c))
+                if c in _PROFILE_DOUBLE_COLS
+                else F.col(c)
+            ).alias(f"h_{c}")
+            for c in PROFILE_COLS
+        ],
     ).select(
         "*",
         *[
@@ -501,11 +570,18 @@ def table_profile_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = [F.count("*").alias("n_rows")]
     for c in PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"nn_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
-        ]
+        if c in _PROFILE_DOUBLE_COLS:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                _canon_dbl(F.min(F.col(c))).alias(f"mn_{c}"),
+                _canon_dbl(F.max(F.col(c))).alias(f"mx_{c}"),
+            ]
+        else:
+            aggs += [
+                F.count(c).alias(f"nn_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+            ]
         for i, a in enumerate(_SKETCH_A):
             variate = F.expr(
                 f"((({a} * hh_{c}) % {1 << 30}) * {1 << 30}"

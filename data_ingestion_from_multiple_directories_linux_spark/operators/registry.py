@@ -45,11 +45,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def dsum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
-    """Order-independent double sum: quantize to DECIMAL, sum, back to DOUBLE."""
+    """Order-independent double sum: quantize to DECIMAL, sum, back to DOUBLE.
+
+    Input contract: FINITE doubles inside the DECIMAL(precision,scale)
+    domain. The quantization cast fails differently per engine outside
+    it (Spark NULLs NaN/±Inf silently but aborts on finite overflow;
+    DuckDB aborts on both — nonfinite-float-sweep finding), so
+    nonfinite floats must be cleansed to NULL at ingest
+    (fn/cleansing.null_nonfinite, the float analogue of the
+    NULL-on-bad-date rule); tests/test_oracle_parity.py proves the
+    sanitized corpus restores exact parity for every dsum consumer."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
 def dsum_sql(expr: str, scale: int = 2, precision: int = 18) -> str:
-    """DuckDB twin of :func:`dsum`."""
+    """DuckDB twin of :func:`dsum` (same finite-input contract)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"

@@ -517,6 +517,7 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {dsum_sql('value')} AS total_value
     FROM events
+    WHERE (value IS NULL OR abs(value) < 10000)
     GROUP BY user_id
     """,
 )
@@ -532,9 +533,15 @@ def salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation makes this redundant for plain counts, but the pattern is
     the building block for skewed high-cardinality aggregates (e.g.
     collect-heavy or distinct-heavy measures) at 100 TB; AQE skew-join
-    handles the join-side equivalent.
+    handles the join-side equivalent. Values ride the shared
+    quantization-domain guard (fn/cleansing.in_quant_domain — NULL
+    rows kept, NaN/±Inf/huge excluded; nonfinite-float-sweep finding).
     """
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.cleansing import in_quant_domain
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        in_quant_domain("value")
+    )
     n_salt = 16
     stage1 = (
         ev.withColumn("_salt", F.col("event_id") % n_salt)

@@ -73,27 +73,38 @@ NEAR_DUP_COSINE = 0.8
 
 #: DuckDB: embeddings as double lists. The WHERE is the VALIDATION
 #: GATE every similarity query shares: malformed embeddings (NULL
-#: vector, wrong dimension, NULL elements) are excluded before any
-#: index training or search — the contract a production pipeline
-#: enforces at ingest, and the only stance that keeps k-means argmins
-#: engine-portable (a NULL distance inside a min_by tie-breaks
-#: differently per engine; adversarial-corpus finding).
+#: vector, wrong dimension, NULL or nonfinite elements) are excluded
+#: before any index training or search — the contract a production
+#: pipeline enforces at ingest, and the only stance that keeps k-means
+#: argmins engine-portable (a NULL distance inside a min_by tie-breaks
+#: differently per engine; adversarial-corpus finding). Nonfinite
+#: elements joined the gate after the nonfinite-float sweep: one NaN
+#: coordinate otherwise aborts the whole fleet of quantized-BIGINT
+#: index paths under ANSI (cosine/IVF/PQ all overflow on it), and a
+#: NaN distance is meaningless anyway.
 E_SQL = (
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
     "FROM embeddings "
     f"WHERE len(embedding) = {EMB_DIM} "
-    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    "AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of E_SQL's validation gate: embeddings with the
-    declared dimension and no NULL elements (a NULL vector fails the
-    size check — size(NULL) is NULL). Every similarity query loads
-    through this."""
+    declared dimension and no NULL or nonfinite elements (a NULL
+    vector fails the size check — size(NULL) is NULL; the finiteness
+    predicate is fn/cleansing.is_finite's BETWEEN, which both engines
+    evaluate identically because each orders NaN above +Inf). Every
+    similarity query loads through this."""
+    from ..functions.cleansing import DBL_MAX
+
     return load_table(spark, sf_dir, "embeddings").filter(
         (F.size("embedding") == EMB_DIM)
-        & ~F.exists("embedding", lambda x: x.isNull())
+        & ~F.exists(
+            "embedding",
+            lambda x: x.isNull() | ~x.between(-DBL_MAX, DBL_MAX),
+        )
     )
 
 #: corpus with synthesized near-duplicate vectors (both engines build it)

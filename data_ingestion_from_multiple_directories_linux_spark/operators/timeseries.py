@@ -39,6 +39,7 @@ __all__ = [
                     PARTITION BY user_id ORDER BY ts, event_id
                 )) - epoch_us(ts)) // 1000000 AS dur_s
         FROM events
+        WHERE (value IS NULL OR abs(value) < 10000)
     )
     SELECT user_id,
            CAST(SUM(vmilli * dur_s) AS BIGINT) AS num_milli_sec,
@@ -66,8 +67,17 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides two exactly-representable doubles — identical IEEE result
     in both engines, no decimal→double rounding hazard. The last
     observation of each series has no successor and drops out (NULL
-    duration), the standard open-interval convention."""
-    e = load_table(spark, sf_dir, "events")
+    duration), the standard open-interval convention. Values ride the
+    shared quantization-domain guard (fn/cleansing.in_quant_domain —
+    NULL rows kept so their durations still count; NaN/±Inf/huge
+    excluded BEFORE the lead() chain, so an out-of-domain observation
+    hands its interval to its predecessor in both engines alike;
+    nonfinite-float-sweep finding)."""
+    from ..functions.cleansing import in_quant_domain
+
+    e = load_table(spark, sf_dir, "events").filter(
+        in_quant_domain("value")
+    )
     seq = e.select(
         "user_id",
         F.floor(F.col("value") * 1000).cast("long").alias("vmilli"),
@@ -236,10 +246,10 @@ HIST_BINS = 20
     "value_histogram_events",
     oracle=f"""
     WITH binned AS (
-        SELECT LEAST(CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT),
-                     {HIST_BINS - 1}) AS bin,
+        SELECT CAST(LEAST(GREATEST(FLOOR(value / {HIST_WIDTH}), -1),
+                          {HIST_BINS - 1}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE isfinite(value) GROUP BY 1
     ),
     spine AS (
         SELECT unnest(generate_series(0, {HIST_BINS - 1})) AS bin
@@ -264,15 +274,30 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single IEEE divide+floor, identical in both engines. The spine
     is constant-size, so the join broadcasts it; at any data scale the
     post-aggregation work is O(bins)."""
-    e = load_table(spark, sf_dir, "events")
+    from ..functions.cleansing import is_finite
+
+    # Histogram over FINITE values: NULL/NaN/±Inf aren't on the real
+    # line — NaN's bin cast aborts under ANSI in both engines
+    # (nonfinite-float-sweep finding), so they're excluded up front by
+    # the shared is_finite predicate (which drops NULL too, matching
+    # the previous NULL-bin fall-off behaviour exactly).
+    e = load_table(spark, sf_dir, "events").filter(is_finite("value"))
     # clamp into the top bin: values past the spine (observed at bench
     # scale: value > 500) would otherwise fall off the left join and
     # silently vanish from the histogram — the exact inaccuracy the
-    # spine exists to prevent (review finding)
+    # spine exists to prevent (review finding). The low clamp (-1, a
+    # sentinel bin the spine join drops) keeps huge-but-FINITE
+    # negatives portable: Spark's floor(double→long) silently
+    # SATURATES at LONG_MIN where DuckDB's BIGINT cast aborts
+    # (nonfinite-float-sweep finding), so the clamp must happen before
+    # any engine-specific saturation can differ.
     binned = (
         e.groupBy(
             F.least(
-                F.floor(F.col("value") / HIST_WIDTH).cast("long"),
+                F.greatest(
+                    F.floor(F.col("value") / HIST_WIDTH).cast("long"),
+                    F.lit(-1),
+                ),
                 F.lit(HIST_BINS - 1),
             ).alias("bin")
         ).agg(F.count("*").alias("n"))
@@ -296,15 +321,25 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: quantiles are read from (width 0.5 over the value domain [0, 500))
 QUANTILES_PERMILLE = (500, 900, 990)
 FINE_BINS_PER_UNIT = 2
+#: fine bins clamp to ±2^40: far outside any real value domain (the
+#: quantile targets are unaffected — clamped extremes stay extreme in
+#: the cumulative order), but inside the window where double FLOOR is
+#: exact (2^52) and the BIGINT cast total. Without it a huge-but-
+#: finite value (1e308) makes Spark's floor(double→long) SATURATE
+#: silently while DuckDB's cast ABORTS — the clamp pins one portable
+#: behaviour before the engines can diverge.
+FINE_BIN_CLAMP = 1 << 40
 
 
 @query(
     "histogram_quantiles",
     oracle=f"""
     WITH hist AS (
-        SELECT CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
+        SELECT CAST(LEAST(GREATEST(FLOOR(value * {FINE_BINS_PER_UNIT}),
+                                   -{FINE_BIN_CLAMP}),
+                          {FINE_BIN_CLAMP}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events WHERE value IS NOT NULL GROUP BY 1
+        FROM events WHERE isfinite(value) GROUP BY 1
     ),
     cum AS (
         SELECT bin, SUM(n) OVER (
@@ -313,7 +348,7 @@ FINE_BINS_PER_UNIT = 2
         FROM hist
     ),
     tot AS (SELECT COUNT(*) AS n_total FROM events
-            WHERE value IS NOT NULL),
+            WHERE isfinite(value)),
     hit AS (
         SELECT
           MIN(CASE WHEN cum_n >= (500 * n_total + 999) // 1000
@@ -354,15 +389,24 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count scalar broadcast in, and all three quantile targets found in
     ONE aggregate pass (MIN(CASE WHEN cum≥target THEN bin)). Targets
     are integer ceil((q·n)/1000); the reported [lo, hi) brackets the
-    true quantile by construction. Rows with NULL value carry no
-    measurement and are excluded on both sides (Spark's FLOOR(NULL)
-    bin would otherwise sort into the cumulative sum at the opposite
-    end from DuckDB's; adversarial-corpus finding)."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
+    true quantile by construction. Rows with NULL or nonfinite value
+    carry no rankable measurement and are excluded on both sides
+    (Spark's FLOOR(NULL) bin would otherwise sort into the cumulative
+    sum at the opposite end from DuckDB's — adversarial-corpus
+    finding; a NaN/±Inf bin cast aborts DuckDB's BIGINT cast outright
+    — nonfinite-float-sweep finding; the shared is_finite predicate
+    drops NULL too, so one filter covers both)."""
+    from ..functions.cleansing import is_finite
+
+    e = load_table(spark, sf_dir, "events").filter(is_finite("value"))
     hist = e.groupBy(
-        F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin")
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long"),
+                F.lit(-FINE_BIN_CLAMP),
+            ),
+            F.lit(FINE_BIN_CLAMP),
+        ).alias("bin")
     ).agg(F.count("*").alias("n"))
     cum = hist.select(
         "bin",
@@ -420,7 +464,8 @@ ROLLUP_SPLIT_DAY = "2024-01-16"
                AS sum_vmilli,
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_vmilli
-    FROM events WHERE ts IS NOT NULL
+    FROM events
+    WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
     GROUP BY 1, 2
     """,
 )
@@ -443,8 +488,15 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     belong to no day and are excluded on both sides (the Spark split
     filters already dropped them implicitly — NULL < split is NULL —
     while the oracle grouped them into a NULL day;
-    adversarial-corpus finding)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    adversarial-corpus finding). Values ride the shared
+    quantization-domain guard (fn/cleansing.in_quant_domain — NULL
+    rows kept for the count, NaN/±Inf/huge excluded before the milli
+    quantization saturates/aborts; nonfinite-float-sweep finding)."""
+    from ..functions.cleansing import in_quant_domain
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & in_quant_domain("value")
+    )
     # string day key: pandas-level date-vs-datetime ambiguity between
     # engines' DATE types makes the hash compare flaky; 'yyyy-MM-dd' is
     # unambiguous in both
@@ -566,9 +618,11 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hist AS (
         SELECT event_type,
-               CAST(FLOOR(value * {FINE_BINS_PER_UNIT}) AS BIGINT) AS bin,
+               CAST(LEAST(GREATEST(FLOOR(value * {FINE_BINS_PER_UNIT}),
+                                   -{FINE_BIN_CLAMP}),
+                          {FINE_BIN_CLAMP}) AS BIGINT) AS bin,
                COUNT(*) AS n
-        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        FROM events WHERE isfinite(value) GROUP BY 1, 2
     ),
     cum AS (
         SELECT event_type, bin,
@@ -580,7 +634,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
         SELECT event_type, COUNT(*) AS n_group FROM events
-        WHERE value IS NOT NULL GROUP BY 1
+        WHERE isfinite(value) GROUP BY 1
     ),
     hit AS (
         SELECT c.event_type,
@@ -619,13 +673,21 @@ def quantiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contrast with the global histogram_quantiles, whose one bounded
     window is the documented exception). Group totals join back
     broadcast; all three targets resolve in one MIN(CASE) aggregate
-    per group. NULL-value contract: see histogram_quantiles."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
+    per group. NULL/nonfinite-value contract and the ±2^40 bin clamp:
+    see histogram_quantiles — same predicate, same clamp, same
+    reasons."""
+    from ..functions.cleansing import is_finite
+
+    e = load_table(spark, sf_dir, "events").filter(is_finite("value"))
     hist = e.groupBy(
         "event_type",
-        F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long").alias("bin"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") * FINE_BINS_PER_UNIT).cast("long"),
+                F.lit(-FINE_BIN_CLAMP),
+            ),
+            F.lit(FINE_BIN_CLAMP),
+        ).alias("bin"),
     ).agg(F.count("*").alias("n"))
     cum = hist.select(
         "event_type",

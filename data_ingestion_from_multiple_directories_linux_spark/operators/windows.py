@@ -180,7 +180,8 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events WHERE ts IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
         GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 DAY, h) AS day,
@@ -202,9 +203,16 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally by the streaming twin (tumbling_window_counts with
     availableNow) and day/week/month queries touch only rollup rows —
     the raw corpus is scanned exactly once per hour of data.
-    NULL-ts contract: see tumbling_window_counts.
+    NULL-ts contract: see tumbling_window_counts; values ride the
+    shared quantization-domain guard (fn/cleansing.in_quant_domain —
+    NULL rows kept, NaN/±Inf/huge excluded before the DECIMAL(18,2)
+    quantization can abort; nonfinite-float-sweep finding).
     """
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    from ..functions.cleansing import in_quant_domain
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & in_quant_domain("value")
+    )
     hourly = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -246,7 +254,8 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS cum_sum
-    FROM events WHERE ts IS NOT NULL
+    FROM events
+    WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
     """,
 )
 def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,10 +265,18 @@ def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (float running sums drift between engines); the caller
     divides v5_sum/v5_n for the average. One hash-partitioned window per
     user, (ts, event_id) tiebreak keeps frames deterministic.
-    NULL-ts contract: see event_gaps_lag."""
+    NULL-ts contract: see event_gaps_lag; values ride the shared
+    quantization-domain guard (fn/cleansing.in_quant_domain — NULL
+    rows kept, NaN/±Inf/huge excluded before the DECIMAL cast can
+    abort; out-of-domain rows leave the feature stream entirely, in
+    both engines alike)."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    from ..functions.cleansing import in_quant_domain
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & in_quant_domain("value")
+    )
     w5 = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -364,6 +381,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(floor(value * 1000000) AS BIGINT)
                     AS DECIMAL(10,0)) AS qv
         FROM events
+        WHERE value IS NULL OR abs(value) < 10000
     ),
     st AS (
         SELECT user_id,
@@ -396,10 +414,27 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomalous numeric rows per entity) with cross-engine-reproducible
     output.
 
+    The z-test operates within the micro-quantization domain
+    |value| < 10^4 (whose quantized form fills DECIMAL(10,0) exactly —
+    the widths above are load-bearing, see below): NaN/±Inf have no
+    z-score, and a huge-but-finite value (1e308) saturates Spark's
+    floor(double→long) at LONG_MIN where DuckDB's cast aborts
+    (nonfinite-float-sweep finding). abs(value) < 10000 excludes all
+    of those in one portable predicate (NaN compares above everything
+    in both engines, so it fails the <); out-of-domain magnitudes are
+    a RANGE-check violation — a different quality rule, upstream of
+    z-scoring. NULL rows are KEPT (``IS NULL OR ...``) so the per-user
+    row counts — and with them every deviation threshold — are
+    unchanged.
+
     Scale: one partial-agg groupBy per user for (n, s, ss), then a
     co-partitioned join back — no window, no collect; the stats frame is
     |users| rows."""
-    ev = load_table(spark, sf_dir, "events")
+    from ..functions.cleansing import in_quant_domain
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        in_quant_domain("value")
+    )
     q = ev.select(
         "user_id",
         "event_id",
