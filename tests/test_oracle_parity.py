@@ -311,10 +311,12 @@ def test_extreme_timestamp_corpus_parity(spark, tmp_path):
     under the pandas nanosecond ceiling (2262-04-11). Pins two things
     the NULL/empty/single-row sweeps cannot:
 
-    * negative-epoch bucketing — every `epoch_us // width` or
-      `unix_micros div width` bucket must floor (toward -inf), not
-      truncate (toward 0), or pre-1970 rows land one bucket high; the
-      tumbling/sliding/session window queries all ride this;
+    * negative-epoch bucketing — Spark's `div` and DuckDB's `//` BOTH
+      truncate toward zero on negative integers (verified: -7 div 2 =
+      -3 in each, where Python's // floors to -4), so every
+      `epoch_us // width` / `unix_micros div width` bucket pair
+      agrees on pre-1970 rows; the tumbling/sliding/session window
+      queries all ride this shared convention;
     * bounded gap-fill — the first run of this sweep killed
       gap_fill_hourly_locf with TaskResultLost: its dense per-user
       min..max spine became ~5M hourly slots once one user held both a
@@ -719,6 +721,111 @@ def test_gap_fill_bounded_fanout(spark, tmp_path):
     filled = sorted(out["filled_value"].unique())
     assert filled == [1.5, 9.25]
     assert (out[out["is_gap"]]["filled_value"] == 1.5).all()
+
+
+def test_gap_fill_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of the redesigned gap-fill against a pure-Python
+    reference of the documented contract (~180k output slots from 60
+    random series): truncation-toward-zero hour bucketing (the Spark
+    `div` / DuckDB `//` convention on negative epochs), latest-in-hour
+    selection by (ts, event_id), per-observation spines capped at
+    MAX_FILL_HOURS with series breaks, LOCF across observed-NULL
+    hours, and the is_gap rule. Series include violent ±2.3M-hour
+    jumps (capped breaks), 1-3 observations inside one hour, NULL
+    values, and NULL timestamps (which vanish). The oracle-parity
+    sweeps prove Spark==DuckDB; this pins both to the INTENDED
+    semantics (two engines can agree on the wrong thing)."""
+    import random
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.timeseries import (
+        HOUR_US,
+        MAX_FILL_HOURS,
+        gap_fill_hourly_locf,
+    )
+
+    rng = random.Random(20260815)
+    rows = []
+    eid = 1
+    for user in range(1, 61):
+        h = rng.randrange(-2_000_000, 2_000_000)
+        hours = set()
+        for _ in range(rng.randrange(1, 21)):
+            if rng.random() < 0.08:
+                h = rng.randrange(-2_300_000, 2_300_000)
+            else:
+                h += rng.randrange(0, 400)
+            hours.add(h)
+        for hr in hours:
+            for _ in range(rng.randrange(1, 4)):
+                val = (
+                    None
+                    if rng.random() < 0.15
+                    else round(rng.uniform(-500, 500), 3)
+                )
+                ts_us = hr * HOUR_US + rng.randrange(0, HOUR_US)
+                if rng.random() < 0.02:
+                    ts_us = None
+                rows.append((eid, ts_us, user, "e", val, "{}"))
+                eid += 1
+
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts_us", "user_id", "event_type", "value", "props"],
+    )
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    pdf = df[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    d = tmp_path / "gapfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    con.execute(
+        f"COPY (SELECT * FROM t) TO '{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    def tdiv(a, b):  # truncation toward zero — Spark div / DuckDB //
+        return a // b if a >= 0 else -((-a) // b)
+
+    best = {}
+    for eid_, ts_us, user, _, val, _ in rows:
+        if ts_us is None:
+            continue
+        key = (user, tdiv(ts_us, HOUR_US))
+        if key not in best or (ts_us, eid_) > best[key][:2]:
+            best[key] = (ts_us, eid_, val)
+    series = {}
+    for (user, hr), (_, _, val) in best.items():
+        series.setdefault(user, []).append((hr, val))
+    expected = []
+    for user, obs in series.items():
+        obs.sort()
+        carry = None
+        for i, (hr, val) in enumerate(obs):
+            nxt = obs[i + 1][0] if i + 1 < len(obs) else None
+            end = hr if nxt is None else min(nxt - 1, hr + MAX_FILL_HOURS)
+            for slot in range(hr, end + 1):
+                if slot == hr and val is not None:
+                    carry = val
+                expected.append(
+                    (user, slot, carry, slot != hr or val is None)
+                )
+
+    got = gap_fill_hourly_locf(spark, str(d)).toPandas()
+    got_t = sorted(
+        (
+            int(r.user_id),
+            int(r.hr),
+            None if pd.isna(r.filled_value) else round(float(r.filled_value), 9),
+            bool(r.is_gap),
+        )
+        for r in got.itertuples()
+    )
+    exp_t = sorted(
+        (u, s, None if c is None else round(float(c), 9), g)
+        for (u, s, c, g) in expected
+    )
+    assert len(got_t) == len(exp_t)
+    assert got_t == exp_t
 
 
 def test_every_query_runs_and_entry_smokes(spark):
