@@ -828,6 +828,130 @@ def test_gap_fill_fuzz_vs_python_reference(spark, tmp_path):
     assert got_t == exp_t
 
 
+def test_profile_sketch_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of BOTH table profiles against an independent
+    pure-Python reference (hashlib.md5 + exact-integer (a·h) mod 2^60
+    variates + the K-min estimator): the DuckDB oracles share Spark's
+    md5-string construction, so a shared misconception (wrong string
+    form, wrong modulus split) would pass the oracle gate — this pins
+    the absolute semantics. The 1200-row random orders corpus splices
+    NaN/±Inf/-0.0 into o_totalprice, exercising the canonical
+    dirty-double form on the hash, distinct, and estimate paths; all
+    six columns' n_rows/n_nonnull/n_distinct and the sketch estimate
+    must match the reference exactly."""
+    import hashlib
+    import math
+    import random
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.profiling import (
+        PROFILE_SKETCH_K,
+        _SKETCH_A,
+        table_profile_orders,
+        table_profile_orders_sketch,
+    )
+
+    h60_mod = 1 << 60
+    rng = random.Random(99)
+    statuses = ["O", "F", "P"]
+    prios = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", None,
+    ]
+    rows = []
+    for k in range(1, 1201):
+        price = (
+            None if rng.random() < 0.1 else round(rng.uniform(1, 500000), 2)
+        )
+        ts = (
+            f"20{rng.randrange(10, 30):02d}-0{rng.randrange(1, 10)}"
+            f"-1{rng.randrange(0, 10)} 0{rng.randrange(0, 10)}:00:00"
+        )
+        rows.append(
+            (k, rng.randrange(1, 300), rng.choice(statuses), price, ts,
+             rng.choice(prios))
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"])
+    d = tmp_path / "sketchfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # splice IEEE specials in SQL — a pandas float column cannot hold
+    # None and NaN distinctly
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN o_orderkey % 97 = 0 THEN 'NaN'::DOUBLE
+                 WHEN o_orderkey % 89 = 0 THEN 'Infinity'::DOUBLE
+                 WHEN o_orderkey % 83 = 0 THEN '-Infinity'::DOUBLE
+                 WHEN o_orderkey % 79 = 0 THEN -0.0
+                 ELSE o_totalprice END AS o_totalprice)
+            FROM t) TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    final = con.execute(
+        f"SELECT * FROM read_parquet('{d}/orders.parquet')"
+    ).fetchall()
+    con.close()
+
+    def canon(col, v):
+        if v is None:
+            return None
+        if col == "o_totalprice":
+            if math.isnan(v):
+                return "NaN"
+            if v == float("inf"):
+                return "Infinity"
+            if v == float("-inf"):
+                return "-Infinity"
+            if v == 0:
+                return "0.0"
+            return repr(v)
+        if col == "o_orderdate":
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        return str(v)
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    expected = {}
+    for ci, c in enumerate(cols):
+        mins = [h60_mod] * PROFILE_SKETCH_K
+        n_nonnull = 0
+        distinct = set()
+        for r in final:
+            s = canon(c, r[ci])
+            if s is None:
+                continue
+            n_nonnull += 1
+            distinct.add(s)
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for i, a in enumerate(_SKETCH_A):
+                v = (a * h) % h60_mod
+                if v < mins[i]:
+                    mins[i] = v
+        est = (
+            math.floor(
+                (PROFILE_SKETCH_K * float(h60_mod) / float(sum(mins)) - 1)
+                * 1e6 + 0.5
+            ) / 1e6
+        )
+        expected[c] = (len(final), n_nonnull, len(distinct), est)
+
+    exact = table_profile_orders(spark, str(d)).toPandas().set_index(
+        "column_name"
+    )
+    sk = table_profile_orders_sketch(spark, str(d)).toPandas().set_index(
+        "column_name"
+    )
+    for c in cols:
+        n, nn, nd, est = expected[c]
+        e, s = exact.loc[c], sk.loc[c]
+        assert (e.n_rows, e.n_nonnull, e.n_distinct) == (n, nn, nd), c
+        assert (s.n_rows, s.n_nonnull) == (n, nn), c
+        assert abs(s.estimate_distinct - est) < 1e-9, c
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
