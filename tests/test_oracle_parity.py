@@ -952,6 +952,111 @@ def test_profile_sketch_fuzz_vs_python_reference(spark, tmp_path):
         assert abs(s.estimate_distinct - est) < 1e-9, c
 
 
+def test_kmv_and_simhash_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of the KMV distinct sketch and the 16-bit SimHash
+    against independent hashlib-based pure-Python references (same
+    rationale as the profile-sketch fuzz: the DuckDB oracles share the
+    md5 construction, so only a third implementation pins the absolute
+    semantics). The corpus sprinkles NULL user_ids (excluded by the
+    KMV NULL contract) and NULL/empty/whitespace documents (which
+    produce no fingerprint row)."""
+    import hashlib
+    import random
+    import re
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_users,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        simhash_fingerprint,
+    )
+
+    h60_mod = 1 << 60
+    rng = random.Random(424242)
+    erows = []
+    for i in range(1, 901):
+        uid = None if rng.random() < 0.05 else rng.randrange(1, 220)
+        erows.append(
+            (i, f"2024-01-{rng.randrange(1, 29):02d} 10:00:00", uid, "e",
+             1.0, "{}")
+        )
+    ev = pd.DataFrame(
+        erows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    words = [f"w{n}" for n in range(400)] + ["alpha", "beta", "Gamma"]
+    drows = []
+    for i in range(1, 301):
+        r = rng.random()
+        if r < 0.03:
+            text = None
+        elif r < 0.06:
+            text = ""
+        elif r < 0.09:
+            text = "   "
+        else:
+            text = " ".join(
+                rng.choice(words) for _ in range(rng.randrange(1, 40))
+            )
+        drows.append((i, text, "en", "src", len(text or "")))
+    docs = pd.DataFrame(
+        drows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "kmvfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("e", ev)
+    con.register("d", docs)
+    con.execute(f"COPY (SELECT * FROM e) TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.execute(
+        f"COPY (SELECT * FROM d) TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    uids = sorted({r[2] for r in erows if r[2] is not None})
+    kset = sorted(h60(str(u)) / float(h60_mod) for u in uids)[:KMV_K]
+    kth = max(kset)
+    est = (len(kset) - 1) / kth
+    got = kmv_distinct_users(spark, str(d)).collect()[0]
+    assert got.k == len(kset)
+    assert abs(got.kth_hash - kth) < 1e-15
+    assert abs(got.estimate_distinct - est) < 1e-9
+    assert got.exact_distinct == len(uids)
+
+    def ref_simhash(text):
+        # Java \s+ on ASCII text == Python re.ASCII \s+
+        toks = {
+            t
+            for t in re.split(r"\s+", text.lower(), flags=re.ASCII)
+            if t
+        }
+        if not toks:
+            return None
+        votes = [0] * 16
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(16):
+                votes[j] += (int(hx[j], 16) % 2) * 2 - 1
+        return sum(1 << j for j in range(16) if votes[j] > 0)
+
+    exp = {}
+    for i, text, *_ in drows:
+        fp = ref_simhash(text) if text is not None else None
+        if fp is not None:
+            exp[i] = fp
+    sim = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprint(spark, str(d)).collect()
+    }
+    assert sim == exp
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
