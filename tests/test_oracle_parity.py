@@ -1057,6 +1057,79 @@ def test_kmv_and_simhash_fuzz_vs_python_reference(spark, tmp_path):
     assert sim == exp
 
 
+def test_count_min_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of the count-min heavy-hitter audit against an
+    independent hashlib reference: per-row md5 bucket hashes, cell
+    counts, min-over-depth estimates, and the one-sided overestimate.
+    Also documents a shared cross-engine quirk the reference must
+    reproduce: a heavy NULL key OCCUPIES one of the top-k audit slots
+    (it outranks real users in the count ordering) and is then dropped
+    by the cell joins (NULL bucket matches nothing), so the audit
+    reports k-1 rows — identical in Spark and DuckDB."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.profiling import (
+        CM_DEPTH,
+        CM_TOP_K,
+        CM_WIDTH,
+        count_min_heavy_hitters,
+    )
+
+    rng = random.Random(777)
+    pool = [1] * 90 + [2] * 60 + [3] * 40 + list(range(4, 200)) * 2
+    erows = []
+    for i in range(1, 1201):
+        uid = None if rng.random() < 0.04 else rng.choice(pool)
+        erows.append((i, "2024-02-02 10:00:00", uid, "e", 1.0, "{}"))
+    ev = pd.DataFrame(
+        erows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    d = tmp_path / "cmfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("e", ev)
+    con.execute(f"COPY (SELECT * FROM e) TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    def cmh(j, uid):
+        return (
+            int(hashlib.md5(f"cm{j}:{uid}".encode()).hexdigest()[:15], 16)
+            % CM_WIDTH
+        )
+
+    counts = Counter(r[2] for r in erows)
+    cells = Counter()
+    for r in erows:
+        if r[2] is None:
+            continue
+        for j in range(CM_DEPTH):
+            cells[(j, cmh(j, r[2]))] += 1
+    topk = sorted(
+        counts.items(),
+        key=lambda kv: (-kv[1], math.inf if kv[0] is None else kv[0]),
+    )[:CM_TOP_K]
+    assert any(u is None for u, _ in topk)  # the quirk is exercised
+    expected = []
+    for u, n in topk:
+        if u is None:
+            continue
+        est = min(cells[(j, cmh(j, u))] for j in range(CM_DEPTH))
+        expected.append((u, n, est, est - n))
+
+    got = [
+        (r.user_id, r.true_n, r.cm_estimate, r.overestimate)
+        for r in count_min_heavy_hitters(spark, str(d)).collect()
+    ]
+    assert got == expected
+    assert len(got) == CM_TOP_K - 1
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
