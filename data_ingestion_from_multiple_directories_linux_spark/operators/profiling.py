@@ -279,7 +279,14 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency of ANY key is answerable later without re-scanning. Plan:
     one explode(×{CM_DEPTH}) + groupBy for the cells, one groupBy +
     top-k for the audit keys, then two broadcast hash joins of the
-    128-cell table onto the {CM_TOP_K}-row audit frame."""
+    128-cell table onto the {CM_TOP_K}-row audit frame.
+
+    NULL-key contract (shared by both engines, pinned by the hashlib
+    fuzz test): a heavy NULL key occupies one of the {CM_TOP_K} audit
+    slots (it outranks real keys in the count ordering) and is then
+    dropped by the cell joins (a NULL bucket matches nothing), so the
+    audit reports {CM_TOP_K}-1 rows on NULL-heavy data — NULL keys are
+    an upstream cleansing concern, not a frequency-sketch member."""
     e = load_table(spark, sf_dir, "events")
     u = F.col("user_id")
     cells = (
