@@ -227,28 +227,45 @@ def test_adversarial_corpus_parity(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def _check_one_query(spark, sf_dir: str, label: str, name: str) -> str | None:
+    try:
+        sdf = QUERIES[name](spark, sf_dir).toPandas()
+    except Exception as e:  # noqa: BLE001 — collecting a report
+        return f"{name}: Spark aborted: {e}"
+    con = _duck_con(sf_dir)
+    try:
+        ddf = con.execute(ORACLES[name]).df()
+    except Exception as e:  # noqa: BLE001
+        return f"{name}: oracle aborted: {e}"
+    finally:
+        con.close()
+    if len(sdf) != len(ddf):
+        return f"{name}: rows {len(sdf)} != {len(ddf)}"
+    if canonical_rows(sdf) != canonical_rows(ddf):
+        return f"{name}: values diverge on {label} data"
+    return None
+
+
 def _sweep_all_queries(
     spark, sf_dir: str, label: str, exempt: frozenset[str] = frozenset()
 ) -> None:
-    failures = []
-    for name in sorted(set(ORACLES) - exempt):
-        try:
-            sdf = QUERIES[name](spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001 — collecting a report
-            failures.append(f"{name}: Spark aborted: {e}")
-            continue
-        con = _duck_con(sf_dir)
-        try:
-            ddf = con.execute(ORACLES[name]).df()
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: oracle aborted: {e}")
-            continue
-        finally:
-            con.close()
-        if len(sdf) != len(ddf):
-            failures.append(f"{name}: rows {len(sdf)} != {len(ddf)}")
-        elif canonical_rows(sdf) != canonical_rows(ddf):
-            failures.append(f"{name}: values diverge on {label} data")
+    """Run every registered query + oracle on ``sf_dir`` and compare.
+
+    Queries run CONCURRENTLY (8 threads): SparkSession job submission
+    is thread-safe, each thread opens its own DuckDB connection, and
+    the compare is pure Python — the sweep is dominated by per-query
+    job latency, so threading cuts each whole-surface corpus sweep
+    from ~3 min to well under one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(set(ORACLES) - exempt)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(
+            pool.map(
+                lambda n: _check_one_query(spark, sf_dir, label, n), names
+            )
+        )
+    failures = [r for r in results if r is not None]
     assert not failures, "\n".join(failures)
 
 
