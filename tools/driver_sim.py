@@ -46,20 +46,41 @@ def canon(pdf):
     return sorted((tuple(norm(v) for v in r) for r in pdf.itertuples(index=False, name=None)), key=repr)
 
 qs, os_ = E.queries(), E.oracle_sql()
-fail = 0
-for name, fn in sorted(qs.items()):
+
+
+def check(name):
+    """One query's line + pass/fail. Runs on a worker thread — Spark
+    job submission is thread-safe and each call opens its own DuckDB
+    connection (the module-level `con` is NOT thread-safe)."""
     t0 = time.time()
-    sdf = fn(spark, SF).toPandas()
+    sdf = qs[name](spark, SF).toPandas()
     if name not in os_:
-        print(f"  {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)")
-        continue
-    ddf = con.execute(os_[name]).df()
-    ok_rows = len(sdf) == len(ddf)
-    ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
-    ok_vals = ok_rows and ok_cols and canon(sdf) == canon(ddf)
-    status = "OK" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
-    if status != "OK":
+        return f"  {name}: rows-only, {len(sdf)} rows ({time.time()-t0:.1f}s)", True
+    c = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    try:
+        ddf = c.execute(os_[name]).df()
+    finally:
+        c.close()
+    ok = (
+        len(sdf) == len(ddf)
+        and sorted(sdf.columns) == sorted(ddf.columns)
+        and canon(sdf) == canon(ddf)
+    )
+    status = "OK" if ok else "MISMATCH"
+    return f"  {name}: {status} rows={len(sdf)}/{len(ddf)} ({time.time()-t0:.1f}s)", ok
+
+
+from concurrent.futures import ThreadPoolExecutor
+
+names = sorted(qs)
+with ThreadPoolExecutor(max_workers=8) as pool:
+    results = list(pool.map(check, names))
+fail = 0
+for line, ok in results:  # deterministic name order, whatever finished first
+    if not ok:
         fail += 1
-    print(f"  {name}: {status} rows={len(sdf)}/{len(ddf)} ({time.time()-t0:.1f}s)")
+    print(line)
 print(f"RESULT: {len(qs)} queries, {fail} mismatches")
 sys.exit(1 if fail else 0)
