@@ -1147,6 +1147,69 @@ def test_count_min_fuzz_vs_python_reference(spark, tmp_path):
     assert len(got) == CM_TOP_K - 1
 
 
+def test_rolling_hash_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of the winnowing-lite rolling-hash fingerprint
+    against a hashlib reference: every 4th 16-char window's md5, the
+    window/distinct counts, and the min-hash fingerprint. The corpus
+    mixes unicode (windows slice CODEPOINTS in Spark, DuckDB, and
+    Python alike, then md5 the UTF-8 bytes), empty strings (one window
+    of ''), sub-16-char texts (one short window), and NULL texts
+    (NULL row, per the adversarial-corpus contract)."""
+    import hashlib
+    import random
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        rolling_hash_fingerprint,
+    )
+
+    rng = random.Random(31337)
+    alphabet = "abcdefgh ijklmnop💩é零 XYZ.,!"
+    drows = []
+    for i in range(1, 201):
+        r = rng.random()
+        if r < 0.04:
+            text = None
+        elif r < 0.08:
+            text = ""
+        elif r < 0.16:
+            text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 15)))
+        else:
+            text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(16, 400)))
+        drows.append((i, text, "en", "src", len(text or "")))
+    docs = pd.DataFrame(
+        drows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "rollfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("d", docs)
+    con.execute(
+        f"COPY (SELECT * FROM d) TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+    expected = {}
+    for i, text, *_ in drows:
+        if text is None:
+            expected[i] = (None, None, None)
+            continue
+        ws = [
+            hashlib.md5(text[j : j + 16].encode()).hexdigest()
+            for j in range(0, max(len(text) - 15, 1), 4)
+        ]
+        expected[i] = (len(ws), len(set(ws)), min(ws))
+
+    got = {
+        r.doc_id: (
+            None if r.n_windows is None else int(r.n_windows),
+            None if r.n_distinct is None else int(r.n_distinct),
+            r.fingerprint,
+        )
+        for r in rolling_hash_fingerprint(spark, str(d)).collect()
+    }
+    assert got == expected
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
