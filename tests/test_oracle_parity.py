@@ -1210,6 +1210,68 @@ def test_rolling_hash_fuzz_vs_python_reference(spark, tmp_path):
     assert got == expected
 
 
+def test_table_fingerprint_fuzz_vs_python_reference(spark, tmp_path):
+    """Seeded fuzz of the order-independent content checksum against a
+    hashlib reference: the chr(1)-sentinel/chr(31)-separator canonical
+    row form, the md5 60-bit prefix, and the exact integer group sums
+    (compared as digit strings). NULL keys, NULL priorities, and a
+    NULL status group are all present; a text payload containing '|'
+    (the rejected separator) guards the encoding choice."""
+    import hashlib
+    import random
+    from collections import Counter, defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.sketches import (
+        table_fingerprint,
+    )
+
+    rng = random.Random(5150)
+    prios = ["1-URGENT", "2|HIGH", "3-MEDIUM", None]
+    statuses = ["O", "F", None]
+    rows = []
+    for k in range(1, 501):
+        rows.append(
+            (
+                k,
+                None if rng.random() < 0.08 else rng.randrange(1, 80),
+                rng.choice(statuses),
+                100.0,
+                "2024-03-03 00:00:00",
+                rng.choice(prios),
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"])
+    pdf["o_custkey"] = pdf["o_custkey"].astype("Int64")
+    d = tmp_path / "fpfuzz"
+    d.mkdir()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    con.execute(f"COPY (SELECT * FROM t) TO '{d}/orders.parquet' (FORMAT PARQUET)")
+    con.close()
+
+    sums = defaultdict(int)
+    counts = Counter()
+    for k, ck, st, _, _, pr in rows:
+        canon = "\x1f".join(
+            "\x01" if v is None else str(v) for v in (k, ck, pr)
+        )
+        h = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+        sums[st] += h
+        counts[st] += 1
+
+    got = {
+        r.status: (r.n_rows, r.content_hash)
+        for r in table_fingerprint(spark, str(d)).collect()
+    }
+    expected = {st: (counts[st], str(sums[st])) for st in counts}
+    assert got == expected
+
+
 def test_every_query_runs_and_entry_smokes(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
