@@ -708,6 +708,92 @@ def test_sanitize_nonfinite_spark_equivalence(spark, tmp_path):
     assert canonical_rows(got_e) == canonical_rows(want_e)
 
 
+def test_combined_extremes_corpus_parity(spark, tmp_path):
+    """Cross-AXIS parity: one corpus carrying the nonfinite floats,
+    the extreme timestamps, AND the unicode zoo simultaneously — the
+    single-axis sweeps cannot see interactions (e.g. a quant-domain
+    filter meeting a 2262 timestamp in the same row, or a NaN value
+    on a pre-1970 event). Every query outside NONFINITE_EXEMPT must
+    still hash-match its oracle. First run: zero divergences — kept
+    as the permanent regression net because the threaded sweep costs
+    about a minute."""
+    d = tmp_path / "combo"
+    d.mkdir()
+    _write_nonfinite_corpus(SF_SMALL, d)
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN event_id % 211 = 0
+                     THEN TIMESTAMP '1678-01-01 00:00:00'
+                 WHEN event_id % 199 = 0
+                     THEN TIMESTAMP '1900-06-15 12:34:56.123456'
+                 WHEN event_id % 193 = 0
+                     THEN TIMESTAMP '1970-01-01 00:00:00'
+                 WHEN event_id % 191 = 0
+                     THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+                 WHEN event_id % 181 = 0
+                     THEN TIMESTAMP '2262-01-01 01:02:03.000004'
+                 WHEN event_id % 179 = 0
+                     THEN TIMESTAMP '2262-04-10 10:11:12'
+                 ELSE ts END AS ts,
+            CASE WHEN event_id % 83 = 0 THEN 'クリック'
+                 WHEN event_id % 79 = 0 THEN 'click✨'
+                 ELSE event_type END AS event_type,
+            CASE WHEN event_id % 89 = 0
+                     THEN '{{"k": "värde📦", "name": "名前"}}'
+                 ELSE props END AS props)
+         FROM read_parquet('{d}/events.parquet'))
+         TO '{d}/events2.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN o_orderkey % 97 = 0
+                     THEN TIMESTAMP '1678-06-01 00:00:00'
+                 WHEN o_orderkey % 89 = 0
+                     THEN TIMESTAMP '2262-03-01 00:00:00'
+                 ELSE o_orderdate END AS o_orderdate)
+         FROM read_parquet('{d}/orders.parquet'))
+         TO '{d}/orders2.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN l_orderkey % 151 = 0
+                     THEN TIMESTAMP '1690-02-03 04:05:06'
+                 WHEN l_orderkey % 149 = 0
+                     THEN TIMESTAMP '2261-11-30 23:59:59'
+                 ELSE l_shipdate END AS l_shipdate)
+         FROM read_parquet('{d}/lineitem.parquet'))
+         TO '{d}/lineitem2.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN doc_id % 31 = 0 THEN '🦄 unicorn 🌈 ' || text
+                 WHEN doc_id % 43 = 0 THEN 'café résumé naïve ' || text
+                 WHEN doc_id % 53 = 0
+                     THEN '速い茶色の狐が怠け者の犬を飛び越える' || text
+                 WHEN doc_id % 61 = 0
+                     THEN chr(120) || repeat('💩', 50) || ' ' || text
+                 ELSE text END AS text)
+         FROM read_parquet('{d}/documents.parquet'))
+         TO '{d}/documents2.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+            CASE WHEN p_partkey % 67 = 0 THEN 'grüne Öl‑Lampe ' || p_name
+                 WHEN p_partkey % 73 = 0 THEN '🚀 ' || p_name
+                 ELSE p_name END AS p_name)
+         FROM read_parquet('{d}/part.parquet'))
+         TO '{d}/part2.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    import os
+
+    for name in ("events", "orders", "lineitem", "documents", "part"):
+        os.replace(d / f"{name}2.parquet", d / f"{name}.parquet")
+    _sweep_all_queries(spark, str(d), "combined-extremes",
+                       exempt=NONFINITE_EXEMPT)
+
+
 def test_gap_fill_bounded_fanout(spark, tmp_path):
     """The MAX_FILL_HOURS cap directly: one user observed in 1678 and
     2262 produces cap+1 slots after the early observation plus the late
