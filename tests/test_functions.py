@@ -321,3 +321,79 @@ def test_char_chunk_udtf_edges(spark):
     ).collect()
     got = sorted((r["id"], r["chunk_idx"], r["chunk"]) for r in rows)
     assert got == [(1, 0, "abc"), (1, 1, "def"), (2, 0, "abc")]
+
+
+def test_finite_float_predicates(spark):
+    """is_finite / null_nonfinite / in_quant_domain truth tables on the
+    full IEEE special-value zoo, evaluated through real Spark
+    expressions (not python): NULL, NaN, ±Inf, ±DBL_MAX, a denormal,
+    ±0.0, and the 10^4 quantization-domain boundary."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+        DBL_MAX,
+        in_quant_domain,
+        is_finite,
+        null_nonfinite,
+    )
+
+    cases = [
+        (1, None),
+        (2, float("nan")),
+        (3, float("inf")),
+        (4, float("-inf")),
+        (5, DBL_MAX),
+        (6, -DBL_MAX),
+        (7, 4.9406564584124654e-324),
+        (8, -0.0),
+        (9, 0.0),
+        (10, 9999.999),
+        (11, 10000.0),
+        (12, -10000.0),
+        (13, 42.5),
+    ]
+    df = spark.createDataFrame(cases, "id bigint, v double")
+    got = {
+        r.id: (r.fin, r.nn, r.qd)
+        for r in df.select(
+            "id",
+            is_finite("v").alias("fin"),
+            null_nonfinite("v").alias("nn"),
+            in_quant_domain("v").alias("qd"),
+        ).collect()
+    }
+    assert got[1] == (None, None, True)          # NULL: kept by domain
+    assert got[2] == (False, None, False)        # NaN
+    assert got[3] == (False, None, False)        # +Inf
+    assert got[4] == (False, None, False)        # -Inf
+    assert got[5] == (True, DBL_MAX, False)      # finite but huge
+    assert got[6] == (True, -DBL_MAX, False)
+    assert got[7][0] is True and got[7][2] is True   # denormal survives
+    assert got[8] == (True, -0.0, True)
+    assert got[9] == (True, 0.0, True)
+    assert got[10] == (True, 9999.999, True)     # inside the boundary
+    assert got[11] == (True, 10000.0, False)     # exactly AT it: out
+    assert got[12] == (True, -10000.0, False)
+    assert got[13] == (True, 42.5, True)
+
+
+def test_sanitize_nonfinite_scoping(spark):
+    """sanitize_nonfinite touches float/double scalars and float-array
+    elements, and nothing else: strings/ints/timestamps pass through
+    untouched, non-targeted columns are preserved, and a scoped
+    `columns` list limits the rewrite."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+        sanitize_nonfinite,
+    )
+
+    df = spark.sql(
+        """SELECT 1L AS id, 'x' AS s,
+                  double('NaN') AS a, double('Infinity') AS b,
+                  array(cast(1.5 as float), cast('NaN' as float)) AS v"""
+    )
+    out = sanitize_nonfinite(df).collect()[0]
+    assert out.id == 1 and out.s == "x"
+    assert out.a is None and out.b is None
+    assert list(out.v) == [1.5, None]
+    scoped = sanitize_nonfinite(df, columns=["a"]).collect()[0]
+    assert scoped.a is None
+    assert math.isinf(scoped.b)           # outside the scope: untouched
+    assert math.isnan(scoped.v[1])
