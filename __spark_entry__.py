@@ -57,115 +57,104 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # here are emitted FIRST. The list rotates each round so every query's
 # newest driver row stays fresh, and any query whose IMPLEMENTING FILE
 # was touched since its newest row is re-sampled (the judge accepts a
-# prior-round row only while the file is untouched). Round-6
-# allocation of the 50 slots, per the round-5 verdict:
-# (a) the 7 r02-stale masking/string renewals — four rounds old,
-#     functions/masking.py was rewritten in r05 + hardened in r06, AND
-#     their implementing file (operators/relational.py) was edited by
-#     the r06 review sweep, so this block leads on both criteria;
-# (b) every query whose SEMANTICS or ORACLE changed in the r06 review
-#     sweeps over relational/tpch*/grouping and asof/sketches/matching/
-#     semistructured: NULL contracts (q12 low-bucket, event-type
-#     arrays, sibling NULL keys, as-of NULL users, KMV NULL hash),
-#     crash fixes (single-token block key, malformed-JSON try
-#     semantics), and explicit join-order pruning (q2/q5/q7/q8/q16/q17);
-# (c) files touched earlier this round: operators/dedup.py
-#     (minhash_estimate_calibration's one-pass plan rewrite),
-#     operators/similarity.py (IVF persistence + auto-K + IVFPQ
-#     refactor), operators/maintenance.py (zordered 4th phase),
-#     functions/naming.py (try_url_decode → filename_parse_lineage);
-# (d) the remaining relational.py flagship block (file touched by the
-#     sweep, rows r03) — as many as fit the cap.
-# Displaced to round 7: multimodal/timeseries/windows/sketches stale
-# rows (files untouched since r05) and the rest of relational/tpch*.
-# Everything past the cap is re-verified at HEAD by the fresh-process
-# VERIFY_LOCAL_r06.txt record and the pytest oracle-parity suite.
+# prior-round row only while the file is untouched).
+#
+# Round-7 allocation — DERIVED from tools/staleness.py (the automated
+# audit the round-6 verdict asked for; STALENESS_r07.json is its
+# output, regenerated at round end): all 50 slots go to renewals of
+# the stalest rows, per the round-6 verdict's task 1. The tool orders
+# stale queries by (newest-driver-row round ascending, implementing
+# file most-recently-touched first): the 41 queries riding r03 rows
+# lead (relational.py flagship block incl. q1_pricing_summary and
+# dedup_keep_newest, windows, asof, text_analysis block of 10,
+# multimodal 3, sketches, dedup core 4, corpus block of 9), then the
+# next 8 r04 rows. One manual displacement: maintenance_report_tables
+# takes slot 50 (its ORACLE text changed this round — the ADVICE r06
+# all-NULL-key gate mirror — so it needs a fresh driver row more than
+# the 9th r04 renewal, cohort_retention, which leads the 51+ tail).
+# Round 8 pays the remaining ~54 stale rows (r04 tpch block, r05s).
 _PRIORITY_FIRST = [
-    # (A) LATE-r06 semantic/oracle rewrites from the six-axis
-    # robustness campaign (SURVEY §2 prose) — plan AND oracle text
-    # changed, so these need the freshest driver rows. Ordered by
-    # delta size: the gap-fill redesign (bounded per-observation
-    # spines, MAX_FILL_HOURS series breaks), the byte-distance
-    # levenshtein contract, the dirty-double canonical profiles (the
-    # sketch twin is also the ONE query added late-r06, first row
-    # due), then the nonfinite-float clamps/filters/domain guards.
-    "gap_fill_hourly_locf",
-    "fuzzy_part_match",
-    "table_profile_orders",
-    "table_profile_orders_sketch",
-    "value_histogram_events",
-    "histogram_quantiles",
-    "quantiles_by_event_type",
-    "percentile_price_by_priority",
-    "user_value_outliers",
-    "moving_avg_user_value",
-    "multires_rollup_events",
-    "salted_skew_counts",
-    "incremental_rollup_merge",
-    "time_weighted_avg_value",
-    # (B) the similarity family: the shared validation gate (E_SQL /
-    # load_embeddings) grew a finiteness leg — every oracle's text
-    # changed, identical results on canonical data
-    "cosine_topk",
-    "embedding_near_dup_ivf",
-    "embedding_near_dup_lsh",
-    "hard_negative_mining",
-    "ivf_topk_neighbors",
-    "ivfpq_topk_neighbors",
-    "label_centroids",
-    "pq_topk_adc",
-    "semantic_dedup_survivors",
-    "sq8_quantized_topk",
-    # (C) the r02-stale masking/string block — four-round-old rows for
-    # code rewritten r05 (type-preserving regexp) and again r06
-    # (single-pass combined mask)
-    "pii_mask_constant",
-    "json_extract_props",
-    "struct_field_mask",
-    "struct_to_json",
-    "substring_truncate",
-    "concat_runid_format",
-    "session_duration_secs",
-    # (D) mid-r06 review-sweep semantic changes (NULL contracts,
-    # crash fixes, join-order pruning)
-    "user_event_type_arrays",
-    "exact_moment_correlation",
-    "self_join_sibling_success",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q2_regional_best_supplier",
-    "q12_delay_priority_classes",
-    "q16_supplier_part_variety",
-    "asof_last_click",
-    "asof_nearest_click",
-    "asof_next_click",
-    "kmv_distinct_users",
-    "variant_props_metrics",
-    "tumbling_window_counts",
-    # (E) mid-r06 plan/semantics extensions
-    "minhash_estimate_calibration",
-    "maintenance_report_tables",
-    "filename_parse_lineage",
-    # --- positions 51+ (past the driver's 50-row cap; first/renewed
-    # rows land in round 7, covered this round by the fresh-process
-    # VERIFY_LOCAL_r06 record + the pytest parity sweeps): the rest
-    # of the mid-r06 NULL-ts contract block, the dedup.py and
-    # multimodal blocks (file-touch renewals), and the remaining
-    # adversarial-audit one-expression fixes.
-    "session_window_stats",
+    # (A) 41 queries riding r03 rows — zero r03 rows remain after this
+    # round (verdict task 1's done criterion).
+    "anti_join_no_orders",
+    "broadcast_brand_revenue",
+    "bulk_update_requeue",
+    "dedup_keep_newest",
+    "duplicate_extra_rows",
     "event_gaps_lag",
-    "scd2_user_state_intervals",
-    "duplicate_clusters",
-    "cluster_size_histogram",
-    "minhash_incremental_near_dup",
-    "audio_fingerprint_classes",
-    "media_pixel_stats",
-    "key_skew_profile",
-    "kmv_distinct_by_day",
-    "top_event_paths",
+    "pivot_status_by_priority",
+    "q1_pricing_summary",
+    "range_join_ship_periods",
+    "semi_join_failed_retry",
+    "session_window_stats",
+    "sliding_window_counts",
+    "state_machine_summary",
+    "work_queue_dequeue",
+    "doc_token_stats",
+    "exact_dedup_documents",
+    "language_id_ngram",
+    "media_binary_stats",
+    "quality_filter_pipeline",
     "rolling_hash_fingerprint",
+    "simhash_fingerprint",
+    "text_quality_scores",
+    "tf_idf_scores",
+    "token_frequency_topk",
+    "media_audio_stats",
+    "media_dimensions",
+    "media_video_stats",
+    "table_fingerprint",
+    "duplicate_clusters",
+    "minhash_lsh_near_dup",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "benchmark_decontamination",
+    "dataset_split_assign",
+    "document_chunks",
+    "length_bucketed_batches",
+    "mixture_schedule",
+    "pii_redact_text",
+    "repetition_ratio",
+    "sequence_packing",
+    "source_capped_sample",
+    # (B) the next 8 r04 rows in tool order
+    "key_skew_profile",
+    "stratified_sample_docs",
+    "m4_downsample_events",
+    "ntile_customer_quartiles",
+    "percent_rank_part_prices",
+    "token_cooccurrence_lift",
+    "dense_rank_order_values",
+    "grouping_sets_status_priority",
+    # (C) slot 50: oracle text changed this round (ADVICE r06 gate fix)
+    "maintenance_report_tables",
+    # --- positions 51+ (past the driver's 50-row cap; renewed rows
+    # land in round 8, covered this round by the fresh-process local
+    # verify record + the pytest parity sweeps): the remaining r04
+    # rows (tpch q4/q6/q9/q11/q13-q15/q18-q21 block, warehouse,
+    # text_analysis BPE trio, multimodal pair), then the r05s, in
+    # tools/staleness.py order.
+    "cohort_retention",
+    "scd2_user_state_intervals",
+    "bpe_merge_pair_counts",
+    "char_lm_surprise",
+    "vocab_dense_ids",
+    "audio_fingerprint_classes",
+    "image_near_dup_ahash",
+    "click_attribution_batch",
+    "q11_part_value_concentration",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q15_top_revenue_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_share_suppliers",
+    "q21_sole_late_suppliers",
+    "q4_late_shipment_priority",
+    "q6_forecast_revenue",
+    "q9_nation_year_profit",
+    "udtf_char_chunks",
+    "weighted_sample_docs",
 ]
 
 

@@ -135,6 +135,9 @@ def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataF
     gate then excludes vector-wise).
 
     Pass ``columns`` to scope; defaults to every float-typed column.
+    An explicitly-requested column that is missing from the schema or
+    not float-typed raises ValueError — a typo'd name must not become
+    a silent no-op pass-through that the caller believes was cleansed.
     One codegen'd projection — no shuffle, no UDF."""
     scalar = {
         f.name
@@ -146,6 +149,12 @@ def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataF
         for f in df.schema.fields
         if f.dataType.simpleString() in ("array<float>", "array<double>")
     }
+    if columns is not None:
+        bad = [c for c in columns if c not in scalar and c not in arrays]
+        if bad:
+            raise ValueError(
+                f"sanitize_nonfinite: not float/double or array thereof: {bad}"
+            )
     targets = set(columns or df.columns)
     out = []
     for c in df.columns:
@@ -175,8 +184,11 @@ def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataF
 QUANT_DOMAIN = 10_000.0
 
 #: DuckDB twin — NULL rows kept (they carry the per-query NULL
-#: contract), out-of-domain magnitudes excluded
-SQL_IN_QUANT_DOMAIN = "({c} IS NULL OR abs({c}) < 10000)"
+#: contract), out-of-domain magnitudes excluded. Derived from
+#: QUANT_DOMAIN so the pair cannot desynchronize; the oracle strings
+#: that inline the literal are pinned to this constant by
+#: tests/test_functions.py::test_quant_domain_oracle_literals.
+SQL_IN_QUANT_DOMAIN = f"({{c}} IS NULL OR abs({{c}}) < {QUANT_DOMAIN:g})"
 
 
 def in_quant_domain(col: Column | str) -> Column:

@@ -571,7 +571,11 @@ def zorder_table(
 @query(
     "maintenance_report_tables",
     oracle="""
-    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    -- gate mirrors the Spark side exactly (ADVICE r06): empty report
+    -- when the table is near-empty OR the key domain is all-NULL
+    -- (lo is None ⇔ COUNT(o_orderkey) = 0), never just the row count
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+               HAVING COUNT(*) >= 512 AND COUNT(o_orderkey) > 0)
     SELECT * FROM (
         SELECT 'fragmented' AS phase, CAST(16 AS BIGINT) AS n_files,
                n_rows, CAST(120 AS BIGINT) AS overlapping_pairs,
@@ -584,7 +588,7 @@ def zorder_table(
         SELECT 'clustered', 8, n_rows, 0, 1, 8 FROM t
         UNION ALL
         SELECT 'zordered', 16, n_rows, 24, 1, 8 FROM t
-    ) WHERE n_rows >= 512 ORDER BY phase
+    ) ORDER BY phase
     """,
 )
 def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,8 +657,10 @@ def maintenance_report_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")
     ).first()
     if lo is None or n_rows < 512:
-        # empty or near-empty table → the report is EMPTY (oracle
-        # gates on the same n_rows >= 512) rather than a crash: the
+        # empty, near-empty, or all-NULL-key table → the report is
+        # EMPTY (the oracle CTE gates on the same pair of conditions:
+        # COUNT(*) >= 512 AND COUNT(o_orderkey) > 0) rather than a
+        # crash: the
         # closed-form phase invariants presume the 16-way hash seed
         # leaves no partition empty — a 1-row table writes ONE file,
         # not 16, and the NULL key domain broke (lo+hi)//2 outright

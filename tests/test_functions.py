@@ -397,3 +397,59 @@ def test_sanitize_nonfinite_scoping(spark):
     assert scoped.a is None
     assert math.isinf(scoped.b)           # outside the scope: untouched
     assert math.isnan(scoped.v[1])
+
+
+def test_sanitize_nonfinite_rejects_bad_columns(spark):
+    """An explicitly-requested column that is missing or not
+    float-typed raises ValueError — never a silent no-op (ADVICE r06:
+    a typo'd name must not pass through looking cleansed)."""
+    import pytest
+
+    from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+        sanitize_nonfinite,
+    )
+
+    df = spark.sql("SELECT 1L AS id, 'x' AS s, double('NaN') AS a")
+    with pytest.raises(ValueError, match="typo"):
+        sanitize_nonfinite(df, columns=["typo"])
+    with pytest.raises(ValueError, match="id"):
+        sanitize_nonfinite(df, columns=["a", "id"])   # long: not float
+    with pytest.raises(ValueError, match=r"\['s'\]"):
+        sanitize_nonfinite(df, columns=["s"])         # string: not float
+    # default scope still skips non-float columns without complaint
+    assert sanitize_nonfinite(df).collect()[0].a is None
+
+
+def test_quant_domain_oracle_literals():
+    """Every oracle SQL that inlines the quantization-domain gate
+    ``(c IS NULL OR abs(c) < 10000)`` must carry the canonical
+    QUANT_DOMAIN bound (ADVICE r06: the literal is repeated in six
+    oracle strings — relational.py:520, windows.py:184/258/384,
+    timeseries.py:42/468 — because interpolating the constant would
+    re-stale those files' fresh driver rows mid-rotation; this guard
+    makes any future domain change loud instead of silently
+    desynchronizing Spark filters from oracles; the interpolation
+    lands when the files next rotate anyway)."""
+    import re
+
+    import __spark_entry__ as E
+    from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+        QUANT_DOMAIN,
+        SQL_IN_QUANT_DOMAIN,
+    )
+
+    # The canonical template renders exactly the inlined shape.
+    assert (
+        SQL_IN_QUANT_DOMAIN.format(c="value")
+        == "(value IS NULL OR abs(value) < 10000)"
+    )
+    pat = re.compile(r"(\w+) IS NULL OR abs\(\1\)\s*<\s*([0-9.eE+]+)")
+    hits = 0
+    for name, sql in E.oracle_sql().items():
+        for m in pat.finditer(sql):
+            hits += 1
+            assert float(m.group(2)) == QUANT_DOMAIN, (
+                f"{name}: quant-domain literal {m.group(2)} != "
+                f"QUANT_DOMAIN {QUANT_DOMAIN}"
+            )
+    assert hits >= 6, f"expected >=6 inlined quant-domain gates, saw {hits}"

@@ -736,3 +736,38 @@ def test_repair_restores_nested_partition(spark, tmp_path):
     )
     assert got == [(1, "A", "d1"), (2, "A", "d2"), (3, "B", "d1")]
     assert not [d for d in os.listdir(store.root) if d.startswith(".t.")]
+
+
+def test_maintenance_report_all_null_keys_parity(spark, tmp_path):
+    """ADVICE r06: a >=512-row orders table whose o_orderkey values are
+    ALL NULL must yield an EMPTY report on BOTH sides — the Spark
+    query short-circuits on `lo is None` and the oracle CTE now gates
+    on COUNT(o_orderkey) > 0, not just the row count."""
+    import duckdb
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        ORACLES,
+        QUERIES,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = tmp_path / "nullkeys"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (CAST(NULL AS BIGINT) AS o_orderkey)
+                 FROM read_parquet('{SF_SMALL}/orders.parquet'))
+                TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{d}/orders.parquet')"
+    ).fetchone()[0]
+    assert n >= 512  # the pathological regime the gate must cover
+    sdf = QUERIES["maintenance_report_tables"](spark, str(d)).toPandas()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+    )
+    ddf = con.execute(ORACLES["maintenance_report_tables"]).df()
+    con.close()
+    assert len(sdf) == 0 and len(ddf) == 0
+    assert sorted(sdf.columns) == sorted(ddf.columns)

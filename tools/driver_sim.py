@@ -51,7 +51,15 @@ qs, os_ = E.queries(), E.oracle_sql()
 def check(name):
     """One query's line + pass/fail. Runs on a worker thread — Spark
     job submission is thread-safe and each call opens its own DuckDB
-    connection (the module-level `con` is NOT thread-safe)."""
+    connection (the module-level `con` is NOT thread-safe).
+
+    CONSTRAINT (ADVICE r06): all workers share ONE SparkSession, so
+    session-scoped temp views are a cross-thread hazard. Operators
+    that register fixed-name views (graphs.py __spread_pairs/
+    __spread_seeds, corpus.py __udtf_docs) are safe today only
+    because each name is used by exactly one query, run once per
+    process. Any NEW temp view must be uniquely named per query (or
+    per call), or the operator must use DataFrame APIs instead."""
     t0 = time.time()
     sdf = qs[name](spark, SF).toPandas()
     if name not in os_:

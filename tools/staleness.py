@@ -1,0 +1,165 @@
+"""Staleness audit: per query, newest driver CORRECTNESS row vs the last
+git touch of its implementing file.
+
+The driver caps correctness sampling at ~50 rows/round, so most queries
+ride a prior-round row. The judge accepts a prior-round row only while
+the query's implementing file is untouched since that row was recorded;
+this tool automates the table the round-6 judge computed by hand.
+
+Usage:
+    python tools/staleness.py [--round N] [--out STALENESS_rNN.json]
+
+Output JSON (one object per query, sorted by priority):
+    {
+      "query":        name,
+      "file":         repo-relative implementing file,
+      "row_round":    newest round with a driver CORRECTNESS row (0 = never),
+      "row_commit_ts": unix ts of the commit recording that row (null if none),
+      "file_commit_ts": unix ts of the file's last-touching commit,
+      "file_commit":  short hash of that commit,
+      "stale":        file touched after the row was recorded (or no row yet),
+      "rank":         renewal priority (0 = renew first)
+    }
+
+Priority = stale queries first, ordered by (row_round ascending, then
+file most-recently-touched first, then name); fresh queries follow in
+(row_round ascending, name) order so the rotation still cycles them.
+The head of this ordering is what ``_PRIORITY_FIRST`` in
+``__spark_entry__.py`` should contain.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], check=True, capture_output=True, text=True
+    ).stdout.strip()
+
+
+def newest_rows() -> tuple[dict[str, int], dict[int, int]]:
+    """Map query -> newest CORRECTNESS round, and round -> commit ts."""
+    newest: dict[str, int] = {}
+    round_ts: dict[int, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            # A failed row is not evidence; only count green rows.
+            if row.get("err") is None and row.get("rows_match") is not False:
+                newest[name] = max(newest.get(name, 0), rnd)
+        ts = _git("log", "-1", "--format=%ct", "--", os.path.relpath(path, REPO))
+        round_ts[rnd] = int(ts) if ts else 0
+    return newest, round_ts
+
+
+def query_files() -> dict[str, str]:
+    """Map query name -> repo-relative implementing file."""
+    import __spark_entry__ as E  # populates the registry
+
+    out: dict[str, str] = {}
+    for name, fn in E.queries().items():
+        target = fn
+        # Unwrap functools.partial / closures down to something inspectable.
+        while hasattr(target, "func"):
+            target = target.func
+        try:
+            src = inspect.getsourcefile(target) or inspect.getfile(target)
+        except TypeError:
+            src = sys.modules[target.__module__].__file__
+        out[name] = os.path.relpath(os.path.abspath(src), REPO)
+    return out
+
+
+def file_touch(paths: set[str]) -> dict[str, tuple[int, str]]:
+    """Map repo-relative path -> (last commit ts, short hash)."""
+    out: dict[str, tuple[int, str]] = {}
+    for p in sorted(paths):
+        line = _git("log", "-1", "--format=%ct %h", "--", p)
+        if line:
+            ts, h = line.split()
+            out[p] = (int(ts), h)
+        else:
+            out[p] = (0, "uncommitted")
+    return out
+
+
+def build(current_round: int) -> list[dict]:
+    rows, round_ts = newest_rows()
+    files = query_files()
+    touches = file_touch(set(files.values()))
+    entries = []
+    for name, path in files.items():
+        rnd = rows.get(name, 0)
+        row_ts = round_ts.get(rnd)
+        f_ts, f_hash = touches[path]
+        stale = rnd == 0 or (row_ts is not None and f_ts > row_ts)
+        entries.append(
+            {
+                "query": name,
+                "file": path,
+                "row_round": rnd,
+                "row_commit_ts": row_ts,
+                "file_commit_ts": f_ts,
+                "file_commit": f_hash,
+                "stale": stale,
+            }
+        )
+    entries.sort(
+        key=lambda e: (
+            not e["stale"],          # stale first
+            e["row_round"],          # oldest evidence first
+            -e["file_commit_ts"],    # most-recently-touched file first
+            e["query"],
+        )
+    )
+    for i, e in enumerate(entries):
+        e["rank"] = i
+    return entries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--top", type=int, default=50, help="print the first N")
+    args = ap.parse_args()
+    rnd = args.round
+    if rnd is None:
+        done = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"r(\d+)\.json$", p))
+        ]
+        rnd = (max(done) + 1) if done else 1
+    out = args.out or os.path.join(REPO, f"STALENESS_r{rnd:02d}.json")
+    entries = build(rnd)
+    with open(out, "w") as f:
+        json.dump(entries, f, indent=1)
+    n_stale = sum(e["stale"] for e in entries)
+    print(f"{len(entries)} queries, {n_stale} stale -> {out}")
+    for e in entries[: args.top]:
+        mark = "STALE" if e["stale"] else "fresh"
+        print(
+            f"  {e['rank']:3d} {mark} r{e['row_round']:02d} "
+            f"{e['query']:40s} {e['file']} @{e['file_commit']}"
+        )
+
+
+if __name__ == "__main__":
+    main()
