@@ -604,6 +604,101 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
     assert got == full and got  # identical pair set, non-empty
 
 
+_MINHASH_SERVE_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, functions as F
+
+wh, out, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("minhash-incremental-serve")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+    JACCARD_MINHASH_THRESHOLD,
+    _near_dup_corpus,
+    minhash_band_index,
+    minhash_incremental_pairs,
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+    TableStore,
+)
+
+# Day 1 in a NEW session: only the new batch is shingled; day 0's
+# corpus contributes nothing but its PERSISTED band + shingle tables.
+store = TableStore(spark, wh)
+new = _near_dup_corpus(spark, sf).filter(F.col("doc_id") % 4 == 0)
+new_bands, new_sh = minhash_band_index(new, 3)
+pairs = sorted(
+    (r["id_a"], r["id_b"])
+    for r in minhash_incremental_pairs(
+        new_bands,
+        new_sh,
+        store.read("_minhash_bands"),
+        store.read("_minhash_shingles"),
+        JACCARD_MINHASH_THRESHOLD,
+    ).collect()
+)
+with open(out, "w") as f:
+    json.dump(pairs, f)
+spark.stop()
+"""
+
+
+def test_minhash_index_multisession_ingest_day_boundary(spark, tmp_path):
+    """The streaming-dedup index crosses a SESSION boundary — the real
+    daily-ingest cadence: day 0 builds + persists the band/shingle
+    index in this session; day 1 runs in a SEPARATE process with a
+    brand-new SparkSession, reading ONLY the persisted tables (day 0's
+    text is never re-shingled), and its pair set must equal a full
+    one-session recompute restricted to pairs touching the new batch
+    (MinHash banding is deterministic per document, so index reuse
+    changes nothing)."""
+    import json
+    import subprocess
+    import sys
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        JACCARD_MINHASH_THRESHOLD,
+        _near_dup_corpus,
+        minhash_band_index,
+        minhash_pairs,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    corpus = _near_dup_corpus(spark, SF_SMALL)
+    bands, sh = minhash_band_index(corpus.filter(F.col("doc_id") % 4 != 0), 3)
+    store.append("_minhash_bands", bands)
+    store.append("_minhash_shingles", sh)
+
+    script = tmp_path / "serve_minhash.py"
+    script.write_text(_MINHASH_SERVE_SCRIPT)
+    out_json = tmp_path / "pairs.json"
+    proc = subprocess.run(
+        [sys.executable, str(script), wh, str(out_json), SF_SMALL],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"day-1 process failed:\n{proc.stderr[-4000:]}"
+    got = {tuple(p) for p in json.load(out_json.open())}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs(corpus, 3, JACCARD_MINHASH_THRESHOLD).collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    }
+    assert got == full and got
+
+
 def test_training_pipeline_composes_end_to_end(spark):
     """The full training-data funnel composed from the engine's
     primitives — exact dedup → near-dup dedup (pairs + connected

@@ -138,6 +138,16 @@ def main() -> None:
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--top", type=int, default=50, help="print the first N")
+    ap.add_argument(
+        "--emit-priority",
+        type=int,
+        default=0,
+        metavar="N",
+        help="print the first N queries as a ready-to-paste Python list "
+        "for __spark_entry__._PRIORITY_FIRST (stale-first tool order; "
+        "review before pasting — e.g. a query whose ORACLE changed this "
+        "round may deserve a slot ahead of strict row-age order)",
+    )
     args = ap.parse_args()
     rnd = args.round
     if rnd is None:
@@ -153,6 +163,12 @@ def main() -> None:
         json.dump(entries, f, indent=1)
     n_stale = sum(e["stale"] for e in entries)
     print(f"{len(entries)} queries, {n_stale} stale -> {out}")
+    if args.emit_priority:
+        print("_PRIORITY_FIRST = [")
+        for e in entries[: args.emit_priority]:
+            print(f'    "{e["query"]}",  # r{e["row_round"]:02d} {e["file"].rsplit("/", 1)[-1]}')
+        print("]")
+        return
     for e in entries[: args.top]:
         mark = "STALE" if e["stale"] else "fresh"
         print(
