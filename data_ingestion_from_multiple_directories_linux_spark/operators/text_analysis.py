@@ -200,8 +200,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _en_bigram_sql() -> str:
+    t = "coalesce(text, '')"
     terms = [
-        f"(length(lower(text)) - length(replace(lower(text), '{b}', ''))) / 2"
+        f"(length(lower({t})) - length(replace(lower({t}), '{b}', ''))) / 2"
         for b in EN_BIGRAMS
     ]
     return " + ".join(terms)
@@ -211,11 +212,12 @@ def _en_bigram_sql() -> str:
     "language_id_ngram",
     oracle=f"""
     SELECT doc_id, lang,
-           CASE WHEN length(text) > 0 THEN
-               ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE)
-               ELSE 0.0 END AS en_score,
-           CASE WHEN length(text) > 0
-                 AND ({_en_bigram_sql()}) / CAST(length(text) AS DOUBLE) >= 0.02
+           ({_en_bigram_sql()})
+               / CAST(greatest(length(coalesce(text, '')), 1) AS DOUBLE)
+               AS en_score,
+           CASE WHEN ({_en_bigram_sql()})
+                     / CAST(greatest(length(coalesce(text, '')), 1) AS DOUBLE)
+                     >= 0.02
                 THEN 'en' ELSE 'und' END AS predicted
     FROM documents
     """,
@@ -225,15 +227,21 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic n-gram-profile heuristic reduced to marker bigrams.
     Counting is replace-length arithmetic (portable, codegen'd); one
     projection, zero shuffle. At scale the marker table extends per
-    language; the plan shape is unchanged."""
+    language; the plan shape is unchanged.
+
+    The score is UNCONDITIONAL on purpose: NULL text is coalesced to ''
+    at the leaf and the zero-denominator guard is greatest(len, 1)
+    (0/1 = 0.0, the same result the old CASE WHEN produced) — a
+    conditional branch around the 4-bigram sum disables whole-stage
+    codegen's subexpression elimination, so the sum was evaluated TWICE
+    (en_score + predicted), 2.4x the runtime at sf0.1 (r07 finding)."""
     d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
     score = None
     for b in EN_BIGRAMS:
-        c = bigram_count("text", b)
+        c = bigram_count(t, b)
         score = c if score is None else score + c
-    en_score = F.when(
-        F.length("text") > 0, score / F.length("text").cast("double")
-    ).otherwise(F.lit(0.0))
+    en_score = score / F.greatest(F.length(t), F.lit(1)).cast("double")
     return d.select(
         "doc_id",
         "lang",
