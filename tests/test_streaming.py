@@ -63,6 +63,72 @@ def test_checkpoint_exactly_once_across_runs(spark, tmp_path, uploads):
     assert s2.store.read(INGESTION_LOG).count() == 2
 
 
+_RESUME_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+wh, uploads, table = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("stream-resume-tick")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from data_ingestion_from_multiple_directories_linux_spark.streaming import (
+    StreamingIngestion,
+)
+
+# One cron tick in a brand-new process: resume the on-disk checkpoint,
+# ingest whatever is new, exit.
+StreamingIngestion(spark, wh, uploads, table).run_available_now()
+spark.stop()
+"""
+
+
+def test_streaming_checkpoint_survives_process_death(spark, tmp_path, uploads):
+    """The reference's production cadence is cron — EVERY tick is a new
+    python process (file_ingestion_process.py) — so the checkpoint's
+    exactly-once contract must hold across process death, not just
+    across instances in one JVM: tick 1 runs here, tick 2 runs in a
+    SEPARATE process with a brand-new SparkSession against the same
+    on-disk checkpoint, and a third tick back in this session must see
+    the child's progress (no replay of either tick's files)."""
+    import subprocess
+    import sys
+
+    write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
+               [patient(i) for i in range(3)])
+    s = _stream(spark, tmp_path, uploads)
+    s.run_available_now()
+    assert s.store.read("stg_patient_person").count() == 3
+
+    write_json(uploads, "FAC001", "patient_person_1_20250103142050.json",
+               [patient(10)])
+    script = tmp_path / "tick.py"
+    script.write_text(_RESUME_SCRIPT)
+    proc = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "wh"), uploads,
+         "patient_person"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"tick process failed:\n{proc.stderr[-4000:]}"
+
+    # back in the original session: the child's consumption is visible,
+    # and a further tick replays nothing
+    s3 = _stream(spark, tmp_path, uploads)
+    s3.run_available_now()
+    stg = s3.store.read("stg_patient_person")
+    assert stg.count() == 4
+    assert stg.select("id").distinct().count() == 4
+    assert s3.store.read(INGESTION_LOG).count() == 2
+
+
 def test_streaming_quarantine_split(spark, tmp_path, uploads):
     write_json(uploads, "FAC001", "patient_person_0_20250103141949.json",
                [patient(0), patient(1, dob="bad-date"), patient(2)])
