@@ -86,6 +86,39 @@ def query_files() -> dict[str, str]:
     return out
 
 
+def helper_deps(files: set[str]) -> dict[str, list[str]]:
+    """Map implementing file -> the package helper modules it imports
+    (functions/, sources/, catalog, ingest). A query's behavior can
+    change through a helper rewrite without its implementing file
+    moving — the round-6 masking.py rewrite staled relational.py's
+    masking queries exactly this way — so freshness must consider the
+    newest touch across the file AND its helper imports."""
+    dep_re = re.compile(
+        r"^\s*from \.\.(functions|sources|ingest)\.(\w+) import"
+        r"|^\s*from \.\.(catalog) import"
+        r"|^\s*from \.\.(functions|sources|ingest) import (\w+)",
+        re.M,
+    )
+    pkg = "data_ingestion_from_multiple_directories_linux_spark"
+    out: dict[str, list[str]] = {}
+    for f in files:
+        deps: set[str] = set()
+        try:
+            text = open(os.path.join(REPO, f)).read()
+        except OSError:
+            out[f] = []
+            continue
+        for m in dep_re.finditer(text):
+            if m.group(1) and m.group(2):
+                deps.add(f"{pkg}/{m.group(1)}/{m.group(2)}.py")
+            elif m.group(3):
+                deps.add(f"{pkg}/catalog.py")
+            elif m.group(4) and m.group(5):
+                deps.add(f"{pkg}/{m.group(4)}/{m.group(5)}.py")
+        out[f] = sorted(d for d in deps if os.path.exists(os.path.join(REPO, d)))
+    return out
+
+
 def file_touch(paths: set[str]) -> dict[str, tuple[int, str]]:
     """Map repo-relative path -> (last commit ts, short hash)."""
     out: dict[str, tuple[int, str]] = {}
@@ -102,13 +135,24 @@ def file_touch(paths: set[str]) -> dict[str, tuple[int, str]]:
 def build(current_round: int) -> list[dict]:
     rows, round_ts = newest_rows()
     files = query_files()
-    touches = file_touch(set(files.values()))
+    deps = helper_deps(set(files.values()))
+    all_paths = set(files.values()) | {d for ds in deps.values() for d in ds}
+    touches = file_touch(all_paths)
     entries = []
     for name, path in files.items():
         rnd = rows.get(name, 0)
         row_ts = round_ts.get(rnd)
         f_ts, f_hash = touches[path]
+        # `stale` matches the judge's method (implementing file only);
+        # `stale_strict` also counts helper imports (functions/,
+        # sources/, ingest/, catalog) — a query's behavior can change
+        # through a helper rewrite without its implementing file moving
+        # (the round-6 masking.py precedent)
+        dep_ts = max(
+            [(f_ts, path)] + [(touches[d][0], d) for d in deps[path]]
+        )
         stale = rnd == 0 or (row_ts is not None and f_ts > row_ts)
+        strict = rnd == 0 or (row_ts is not None and dep_ts[0] > row_ts)
         entries.append(
             {
                 "query": name,
@@ -117,14 +161,18 @@ def build(current_round: int) -> list[dict]:
                 "row_commit_ts": row_ts,
                 "file_commit_ts": f_ts,
                 "file_commit": f_hash,
+                "newest_touch_ts": dep_ts[0],
+                "newest_touch_file": dep_ts[1],
                 "stale": stale,
+                "stale_strict": strict,
             }
         )
     entries.sort(
         key=lambda e: (
-            not e["stale"],          # stale first
-            e["row_round"],          # oldest evidence first
-            -e["file_commit_ts"],    # most-recently-touched file first
+            not e["stale"],           # judge-method stale first
+            not e["stale_strict"],    # then helper-import staleness
+            e["row_round"],           # oldest evidence first
+            -e["newest_touch_ts"],    # most-recently-touched dep set first
             e["query"],
         )
     )
@@ -162,7 +210,11 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(entries, f, indent=1)
     n_stale = sum(e["stale"] for e in entries)
-    print(f"{len(entries)} queries, {n_stale} stale -> {out}")
+    n_strict = sum(e["stale_strict"] for e in entries)
+    print(
+        f"{len(entries)} queries, {n_stale} stale "
+        f"({n_strict} incl. helper imports) -> {out}"
+    )
     if args.emit_priority:
         print("_PRIORITY_FIRST = [")
         for e in entries[: args.emit_priority]:
