@@ -617,3 +617,18 @@ def test_asof_nearest_zero_joins(spark, queries):
     assert "Window" in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_language_id_score_is_unconditional(spark, queries):
+    """The 4-bigram marker sum must stay OUT of any CASE branch: codegen
+    subexpression elimination skips conditionally-evaluated expressions,
+    and wrapping the score in `WHEN length(text) > 0` made the whole sum
+    run twice per row — once for en_score, once inside predicted — 2.4x
+    the runtime (r07 finding). The en_score output expression must be the
+    bare guarded division (coalesce leaf + greatest denominator), with
+    CASE appearing only in the cheap `predicted` label."""
+    plan = optimized_of(queries["language_id_ngram"](spark, SF_SMALL))
+    seg = plan[: plan.index("AS en_score")]
+    assert "CASE WHEN" not in seg, "en_score regressed to a conditional"
+    assert "greatest(length(coalesce(text" in seg
+    assert "coalesce(text" in seg
