@@ -1,12 +1,26 @@
 """CheckpointJanitor: superseded localCheckpoint blocks are freed,
 kept blocks stay readable — the storage discipline behind the
-iterative connected-components loops."""
+iterative connected-components loops.
+
+Assertions count NEWLY-REGISTERED persistent RDD ids relative to a
+baseline snapshot, never the global count: on the shared test session,
+Spark's ContextCleaner asynchronously unpersists RDDs whose Python
+references earlier tests dropped, so a global count can shrink mid-test
+(observed once as a full-suite-only flake). Foreign REMOVALS are
+invisible to a new-ids set; foreign ADDS cannot happen because the
+suite runs tests serially within the process.
+"""
 
 from __future__ import annotations
 
 
-def _n_persistent(spark) -> int:
-    return len(spark.sparkContext._jsc.getPersistentRDDs())
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _new_ids(spark, base: set[int]) -> set[int]:
+    return _persistent_ids(spark) - base
 
 
 def test_cycle_frees_previous_round(spark):
@@ -14,19 +28,19 @@ def test_cycle_frees_previous_round(spark):
         CheckpointJanitor,
     )
 
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     jan = CheckpointJanitor(spark)
     state = jan.checkpoint(spark.range(100).selectExpr("id", "id as lbl"))
-    assert _n_persistent(spark) == base + 1
+    assert len(_new_ids(spark, base)) == 1
     for _ in range(4):
         state = jan.checkpoint(state.selectExpr("id", "lbl + 1 as lbl"))
         # one state copy held, regardless of round count
-        assert _n_persistent(spark) == base + 1
+        assert len(_new_ids(spark, base)) == 1
     # the live frame reads its (kept) blocks fine
     assert state.count() == 100
     assert state.agg({"lbl": "min"}).first()[0] == 4
     jan.release()
-    assert _n_persistent(spark) == base
+    assert not _new_ids(spark, base)
 
 
 def test_detach_keeps_final_blocks(spark):
@@ -34,13 +48,14 @@ def test_detach_keeps_final_blocks(spark):
         CheckpointJanitor,
     )
 
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     jan = CheckpointJanitor(spark)
     final = jan.checkpoint(spark.range(10))
     jan.detach()
     jan.release()  # no-op after detach
-    assert _n_persistent(spark) == base + 1
+    assert len(_new_ids(spark, base)) == 1
     assert final.count() == 10  # still readable
+    final.unpersist(True)
 
 
 def test_janitor_never_frees_foreign_persists(spark):
@@ -54,7 +69,7 @@ def test_janitor_never_frees_foreign_persists(spark):
         CheckpointJanitor,
     )
 
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     jan = CheckpointJanitor(spark)
     side = spark.range(1000).selectExpr("id % 7 as k").persist(
         StorageLevel.MEMORY_ONLY
@@ -70,10 +85,10 @@ def test_janitor_never_frees_foreign_persists(spark):
     # side's cache survived every cycle: rows come back instantly from
     # cache and the registry still holds it plus exactly one checkpoint
     assert side.count() == 1000
-    assert _n_persistent(spark) == base + 2  # side + current round
+    assert len(_new_ids(spark, base)) == 2  # side + current round
     jan.release()
     side.unpersist(True)
-    assert _n_persistent(spark) == base
+    assert not _new_ids(spark, base)
 
 
 def test_cc_sweep_holds_single_state_copy(spark):
@@ -83,7 +98,7 @@ def test_cc_sweep_holds_single_state_copy(spark):
         connected_components,
     )
 
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
@@ -91,4 +106,4 @@ def test_cc_sweep_holds_single_state_copy(spark):
     rows = out.collect()
     assert len(rows) == 31
     assert {r["cluster_id"] for r in rows} == {0}
-    assert _n_persistent(spark) <= base + 1
+    assert len(_new_ids(spark, base)) <= 1
