@@ -38,6 +38,12 @@ def query_mins(path: str) -> dict[str, float]:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(
+            "usage: bench_compare.py CANDIDATE.json [HISTORY.json ...]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     cand_path, hist_paths = sys.argv[1], sys.argv[2:]
     cand = query_mins(cand_path)
     baseline: dict[str, float] = {}
@@ -56,6 +62,12 @@ def main() -> None:
     shared = [name for _, name, _, _ in rows]
     tot_c = round(sum(cand[n] for n in shared), 2)
     tot_b = round(sum(baseline[n] for n in shared), 2)
+    if not tot_b:
+        # No history records / no shared queries (the first round a
+        # record exists): nothing to gate against.
+        print(f"0 shared queries vs {len(hist_paths)} history records; "
+              "gate vacuously PASS")
+        return
     print(
         f"{len(rows)} shared queries: candidate {tot_c}s vs best-recorded "
         f"{tot_b}s ({round(tot_c / tot_b, 2)}x aggregate); gate {GATE}x"

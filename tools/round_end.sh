@@ -37,6 +37,9 @@ done
 python tools/fold_bench.py "BENCH_LOCAL_${RR}.json" $files
 
 echo "== 2x gate vs prior records"
-hist=$(ls BENCH_LOCAL_r*.json | grep -v "${RR}")
+# `|| true`: when the only BENCH_LOCAL file is the current round's,
+# grep -v exits 1 and set -e would abort; bench_compare handles an
+# empty history (vacuous PASS).
+hist=$(ls BENCH_LOCAL_r*.json | grep -v "${RR}" || true)
 # shellcheck disable=SC2086
 python tools/bench_compare.py "BENCH_LOCAL_${RR}.json" $hist
