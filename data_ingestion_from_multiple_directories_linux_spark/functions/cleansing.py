@@ -138,7 +138,11 @@ def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataF
     An explicitly-requested column that is missing from the schema or
     not float-typed raises ValueError — a typo'd name must not become
     a silent no-op pass-through that the caller believes was cleansed.
-    One codegen'd projection — no shuffle, no UDF."""
+    An explicit EMPTY list means "touch nothing" (a no-op projection),
+    NOT "sanitize everything": a caller whose computed column list
+    comes out empty must not get whole-table cleansing by accident
+    (ADVICE r07 — ``columns or df.columns`` silently conflated the
+    two). One codegen'd projection — no shuffle, no UDF."""
     scalar = {
         f.name
         for f in df.schema.fields
@@ -155,7 +159,7 @@ def sanitize_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataF
             raise ValueError(
                 f"sanitize_nonfinite: not float/double or array thereof: {bad}"
             )
-    targets = set(columns or df.columns)
+    targets = set(df.columns if columns is None else columns)
     out = []
     for c in df.columns:
         if c in targets and c in scalar:

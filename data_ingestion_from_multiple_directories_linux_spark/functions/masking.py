@@ -89,6 +89,43 @@ def _legacy_map_mask(col: Column, keys: tuple[str, ...]) -> Column:
     return F.to_json(masked)
 
 
+def _mask_rewrite(src: Column, keys: tuple[str, ...]) -> Column:
+    """Stage 1 of mask_pii: the single in-place ``regexp_replace``
+    (~1.2 kB container-grammar pattern) that swaps every PII key's
+    value for ``"******"`` at any nesting depth. The expensive stage —
+    evaluate it ONCE per row."""
+    value_pat = (
+        _STR
+        + "|" + _NUM
+        + "|true|false|null"
+        + "|" + _container_pat(_CONTAINER_DEPTH)
+    )
+    key_alt = '"(?:' + "|".join(keys) + ')"'
+    return F.regexp_replace(
+        src,
+        "(" + key_alt + "\\s*:\\s*)(" + value_pat + ")",
+        f'$1"{MASK}"',
+    )
+
+
+def _mask_finish(out: Column, keys: tuple[str, ...]) -> Column:
+    """Stage 2 of mask_pii: the rare-fallback CASE over an
+    ALREADY-REWRITTEN column — if a PII key is still followed by
+    ``{``/``[`` (container nested deeper than the regex covers), fall
+    back through the map rewrite. References ``out`` three times, so
+    ``out`` should be a materialized attribute (see
+    :func:`mask_json_keys_staged`), not an inline copy of the heavy
+    stage-1 expression: whole-stage codegen's subexpression
+    elimination skips conditional branches, so inlining evaluates the
+    1.2 kB-pattern regexp up to 3x per row (measured 0.370 → 0.157 s
+    on the sf0.1 props column — the same double-evaluation bug class
+    as the round-7 ``language_id_ngram`` fix)."""
+    residual = '"(?:' + "|".join(keys) + ')"' + "\\s*:\\s*[\\[{]"
+    return F.when(
+        out.rlike(residual), F.coalesce(_legacy_map_mask(out, keys), out)
+    ).otherwise(out)
+
+
 def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:
     """mask_pii over a JSON-object string column.
 
@@ -123,31 +160,77 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
     document's root is not a parseable JSON object (the map fallback
     needs an object root) — beyond any non-adversarial input. NULL and
     non-JSON inputs pass through unchanged, mirroring the reference's
-    try/except passthrough."""
+    try/except passthrough.
+
+    This one-expression form inlines the heavy stage-1 regexp into the
+    fallback CASE's three branches, which codegen evaluates up to 3x
+    per row. Fine inside struct/withField expression contexts and
+    small per-file ingest batches; for a hot projection over a whole
+    table use :func:`mask_json_keys_staged`, which materializes
+    stage 1 once behind a projection boundary (measured 2.36x)."""
     src = F.col(col) if isinstance(col, str) else col
-    value_pat = (
-        _STR
-        + "|" + _NUM
-        + "|true|false|null"
-        + "|" + _container_pat(_CONTAINER_DEPTH)
+    return _mask_finish(_mask_rewrite(src, keys), keys)
+
+
+def mask_json_keys_staged(
+    df: DataFrame,
+    src: Column | str,
+    alias: str,
+    keys: tuple[str, ...] = PII_KEYS,
+) -> DataFrame:
+    """Two-stage mask_pii: appends ``alias`` = masked ``src`` to
+    ``df``, evaluating the ~1.2 kB-pattern stage-1 ``regexp_replace``
+    exactly ONCE per row.
+
+    Identical results to ``mask_json_keys`` (property-tested); the
+    difference is plan shape: stage 1 lands in its own projection, and
+    the stage-2 fallback CASE references it as a bound attribute.
+    ``CollapseProject`` correctly declines to re-inline — the alias is
+    consumed three times by non-cheap expressions — so the plan keeps
+    two Projects and the regexp runs once (0.370 → 0.157 s on the
+    sf0.1 props column; plan-pinned by
+    tests/test_functions.py::test_mask_json_keys_staged_plan)."""
+    tmp = f"__mask_stage1_{alias}"
+    src_col = F.col(src) if isinstance(src, str) else src
+    return (
+        df.withColumn(tmp, _mask_rewrite(src_col, keys))
+        .withColumn(alias, _mask_finish(F.col(tmp), keys))
+        .drop(tmp)
     )
-    key_alt = '"(?:' + "|".join(keys) + ')"'
-    out = F.regexp_replace(
-        src,
-        "(" + key_alt + "\\s*:\\s*)(" + value_pat + ")",
-        f'$1"{MASK}"',
-    )
-    residual = key_alt + "\\s*:\\s*[\\[{]"
-    return F.when(
-        out.rlike(residual), F.coalesce(_legacy_map_mask(out, keys), out)
-    ).otherwise(out)
 
 
 def mask_struct_value(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Column:
     """Struct rebuild for ``extra`` columns shaped
     ``struct<type:string, value:string>`` where ``value`` is a JSON string
-    (file_loader.py:606): keep ``type``, mask inside ``value``."""
+    (file_loader.py:606): keep ``type``, mask inside ``value``.
+    One-expression form (inlines the heavy stage-1 regexp into the
+    fallback branches); for hot whole-table scans use
+    :func:`mask_struct_value_staged`."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(
         c.isNull(), c
     ).otherwise(c.withField("value", mask_json_keys(c.getField("value"), keys)))
+
+
+def mask_struct_value_staged(
+    df: DataFrame, name: str, keys: tuple[str, ...] = PII_KEYS
+) -> DataFrame:
+    """Two-stage :func:`mask_struct_value`, in place on column
+    ``name``: stage 1 (the heavy regexp over ``name.value``) lands in
+    its own projection; the struct rebuild's fallback CASE references
+    it as a bound attribute, so the regexp runs once per row instead
+    of once per conditional branch. NULL structs pass through like the
+    one-expression form (a NULL struct yields a NULL stage-1 value,
+    and the outer ``when`` short-circuits the rebuild)."""
+    tmp = f"__mask_stage1_{name}"
+    c = F.col(name)
+    return (
+        df.withColumn(tmp, _mask_rewrite(c.getField("value"), keys))
+        .withColumn(
+            name,
+            F.when(c.isNull(), c).otherwise(
+                c.withField("value", _mask_finish(F.col(tmp), keys))
+            ),
+        )
+        .drop(tmp)
+    )

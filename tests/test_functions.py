@@ -273,6 +273,95 @@ def test_mask_struct_value_null_safe(spark):
     assert rows[1]["m"] is None
 
 
+def _mask_adversarial_corpus():
+    """Rows covering every mask_pii branch: passthrough (NULL /
+    non-JSON / no-PII), regex-pass masking at depth, and the
+    >_CONTAINER_DEPTH residual that triggers the map fallback."""
+    deep = "0"
+    for _ in range(30):                      # 30 > _CONTAINER_DEPTH=24
+        deep = f"[{deep}]"
+    return [
+        (0, None),
+        (1, "not json"),
+        (2, json.dumps({"note": "clean", "age": 7})),
+        (3, json.dumps({"surname": "LEAK", "meta": {"first_name": "X"}})),
+        (4, '{"surname": ' + deep + ', "note": {"phone_number": "0801"}}'),
+        (5, json.dumps({"middle_name": 1e-05, "hospital_number": None})),
+    ]
+
+
+def test_mask_json_keys_staged_equals_expression(spark):
+    """The two-stage DF form (heavy regexp materialized once behind a
+    projection boundary) is result-identical to the one-expression
+    ``mask_json_keys`` on a corpus exercising every branch, including
+    the >24-deep map fallback."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+        mask_json_keys_staged,
+    )
+
+    df = spark.createDataFrame(_mask_adversarial_corpus(), "i int, j string")
+    expr = {
+        r["i"]: r["m"]
+        for r in df.select("i", mask_json_keys("j").alias("m")).collect()
+    }
+    staged = {
+        r["i"]: r["m"]
+        for r in mask_json_keys_staged(df, "j", "m").select("i", "m").collect()
+    }
+    assert staged == expr
+    assert "LEAK" not in (staged[3] or "")
+    # fallback row: the sibling PII value masked by the regex pass
+    # stays masked through the map rewrite (re-serialized, nested
+    # object degraded to an escaped string — the documented fallback
+    # type degradation)
+    assert "0801" not in staged[4] and "******" in staged[4]
+
+
+def test_mask_struct_value_staged_equals_expression(spark):
+    """Struct twin: two-stage in-place masking of struct<type,value>
+    equals the one-expression form, NULL structs included."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+        mask_struct_value_staged,
+    )
+
+    rows = [((f"t{i}", j),) for i, j in _mask_adversarial_corpus()] + [(None,)]
+    df = spark.createDataFrame(rows, "s struct<type:string, value:string>")
+    expr = [r["m"] for r in df.select(mask_struct_value("s").alias("m")).collect()]
+    staged = [
+        r["s"] for r in mask_struct_value_staged(df, "s").select("s").collect()
+    ]
+    assert staged == expr
+    assert staged[-1] is None
+
+
+def test_mask_json_keys_staged_plan(spark):
+    """Plan pin for the round-8 double-evaluation fix: the staged form
+    keeps the ~1.2 kB stage-1 regexp behind its own projection, so the
+    physical plan carries exactly ONE regexp_replace (CollapseProject
+    must decline to re-inline it into the fallback CASE's three
+    branches); the one-expression form inlines it 3x. Same bug class
+    as the round-7 language_id_ngram fix — codegen's subexpression
+    elimination skips conditional branches."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+        mask_json_keys_staged,
+    )
+
+    import io
+    from contextlib import redirect_stdout
+
+    def formatted(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.createDataFrame([(1, "{}")], "i int, j string")
+    staged_plan = formatted(mask_json_keys_staged(df, "j", "m"))
+    assert staged_plan.count("regexp_replace") == 1, staged_plan
+    expr_plan = formatted(df.select(mask_json_keys("j").alias("m")))
+    assert expr_plan.count("regexp_replace") >= 2
+
+
 def test_tokens_and_shingles_edges(spark):
     df = spark.createDataFrame(
         [("  A  b\tC  ",), ("one two",), ("",)], "t string"
@@ -418,6 +507,21 @@ def test_sanitize_nonfinite_rejects_bad_columns(spark):
         sanitize_nonfinite(df, columns=["s"])         # string: not float
     # default scope still skips non-float columns without complaint
     assert sanitize_nonfinite(df).collect()[0].a is None
+
+
+def test_sanitize_nonfinite_empty_list_is_noop(spark):
+    """An explicit EMPTY columns list means "touch nothing" — it must
+    NOT fall back to whole-table cleansing (ADVICE r07: a caller whose
+    computed column list comes out empty would otherwise get every
+    float column sanitized silently)."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.cleansing import (
+        sanitize_nonfinite,
+    )
+
+    df = spark.sql("SELECT 1L AS id, double('NaN') AS a")
+    row = sanitize_nonfinite(df, columns=[]).collect()[0]
+    assert math.isnan(row.a)              # untouched
+    assert sanitize_nonfinite(df, columns=None).collect()[0].a is None
 
 
 def test_quant_domain_oracle_literals():
