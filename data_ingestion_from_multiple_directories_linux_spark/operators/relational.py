@@ -19,7 +19,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cleansing import SQL_IN_QUANT_DOMAIN
 from .registry import dsum, dsum_sql, query
+
+#: quantization-domain gate over the events value column, interpolated
+#: from the canonical template so the oracle bound cannot desynchronize
+#: from fn/cleansing.QUANT_DOMAIN (ADVICE r06 #2; pinned by
+#: tests/test_functions.py::test_quant_domain_oracle_literals).
+_VALUE_IN_QUANT = SQL_IN_QUANT_DOMAIN.format(c="value")
 
 # ---------------------------------------------------------------------------
 # Flagship aggregation (A3/A4/C13 composite — TPC-H-Q1-shaped)
@@ -517,7 +524,7 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {dsum_sql('value')} AS total_value
     FROM events
-    WHERE (value IS NULL OR abs(value) < 10000)
+    WHERE {_VALUE_IN_QUANT}
     GROUP BY user_id
     """,
 )

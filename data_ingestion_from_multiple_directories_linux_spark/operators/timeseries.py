@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cleansing import SQL_IN_QUANT_DOMAIN
 from .registry import query
+
+#: quantization-domain gate over the events value column, interpolated
+#: from the canonical template so the oracle bound cannot desynchronize
+#: from fn/cleansing.QUANT_DOMAIN (ADVICE r06 #2; pinned by
+#: tests/test_functions.py::test_quant_domain_oracle_literals).
+_VALUE_IN_QUANT = SQL_IN_QUANT_DOMAIN.format(c="value")
 
 __all__ = [
     "time_weighted_avg_value",
@@ -31,7 +38,7 @@ __all__ = [
 
 @query(
     "time_weighted_avg_value",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
         SELECT user_id,
                CAST(FLOOR(value * 1000) AS BIGINT) AS vmilli,
@@ -39,7 +46,7 @@ __all__ = [
                     PARTITION BY user_id ORDER BY ts, event_id
                 )) - epoch_us(ts)) // 1000000 AS dur_s
         FROM events
-        WHERE (value IS NULL OR abs(value) < 10000)
+        WHERE {_VALUE_IN_QUANT}
     )
     SELECT user_id,
            CAST(SUM(vmilli * dur_s) AS BIGINT) AS num_milli_sec,
@@ -456,7 +463,7 @@ ROLLUP_SPLIT_DAY = "2024-01-16"
 
 @query(
     "incremental_rollup_merge",
-    oracle="""
+    oracle=f"""
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -465,7 +472,7 @@ ROLLUP_SPLIT_DAY = "2024-01-16"
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_vmilli
     FROM events
-    WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
+    WHERE ts IS NOT NULL AND {_VALUE_IN_QUANT}
     GROUP BY 1, 2
     """,
 )

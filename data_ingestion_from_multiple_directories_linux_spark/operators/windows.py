@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.cleansing import SQL_IN_QUANT_DOMAIN
 from .registry import query
+
+#: quantization-domain gate over the events value column, interpolated
+#: from the canonical template so the oracle bound cannot desynchronize
+#: from fn/cleansing.QUANT_DOMAIN (ADVICE r06 #2; pinned by
+#: tests/test_functions.py::test_quant_domain_oracle_literals).
+_VALUE_IN_QUANT = SQL_IN_QUANT_DOMAIN.format(c="value")
 
 SESSION_GAP = "30 minutes"
 
@@ -174,14 +181,14 @@ def event_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multires_rollup_events",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
                event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
-        WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
+        WHERE ts IS NOT NULL AND {_VALUE_IN_QUANT}
         GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 DAY, h) AS day,
@@ -240,7 +247,7 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "moving_avg_user_value",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -255,7 +262,7 @@ def multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS cum_sum
     FROM events
-    WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 10000)
+    WHERE ts IS NOT NULL AND {_VALUE_IN_QUANT}
     """,
 )
 def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,13 +382,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "user_value_outliers",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT user_id, event_id,
                CAST(CAST(floor(value * 1000000) AS BIGINT)
                     AS DECIMAL(10,0)) AS qv
         FROM events
-        WHERE value IS NULL OR abs(value) < 10000
+        WHERE {_VALUE_IN_QUANT}
     ),
     st AS (
         SELECT user_id,
@@ -419,9 +426,10 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the widths above are load-bearing, see below): NaN/±Inf have no
     z-score, and a huge-but-finite value (1e308) saturates Spark's
     floor(double→long) at LONG_MIN where DuckDB's cast aborts
-    (nonfinite-float-sweep finding). abs(value) < 10000 excludes all
-    of those in one portable predicate (NaN compares above everything
-    in both engines, so it fails the <); out-of-domain magnitudes are
+    (nonfinite-float-sweep finding). The SQL_IN_QUANT_DOMAIN gate
+    (abs(value) < QUANT_DOMAIN) excludes all of those in one portable
+    predicate (NaN compares above everything in both engines, so it
+    fails the <); out-of-domain magnitudes are
     a RANGE-check violation — a different quality rule, upstream of
     z-scoring. NULL rows are KEPT (``IS NULL OR ...``) so the per-user
     row counts — and with them every deviation threshold — are

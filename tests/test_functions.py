@@ -525,15 +525,14 @@ def test_sanitize_nonfinite_empty_list_is_noop(spark):
 
 
 def test_quant_domain_oracle_literals():
-    """Every oracle SQL that inlines the quantization-domain gate
-    ``(c IS NULL OR abs(c) < 10000)`` must carry the canonical
-    QUANT_DOMAIN bound (ADVICE r06: the literal is repeated in six
-    oracle strings — relational.py:520, windows.py:184/258/384,
-    timeseries.py:42/468 — because interpolating the constant would
-    re-stale those files' fresh driver rows mid-rotation; this guard
-    makes any future domain change loud instead of silently
-    desynchronizing Spark filters from oracles; the interpolation
-    lands when the files next rotate anyway)."""
+    """Every oracle SQL carrying the quantization-domain gate derives
+    it from ``fn/cleansing.SQL_IN_QUANT_DOMAIN`` (ADVICE r06 #2,
+    landed r8 when the six files' driver rows rotated): the rendered
+    oracles must carry the canonical QUANT_DOMAIN bound, and no
+    operator SOURCE file may inline the literal by hand — a future
+    domain change must flow through the one constant."""
+    import glob
+    import os
     import re
 
     import __spark_entry__ as E
@@ -542,11 +541,12 @@ def test_quant_domain_oracle_literals():
         SQL_IN_QUANT_DOMAIN,
     )
 
-    # The canonical template renders exactly the inlined shape.
+    # The canonical template renders exactly the historical shape.
     assert (
         SQL_IN_QUANT_DOMAIN.format(c="value")
         == "(value IS NULL OR abs(value) < 10000)"
     )
+    # Rendered oracles: every gate carries the canonical bound.
     pat = re.compile(r"(\w+) IS NULL OR abs\(\1\)\s*<\s*([0-9.eE+]+)")
     hits = 0
     for name, sql in E.oracle_sql().items():
@@ -556,4 +556,19 @@ def test_quant_domain_oracle_literals():
                 f"{name}: quant-domain literal {m.group(2)} != "
                 f"QUANT_DOMAIN {QUANT_DOMAIN}"
             )
-    assert hits >= 6, f"expected >=6 inlined quant-domain gates, saw {hits}"
+    assert hits >= 6, f"expected >=6 rendered quant-domain gates, saw {hits}"
+    # Source files: zero hand-inlined literals — interpolation only.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = [
+        p
+        for p in glob.glob(
+            os.path.join(
+                root,
+                "data_ingestion_from_multiple_directories_linux_spark",
+                "operators",
+                "*.py",
+            )
+        )
+        if re.search(r"abs\(\w+\)\s*<\s*10000", open(p).read())
+    ]
+    assert not offenders, f"hand-inlined quant-domain literal in {offenders}"
