@@ -59,102 +59,87 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-7 allocation — DERIVED from tools/staleness.py (the automated
-# audit the round-6 verdict asked for; STALENESS_r07.json is its
-# output, regenerated at round end): all 50 slots go to renewals of
-# the stalest rows, per the round-6 verdict's task 1. The tool orders
-# stale queries by (newest-driver-row round ascending, implementing
-# file most-recently-touched first): the 41 queries riding r03 rows
-# lead (relational.py flagship block incl. q1_pricing_summary and
-# dedup_keep_newest, windows, asof, text_analysis block of 10,
-# multimodal 3, sketches, dedup core 4, corpus block of 9), then the
-# next 8 r04 rows. One manual displacement: maintenance_report_tables
-# takes slot 50 (its ORACLE text changed this round — the ADVICE r06
-# all-NULL-key gate mirror — so it needs a fresh driver row more than
-# the 9th r04 renewal, cohort_retention, which leads the 51+ tail).
-# Round 8 pays the remaining ~54 stale rows (r04 tpch block, r05s).
+# Round-8 allocation — DERIVED from tools/staleness.py at round start
+# (90 stale rows at HEAD: the 54 the round-7 verdict queued — 21 r04 +
+# 33 r05 — plus r06/r07 rows re-staled by this round's own edits to
+# masking/relational/windows/timeseries/cleansing; the fresh-process
+# VERIFY_LOCAL_r08 records at HEAD carry everything past the cap).
+# Slots: all 21 r04 rows first (tpch block, BPE trio, warehouse pair,
+# multimodal pair, click_attribution, udtf/weighted corpus pair), then
+# the 20 oldest r05 rows in tool order, then one manual displacement
+# block (the round-7 maintenance_report_tables precedent): the 9
+# queries whose ORACLE text or PLAN SHAPE changed this round — the
+# mask two-stage trio (json_extract_props, struct_field_mask,
+# struct_to_json) and the six quant-domain-interpolation oracles —
+# take the last 9 slots ahead of the remaining 13 r05 rows, which
+# lead the 51+ tail for round 9.
 _PRIORITY_FIRST = [
-    # (A) 41 queries riding r03 rows — zero r03 rows remain after this
-    # round (verdict task 1's done criterion).
-    "anti_join_no_orders",
-    "broadcast_brand_revenue",
-    "bulk_update_requeue",
-    "dedup_keep_newest",
-    "duplicate_extra_rows",
-    "event_gaps_lag",
-    "pivot_status_by_priority",
-    "q1_pricing_summary",
-    "range_join_ship_periods",
-    "semi_join_failed_retry",
-    "session_window_stats",
-    "sliding_window_counts",
-    "state_machine_summary",
-    "work_queue_dequeue",
-    "doc_token_stats",
-    "exact_dedup_documents",
-    "language_id_ngram",
-    "media_binary_stats",
-    "quality_filter_pipeline",
-    "rolling_hash_fingerprint",
-    "simhash_fingerprint",
-    "text_quality_scores",
-    "tf_idf_scores",
-    "token_frequency_topk",
-    "media_audio_stats",
-    "media_dimensions",
-    "media_video_stats",
-    "table_fingerprint",
-    "duplicate_clusters",
-    "minhash_lsh_near_dup",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "benchmark_decontamination",
-    "dataset_split_assign",
-    "document_chunks",
-    "length_bucketed_batches",
-    "mixture_schedule",
-    "pii_redact_text",
-    "repetition_ratio",
-    "sequence_packing",
-    "source_capped_sample",
-    # (B) the next 8 r04 rows in tool order
-    "key_skew_profile",
-    "stratified_sample_docs",
-    "m4_downsample_events",
-    "ntile_customer_quartiles",
-    "percent_rank_part_prices",
-    "token_cooccurrence_lift",
-    "dense_rank_order_values",
-    "grouping_sets_status_priority",
-    # (C) slot 50: oracle text changed this round (ADVICE r06 gate fix)
-    "maintenance_report_tables",
-    # --- positions 51+ (past the driver's 50-row cap; renewed rows
-    # land in round 8, covered this round by the fresh-process local
-    # verify record + the pytest parity sweeps): the remaining r04
-    # rows (tpch q4/q6/q9/q11/q13-q15/q18-q21 block, warehouse,
-    # text_analysis BPE trio, multimodal pair), then the r05s, in
-    # tools/staleness.py order.
-    "cohort_retention",
-    "scd2_user_state_intervals",
-    "bpe_merge_pair_counts",
-    "char_lm_surprise",
-    "vocab_dense_ids",
-    "audio_fingerprint_classes",
-    "image_near_dup_ahash",
-    "click_attribution_batch",
-    "q11_part_value_concentration",
-    "q13_customer_order_distribution",
-    "q14_promo_effect",
-    "q15_top_revenue_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_share_suppliers",
-    "q21_sole_late_suppliers",
-    "q4_late_shipment_priority",
-    "q6_forecast_revenue",
-    "q9_nation_year_profit",
-    "udtf_char_chunks",
-    "weighted_sample_docs",
+    "bpe_merge_pair_counts",  # r04
+    "char_lm_surprise",  # r04
+    "udtf_char_chunks",  # r04
+    "vocab_dense_ids",  # r04
+    "weighted_sample_docs",  # r04
+    "audio_fingerprint_classes",  # r04
+    "click_attribution_batch",  # r04
+    "cohort_retention",  # r04
+    "image_near_dup_ahash",  # r04
+    "q11_part_value_concentration",  # r04
+    "q13_customer_order_distribution",  # r04
+    "q14_promo_effect",  # r04
+    "q15_top_revenue_supplier",  # r04
+    "q18_large_volume_customers",  # r04
+    "q19_disjunctive_revenue",  # r04
+    "q20_dominant_share_suppliers",  # r04
+    "q21_sole_late_suppliers",  # r04
+    "q4_late_shipment_priority",  # r04
+    "q6_forecast_revenue",  # r04
+    "q9_nation_year_profit",  # r04
+    "scd2_user_state_intervals",  # r04
+    "count_distinct_users",  # r05
+    "cube_status_priority",  # r05
+    "date_validation_split",  # r05
+    "distinct_status_priority",  # r05
+    "event_transition_matrix",  # r05
+    "except_open_not_failed",  # r05
+    "funnel_conversion",  # r05
+    "intersect_repeat_customers",  # r05
+    "minmax_priority_window",  # r05
+    "notin_priority_counts",  # r05
+    "null_normalization",  # r05
+    "peak_concurrency_daily",  # r05
+    "q10_returned_items",  # r05
+    "q3_shipping_priority",  # r05
+    "regex_part_filter",  # r05
+    "rolling_active_users",  # r05
+    "rollup_status_priority",  # r05
+    "top_event_paths",  # r05
+    "top_k_orders",  # r05
+    "top_spender_subquery_agg",  # r05
+    "incremental_rollup_merge",  # r06-changed
+    "json_extract_props",  # r06-changed
+    "moving_avg_user_value",  # r06-changed
+    "multires_rollup_events",  # r06-changed
+    "salted_skew_counts",  # r06-changed
+    "struct_field_mask",  # r06-changed
+    "struct_to_json",  # r06-changed
+    "time_weighted_avg_value",  # r06-changed
+    "user_value_outliers",  # r06-changed
+    # -- slots 51+: the 13 remaining r05 stale rows lead the tail (the
+    # driver cap is 50, so these ride VERIFY_LOCAL_r08 until round 9's
+    # rotation — or get rows this round if the cap ever rises).
+    "union_pipeline_summary",  # r05
+    "update_join_propagate",  # r05
+    "cluster_size_histogram",  # r05
+    "cross_source_overlap",  # r05
+    "dedup_materialize_canonical",  # r05
+    "minhash_incremental_near_dup",  # r05
+    "normalized_exact_dedup",  # r05
+    "count_min_heavy_hitters",  # r05
+    "join_cardinality_estimate",  # r05
+    "kmv_distinct_by_day",  # r05
+    "media_pixel_stats",  # r05
+    "q22_idle_customers",  # r05
+    "top_parts_per_brand",  # r05
 ]
 
 
