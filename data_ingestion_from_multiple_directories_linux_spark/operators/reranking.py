@@ -1,0 +1,155 @@
+"""Two-stage retrieval: ANN candidate generation + cross-encoder rerank.
+
+The production LLM-retrieval shape (SURVEY.md §2.12a additive surface;
+the reference has no retrieval stack — this extends the engine for the
+100 TB training-data brief): a cheap first stage retrieves N_CAND
+candidates per query from the vector index, then an EXPENSIVE pairwise
+model — a cross-encoder, which scores (query, candidate) JOINTLY and
+therefore cannot be precomputed per-document — reranks only those
+candidates. The cost structure is the whole point at scale:
+
+* stage 1 is the existing ANN machinery (here the exact brute-force
+  baseline of ``cosine_topk``; the IVF path swaps in unchanged): one
+  scan, quantized JVM dot products, TakeOrderedAndProject — no shuffle
+  of the corpus;
+* stage 2 touches N_CAND rows per query — O(N_CAND · d), INDEPENDENT
+  of corpus size. The model is broadcast; reranking a 100 TB corpus
+  costs the same as reranking 50 rows, because only 50 rows reach it.
+
+The cross-encoder here is a deterministic stand-in with the defining
+property of the real thing — an interaction term over the PAIR,
+``-u_i·|q_i - c_i|``, not factorizable into independent query/doc
+encodings — so the oracle can replay it exactly. A production
+transformer cross-encoder replaces ``_cross_score_q`` with an
+Arrow-batched Pandas UDF over the same bounded candidate frame (the
+multimodal decode stubs set the precedent); every other part of the
+plan — bounded candidates, broadcast query, rerank-then-topk — is the
+real pattern.
+
+Determinism: per-dimension terms are floored into BIGINT milli-space
+(``floor(x · 1e9)``) and summed — order-independent, bit-identical in
+DuckDB (the functions.vectors convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import (
+    SCALE,
+    cosine_q,
+    dot_q,
+    norm_sq_q,
+    sql_cosine_q,
+    sql_dot_q,
+    sql_norm_sq_q,
+    to_double_array,
+)
+from .registry import query
+from .similarity import E_SQL, EMB_DIM, QUERY_VEC_ID, load_embeddings
+
+#: stage-1 candidate count — the knob that bounds stage-2 cost.
+N_CAND = 50
+#: final reranked result size.
+RERANK_K = 10
+
+
+def _w(i: Column) -> Column:
+    """Match-weight for dimension i: ((i·37) mod 19 − 9) / 10 — a fixed
+    "trained" weight in [-0.9, 0.9], derived from the dimension index so
+    both engines synthesize the identical model with no stored
+    artifact."""
+    return (((i * 37) % 19) - 9).cast("double") / 10.0
+
+
+def _u(i: Column) -> Column:
+    """Mismatch-penalty weight for dimension i: ((i·23) mod 13) / 10."""
+    return ((i * 23) % 13).cast("double") / 10.0
+
+
+def _cross_score_q(qv: Column | str, cv: Column | str) -> Column:
+    """Quantized cross-encoder score of a (query, candidate) pair:
+    sum_i floor(w_i·q_i·c_i·1e9) − floor(u_i·|q_i−c_i|·1e9) as BIGINT.
+    The |q−c| interaction makes the score genuinely pairwise."""
+    q = F.col(qv) if isinstance(qv, str) else qv
+    c = F.col(cv) if isinstance(cv, str) else cv
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    terms = F.transform(
+        idx,
+        lambda i: (
+            F.floor(
+                _w(i) * F.element_at(q, i + 1) * F.element_at(c, i + 1) * F.lit(SCALE)
+            ).cast("long")
+            - F.floor(
+                _u(i)
+                * F.abs(F.element_at(q, i + 1) - F.element_at(c, i + 1))
+                * F.lit(SCALE)
+            ).cast("long")
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+_SQL_CROSS_SCORE = f"""CAST(list_sum(list_transform(range({EMB_DIM}),
+    i -> CAST(floor(((i*37) % 19 - 9) / 10.0
+                    * {{q}}[i+1] * {{c}}[i+1] * 1e9) AS BIGINT)
+       - CAST(floor(((i*23) % 13) / 10.0
+                    * abs({{q}}[i+1] - {{c}}[i+1]) * 1e9) AS BIGINT)
+)) AS BIGINT)"""
+
+
+@query(
+    "rerank_topk_cross",
+    oracle=f"""
+    WITH e AS ({E_SQL}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.label, e.v, q.qv,
+               {sql_cosine_q(sql_dot_q('e.v', 'q.qv'),
+                             sql_norm_sq_q('e.v'),
+                             sql_norm_sq_q('q.qv'))} AS cosine
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT {N_CAND}
+    )
+    SELECT vec_id, label, cosine,
+           {_SQL_CROSS_SCORE.format(q='qv', c='v')} AS rerank_n
+    FROM cand
+    ORDER BY rerank_n DESC, vec_id
+    LIMIT {RERANK_K}
+    """,
+)
+def rerank_topk_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: brute cosine top-{N_CAND} candidates for
+    the query vector (stage 1, the ``cosine_topk`` machinery), then the
+    pairwise cross-encoder score reranks to top-{RERANK_K} (stage 2).
+
+    Plan shape: one corpus scan with the broadcast 1-row query vector
+    (allowlisted scalar crossJoin), TakeOrderedAndProject for the
+    candidate heap, then the rerank expression over {N_CAND} rows and a
+    second (trivial) top-k. Both LIMITs carry unique vec_id tiebreaks
+    so the candidate SET — not just the scores — is engine-identical.
+    """
+    e = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
+    cos = cosine_q(dot_q("v", "qv"), norm_sq_q("v"), norm_sq_q("qv"))
+    cand = (
+        scored.select("vec_id", "label", "v", "qv", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(N_CAND)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "cosine",
+            _cross_score_q("qv", "v").alias("rerank_n"),
+        )
+        .orderBy(F.desc("rerank_n"), F.asc("vec_id"))
+        .limit(RERANK_K)
+    )

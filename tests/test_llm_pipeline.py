@@ -1296,3 +1296,64 @@ def test_audio_key_never_degenerate():
 
     keys = {_audio_key(i) for i in range(1000)}
     assert 0 not in keys and 255 not in keys
+
+
+# ---------------------------------------------------------------------------
+# Retrieve-then-rerank (reranking.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_topk_cross_reranks_not_just_truncates(spark):
+    """The cross-encoder stage must genuinely reorder stage-1
+    candidates: the reranked top-k may not equal the cosine top-k in
+    the same order (else the pairwise scorer is a no-op), every result
+    must come from the stage-1 candidate set, and the pairwise
+    interaction term makes the self-pair score the per-dimension
+    maximum (|q-c|=0 penalty vanishes)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.reranking import (
+        N_CAND,
+        RERANK_K,
+        rerank_topk_cross,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        QUERY_VEC_ID,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        load_embeddings,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.functions.vectors import (
+        cosine_q,
+        dot_q,
+        norm_sq_q,
+        to_double_array,
+    )
+
+    out = rerank_topk_cross(spark, SF_SMALL).collect()
+    assert len(out) == RERANK_K
+    assert len({r["vec_id"] for r in out}) == RERANK_K
+    assert all(r["vec_id"] != QUERY_VEC_ID for r in out)
+    # rerank order is genuinely different from cosine order
+    by_rerank = [r["vec_id"] for r in out]
+    by_cosine = [
+        r["vec_id"]
+        for r in sorted(out, key=lambda r: (-r["cosine"], r["vec_id"]))
+    ]
+    assert by_rerank != by_cosine
+    # every result is a stage-1 candidate (cosine within the top-N_CAND)
+    e = load_embeddings(spark, SF_SMALL).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_q(dot_q("v", "qv"), norm_sq_q("v"), norm_sq_q("qv")).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(N_CAND)
+        .collect()
+    )
+    cand_ids = {r["vec_id"] for r in cand}
+    assert all(r["vec_id"] in cand_ids for r in out)

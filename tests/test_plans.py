@@ -119,6 +119,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "ivfpq_topk_neighbors",
         # 1-row model-total scalar broadcast (same pattern as kmv/tf_idf)
         "char_lm_surprise",
+        # 1-row query-vector scalar broadcast (same pattern as cosine_topk)
+        "rerank_topk_cross",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
