@@ -26,6 +26,8 @@ if _REPO_DIR not in sys.path:
 from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: E402
     asof,  # noqa: F401
     attribution,  # noqa: F401
+    bloomdedup,  # noqa: F401
+    calibration,  # noqa: F401
     corpus,  # noqa: F401
     dedup,  # noqa: F401
     graphs,  # noqa: F401

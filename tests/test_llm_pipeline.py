@@ -1357,3 +1357,64 @@ def test_rerank_topk_cross_reranks_not_just_truncates(spark):
     )
     cand_ids = {r["vec_id"] for r in cand}
     assert all(r["vec_id"] in cand_ids for r in out)
+
+
+def test_bloom_url_dedup_no_false_negatives(spark):
+    """The Bloom contract that makes the scale path safe: a
+    bloom-negative ('new') URL must NEVER exist in the seen set — the
+    filter may only err toward false POSITIVES (which the exact join
+    then resolves). Also pins that every verdict class is reachable
+    and the classes partition the incoming set."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        _url_col,
+        bloom_url_dedup,
+    )
+
+    out = bloom_url_dedup(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", _url_col().alias("url")
+    )
+    seen_urls = {
+        r["url"] for r in docs.filter(F.col("doc_id") % 3 != 0).collect()
+    }
+    rows = out.collect()
+    inc_count = docs.filter(F.col("doc_id") % 3 == 0).count()
+    assert len(rows) == inc_count
+    for r in rows:
+        if r["verdict"] == "new":
+            assert r["url"] not in seen_urls, r       # no false negatives
+            assert r["bloom_hit"] == 0
+        elif r["verdict"] == "dup":
+            assert r["url"] in seen_urls, r
+            assert r["bloom_hit"] == 1
+        else:
+            assert r["verdict"] == "false_positive"
+            assert r["url"] not in seen_urls, r       # bloom said maybe, join said no
+            assert r["bloom_hit"] == 1
+
+
+def test_quality_threshold_metrics_confusion_partitions(spark):
+    """Per threshold, TP+FP+FN+TN must equal the scored-document count
+    (NULL scores excluded on both sides), recall must be monotone
+    non-increasing in the threshold, and the milli-rates must respect
+    their definitions — the histogram-derived phase-2 path has to
+    reproduce the direct per-document confusion exactly."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.calibration import (
+        _scored,
+        quality_threshold_metrics,
+    )
+
+    total = _scored(spark, SF_SMALL).filter(F.col("z").isNotNull()).count()
+    rows = sorted(
+        quality_threshold_metrics(spark, SF_SMALL).collect(),
+        key=lambda r: r["thresh"],
+    )
+    assert [r["thresh"] for r in rows] == [1000, 2000, 3000, 4000]
+    prev_recall = None
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == total
+        assert r["precision_milli"] == (1000 * r["tp"]) // max(r["tp"] + r["fp"], 1)
+        assert r["recall_milli"] == (1000 * r["tp"]) // max(r["tp"] + r["fn"], 1)
+        if prev_recall is not None:
+            assert r["recall_milli"] <= prev_recall
+        prev_recall = r["recall_milli"]

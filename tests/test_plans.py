@@ -121,6 +121,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "char_lm_surprise",
         # 1-row query-vector scalar broadcast (same pattern as cosine_topk)
         "rerank_topk_cross",
+        # 1-row bloom-bits scalar broadcast (once per union branch)
+        "bloom_url_dedup",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
