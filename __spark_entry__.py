@@ -75,8 +75,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # mask two-stage trio (json_extract_props, struct_field_mask,
 # struct_to_json) and the six quant-domain-interpolation oracles —
 # take the last 9 slots ahead of the remaining 13 r05 rows, which
-# lead the 51+ tail for round 9.
+# lead the 51+ tail for round 9. Final adjustment: the 4 queries ADDED
+# this round (rerank/bloom/calibration — no driver row ever, the
+# weakest evidence class, ranked first by the tool's rnd==0 rule) take
+# slots 1-4, displacing the last 4 r05 renewals to the tail head.
 _PRIORITY_FIRST = [
+    "rerank_topk_cross",  # new r8
+    "bloom_url_dedup",  # new r8
+    "quality_calibration_bins",  # new r8
+    "quality_threshold_metrics",  # new r8
     "bpe_merge_pair_counts",  # r04
     "char_lm_surprise",  # r04
     "udtf_char_chunks",  # r04
@@ -114,10 +121,6 @@ _PRIORITY_FIRST = [
     "q3_shipping_priority",  # r05
     "regex_part_filter",  # r05
     "rolling_active_users",  # r05
-    "rollup_status_priority",  # r05
-    "top_event_paths",  # r05
-    "top_k_orders",  # r05
-    "top_spender_subquery_agg",  # r05
     "incremental_rollup_merge",  # r06-changed
     "json_extract_props",  # r06-changed
     "moving_avg_user_value",  # r06-changed
@@ -127,9 +130,13 @@ _PRIORITY_FIRST = [
     "struct_to_json",  # r06-changed
     "time_weighted_avg_value",  # r06-changed
     "user_value_outliers",  # r06-changed
-    # -- slots 51+: the 13 remaining r05 stale rows lead the tail (the
+    # -- slots 51+: the remaining r05 stale rows lead the tail (the
     # driver cap is 50, so these ride VERIFY_LOCAL_r08 until round 9's
     # rotation — or get rows this round if the cap ever rises).
+    "rollup_status_priority",  # r05
+    "top_event_paths",  # r05
+    "top_k_orders",  # r05
+    "top_spender_subquery_agg",  # r05
     "union_pipeline_summary",  # r05
     "update_join_propagate",  # r05
     "cluster_size_histogram",  # r05
