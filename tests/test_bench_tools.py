@@ -78,3 +78,59 @@ def test_bench_compare_gate_and_noise_floor(tmp_path):
     p = _run(f"{TOOLS}/bench_compare.py", str(new), str(hist))
     assert p.returncode == 0
     assert "brand_new" not in p.stdout
+
+
+def test_bench_compare_usage_and_empty_history(tmp_path):
+    """The round-8 guards: bare invocation prints usage (exit 2, no
+    IndexError); a candidate with zero shared history queries passes
+    vacuously instead of dividing by zero (ADVICE r07 — the first
+    round a record exists)."""
+    p = _run(f"{TOOLS}/bench_compare.py")
+    assert p.returncode == 2
+    assert "usage:" in p.stderr
+    cand = tmp_path / "cand.json"
+    cand.write_text(json.dumps({"queries": {"a": 1.0}}))
+    p = _run(f"{TOOLS}/bench_compare.py", str(cand))
+    assert p.returncode == 0, p.stderr
+    assert "vacuously PASS" in p.stdout
+
+
+def test_staleness_helper_deps_sees_streaming_and_siblings(tmp_path):
+    """ADVICE r07: helper_deps must see `from ..streaming.x import`
+    (the attribution.py blind spot), sibling `from .x import`, and
+    every name in `from ..pkg import a, b` — a helper rewrite through
+    any of these paths has to flip stale_strict."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "staleness", f"{TOOLS}/staleness.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    pkg = tmp_path / "data_ingestion_from_multiple_directories_linux_spark"
+    ops = pkg / "operators"
+    ops.mkdir(parents=True)
+    (pkg / "streaming").mkdir()
+    (pkg / "functions").mkdir()
+    (pkg / "streaming" / "stream_join.py").write_text("")
+    (pkg / "functions" / "cleansing.py").write_text("")
+    (pkg / "functions" / "masking.py").write_text("")
+    (ops / "dedup.py").write_text("")
+    f = ops / "attribution.py"
+    f.write_text(
+        "from ..streaming.stream_join import attribute_clicks\n"
+        "from ..functions import cleansing, masking\n"
+        "from .dedup import pairs\n"
+    )
+    rel = str(f.relative_to(tmp_path))
+    old_repo = mod.REPO
+    try:
+        mod.REPO = str(tmp_path)
+        deps = mod.helper_deps({rel})[rel]
+    finally:
+        mod.REPO = old_repo
+    assert f"{pkg.name}/streaming/stream_join.py" in deps
+    assert f"{pkg.name}/functions/cleansing.py" in deps
+    assert f"{pkg.name}/functions/masking.py" in deps
+    assert f"{pkg.name}/operators/dedup.py" in deps
