@@ -93,6 +93,57 @@ def _sql_bit(url: str, j: str) -> str:
     )
 
 
+#: persisted-filter table name (the fourth persistent-state family,
+#: beside IVF/PQ codebooks, the MinHash band index and the streaming
+#: checkpoint: build once, serve from any later session).
+BLOOM_BITS_TABLE = "_bloom_url_bits"
+
+
+def bloom_bits(urls: DataFrame) -> DataFrame:
+    """Distinct set-bit positions of the filter over a ``url`` frame —
+    the filter's MERGEABLE representation. Bit positions are a
+    deterministic function of the key alone, so the filter over a
+    union of key sets is EXACTLY the union of the per-set bit frames:
+    ``bloom_bits(A ∪ B) == distinct(bloom_bits(A) ∪ bloom_bits(B))``.
+    Daily ingest therefore just APPENDS the new batch's bits (no
+    read-modify-write of a monolithic bitmap), distributed builders
+    union partial frames, and ``probe``'s distinct-on-read collapses
+    the overlap — the same artifacts-as-tables cadence as the MinHash
+    band index (pytest: cross-session e2e + merge==rebuild)."""
+    return urls.select(
+        F.explode(
+            F.array(*[_bit(F.col("url"), j) for j in range(K_HASH)])
+        ).alias("bit")
+    ).distinct()
+
+
+def ingest_bloom_bits(store, urls: DataFrame) -> None:
+    """Append one batch's bits to the persisted filter (a
+    :class:`~...sources.table_store.TableStore` table). Idempotence
+    across crash-replays rides the same commit-marker pattern as the
+    ingestion sink; a duplicate append is HARMLESS for probing (union
+    of identical bits) — the filter can only over-approximate, never
+    lose a key."""
+    store.append(BLOOM_BITS_TABLE, bloom_bits(urls))
+
+
+def probe_bloom(incoming: DataFrame, bits: DataFrame) -> DataFrame:
+    """Add a ``hit`` column to an incoming ``url`` frame: True iff all
+    K_HASH positions are set in ``bits`` (possibly the persisted,
+    multi-day appended frame — distinct'd here before the one-row
+    collapse + broadcast)."""
+    bits_row = bits.select("bit").distinct().agg(
+        F.collect_set("bit").alias("bits")
+    )
+    probe_positions = F.array(*[_bit(F.col("url"), j) for j in range(K_HASH)])
+    return incoming.crossJoin(F.broadcast(bits_row)).select(
+        *incoming.columns,
+        F.forall(
+            probe_positions, lambda p: F.array_contains(F.col("bits"), p)
+        ).alias("hit"),
+    )
+
+
 @query(
     "bloom_url_dedup",
     oracle=f"""
@@ -145,22 +196,7 @@ def bloom_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = d.filter(F.col("doc_id") % 3 != 0).select("url")
     inc = d.filter(F.col("doc_id") % 3 == 0)
 
-    bits = (
-        seen.select(
-            F.explode(
-                F.array(*[_bit(F.col("url"), j) for j in range(K_HASH)])
-            ).alias("bit")
-        )
-        .agg(F.collect_set("bit").alias("bits"))
-    )
-    probe_bits = F.array(*[_bit(F.col("url"), j) for j in range(K_HASH)])
-    probed = inc.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "url",
-        F.forall(
-            probe_bits, lambda p: F.array_contains(F.col("bits"), p)
-        ).alias("hit"),
-    )
+    probed = probe_bloom(inc, bloom_bits(seen))
 
     negatives = probed.filter(~F.col("hit")).select(
         "doc_id", "url", F.lit(0).alias("bloom_hit"), F.lit("new").alias("verdict")

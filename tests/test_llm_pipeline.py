@@ -1418,3 +1418,106 @@ def test_quality_threshold_metrics_confusion_partitions(spark):
         if prev_recall is not None:
             assert r["recall_milli"] <= prev_recall
         prev_recall = r["recall_milli"]
+
+
+_BLOOM_SERVE_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, functions as F
+
+wh, out, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("bloom-serve")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from data_ingestion_from_multiple_directories_linux_spark.catalog import load_table
+from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+    BLOOM_BITS_TABLE,
+    _url_col,
+    ingest_bloom_bits,
+    probe_bloom,
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+    TableStore,
+)
+
+# Day 1 in a NEW session: probe today's batch against ONLY the
+# persisted bit table (day 0's URLs are never re-hashed), then append
+# today's bits for day 2.
+store = TableStore(spark, wh)
+d = load_table(spark, sf, "documents").select("doc_id", _url_col().alias("url"))
+inc = d.filter(F.col("doc_id") % 3 == 0)
+probed = probe_bloom(inc, store.read(BLOOM_BITS_TABLE))
+hits = sorted((r["doc_id"], bool(r["hit"])) for r in probed.collect())
+ingest_bloom_bits(store, inc.select("url"))
+with open(out, "w") as f:
+    json.dump(hits, f)
+"""
+
+
+def test_bloom_bits_multisession_serve_and_merge(spark, tmp_path):
+    """The Bloom filter is the fourth persistent-state family: day 0
+    builds + persists the bit table in this session; day 1 probes in a
+    SEPARATE process with a new SparkSession reading only the persisted
+    table, and its hit map must equal an in-session recompute (bit
+    positions are deterministic per key). Day 1 then APPENDS its own
+    bits, and the merged table must equal a from-scratch build over the
+    union of both days' keys — the mergeability that lets distributed
+    builders union partial frames instead of read-modify-writing a
+    monolithic bitmap."""
+    import json
+    import subprocess
+    import sys
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        BLOOM_BITS_TABLE,
+        _url_col,
+        bloom_bits,
+        ingest_bloom_bits,
+        probe_bloom,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", _url_col().alias("url")
+    )
+    seen = d.filter(F.col("doc_id") % 3 != 0).select("url")
+    inc = d.filter(F.col("doc_id") % 3 == 0)
+    ingest_bloom_bits(store, seen)
+
+    script = tmp_path / "serve_bloom.py"
+    script.write_text(_BLOOM_SERVE_SCRIPT)
+    out_json = tmp_path / "hits.json"
+    proc = subprocess.run(
+        [sys.executable, str(script), wh, str(out_json), SF_SMALL],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"day-1 process failed:\n{proc.stderr[-4000:]}"
+    got = [(i, h) for i, h in json.load(out_json.open())]
+    want = sorted(
+        (r["doc_id"], bool(r["hit"]))
+        for r in probe_bloom(inc, bloom_bits(seen)).collect()
+    )
+    assert got == want and got
+
+    # merge == rebuild: day-0 ∪ day-1 appended bits equal a from-scratch
+    # filter over the union of both days' keys.
+    merged = {
+        r["bit"] for r in store.read(BLOOM_BITS_TABLE).distinct().collect()
+    }
+    scratch = {
+        r["bit"]
+        for r in bloom_bits(seen.unionByName(inc.select("url"))).collect()
+    }
+    assert merged == scratch
