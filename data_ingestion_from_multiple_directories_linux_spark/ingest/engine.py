@@ -42,7 +42,7 @@ from ..functions.cleansing import (
     normalize_nulls,
     try_parse_timestamp,
 )
-from ..functions.masking import mask_columns, mask_json_keys, mask_struct_value
+from ..functions.masking import mask_columns, mask_struct_value_staged
 from ..sources.json_dir import (
     CORRUPT_COL,
     FileMeta,
@@ -184,8 +184,10 @@ def _default_transforms() -> dict[str, list]:
             )
         ],
         # file_loader.py:606 — mask inside extra.value JSON payload
+        # (staged form: the heavy stage-1 regexp runs once per row
+        # behind a projection boundary — the r8 masking rewrite)
         "hts_client": [
-            lambda df: df.withColumn("extra", mask_struct_value("extra"))
+            lambda df: mask_struct_value_staged(df, "extra")
             if "extra" in df.columns
             else df
         ],

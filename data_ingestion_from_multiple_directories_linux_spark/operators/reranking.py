@@ -91,6 +91,37 @@ def _cross_score_q(qv: Column | str, cv: Column | str) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def rerank_scores_pandas(cand: DataFrame) -> DataFrame:
+    """Arrow-batched twin of :func:`_cross_score_q` — the SEAM where a
+    real transformer cross-encoder plugs in: batch model inference over
+    the bounded candidate frame via ``mapInPandas`` (never per-row
+    Python). Bit-identical to the JVM expression (pytest-pinned):
+    both evaluate the same IEEE-double products in the same
+    association order — ``((w·q)·c)·1e9`` and ``(u·|q−c|)·1e9`` —
+    floor to int64, and sum exactly. Input needs columns
+    ``vec_id, v, qv``; output schema ``vec_id long, rerank_n long``."""
+    import numpy as np
+    import pandas as pd
+
+    i = np.arange(EMB_DIM, dtype=np.int64)
+    w = ((i * 37) % 19 - 9) / 10.0
+    u = ((i * 23) % 13) / 10.0
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["qv"].to_numpy())
+            c = np.vstack(pdf["v"].to_numpy())
+            s = (
+                np.floor(w * q * c * SCALE).astype(np.int64)
+                - np.floor(u * np.abs(q - c) * SCALE).astype(np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "rerank_n": s})
+
+    return cand.mapInPandas(score_batches, "vec_id long, rerank_n long")
+
+
 _SQL_CROSS_SCORE = f"""CAST(list_sum(list_transform(range({EMB_DIM}),
     i -> CAST(floor(((i*37) % 19 - 9) / 10.0
                     * {{q}}[i+1] * {{c}}[i+1] * 1e9) AS BIGINT)

@@ -1521,3 +1521,38 @@ def test_bloom_bits_multisession_serve_and_merge(spark, tmp_path):
         for r in bloom_bits(seen.unionByName(inc.select("url"))).collect()
     }
     assert merged == scratch
+
+
+def test_rerank_pandas_scorer_bit_identical_to_jvm(spark):
+    """The documented swap-in seam is real: the Arrow-batched
+    mapInPandas scorer (where a transformer cross-encoder would run)
+    produces BIT-IDENTICAL scores to the JVM expression for every
+    stage-1 candidate — same IEEE-double products in the same
+    association order, floored to int64."""
+    from data_ingestion_from_multiple_directories_linux_spark.functions.vectors import (
+        to_double_array,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.reranking import (
+        _cross_score_q,
+        rerank_scores_pandas,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        load_embeddings,
+    )
+
+    e = load_embeddings(spark, SF_SMALL).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
+    jvm = {
+        r["vec_id"]: r["s"]
+        for r in cand.select(
+            "vec_id", _cross_score_q("qv", "v").alias("s")
+        ).collect()
+    }
+    py = {
+        r["vec_id"]: r["rerank_n"] for r in rerank_scores_pandas(cand).collect()
+    }
+    assert py == jvm and len(py) > 100
