@@ -104,6 +104,12 @@ SCALE_OPS = (
     "embedding_near_dup_ivf",
     "embedding_near_dup_lsh",
     "simhash_fingerprint",
+    # round-8 additions — both LINEAR by construction (bloom probe is a
+    # projection + a bounded-sliver join; rerank stage 2 is
+    # corpus-size-independent), so their decade ratios certify the
+    # bound holds, not that bucketing tamed a quadratic
+    "bloom_url_dedup",
+    "rerank_topk_cross",
 )
 SCALE_SMALL_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_SMALL_DIR", "/root/testdata/sf0.01"
@@ -201,6 +207,7 @@ def _amplified_dir(spark, tmp: str) -> str:
             emb.select(
                 (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
                 F.transform("embedding", sign).alias("embedding"),
+                "label",  # rerank_topk_cross reads it
             )
         )
     amp_emb = emb_copies[0]
