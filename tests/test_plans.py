@@ -121,6 +121,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "char_lm_surprise",
         # 1-row query-vector scalar broadcast (same pattern as cosine_topk)
         "rerank_topk_cross",
+        # same ≤32-row centroid broadcast as ivf_topk_neighbors
+        "rerank_topk_ivf",
         # 1-row bloom-bits scalar broadcast (once per union branch)
         "bloom_url_dedup",
     }
