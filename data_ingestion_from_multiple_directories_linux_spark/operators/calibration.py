@@ -199,3 +199,80 @@ def quality_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_milli"),
         )
     )
+
+
+@query(
+    "classifier_auc_exact",
+    oracle=f"""
+    WITH t AS ({_SCORED_SQL}),
+    g AS (
+        SELECT z,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS npos
+        FROM t WHERE z IS NOT NULL
+        GROUP BY z
+    ),
+    c AS (
+        SELECT z, n, npos, n - npos AS nneg,
+               COALESCE(SUM(n - npos) OVER (ORDER BY z
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(SUM(npos * (2 * neg_below + nneg)) AS BIGINT) AS num2,
+               CAST(SUM(npos) AS BIGINT) AS npos,
+               CAST(SUM(nneg) AS BIGINT) AS nneg
+        FROM c
+    )
+    SELECT npos, nneg,
+           CAST((1000000 * num2) // (2 * greatest(npos * nneg, 1)) AS BIGINT)
+               AS auc_micro
+    FROM s
+    """,
+)
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the quality classifier via the rank statistic
+    (Mann-Whitney U with average-rank tie handling): over distinct
+    scores z, AUC·2·npos·nneg = Σ_z npos_z·(2·neg_below(z) + nneg_z) —
+    each positive beats every lower-scored negative once and splits
+    ties at the same z. Integer-exact end to end (micro-AUC by floor
+    division), so the hash compare is byte-stable.
+
+    Scale shape: the corpus collapses to DISTINCT SCORES first (the
+    same bounded-domain trick as vocab ranking), so the cumulative
+    window runs over |score domain| rows, not corpus rows — and the
+    final three-number summary is a 1-row scalar (the allowlisted
+    kmv/tf_idf class). For an unbounded score domain the two-phase
+    bucketed prefix-sum (peak_concurrency_daily's device) swaps in.
+    NULL scores are excluded on both sides (they rank nowhere)."""
+    from pyspark.sql import Window as W
+
+    g = (
+        _scored(spark, sf_dir)
+        .filter(F.col("z").isNotNull())
+        .groupBy("z")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("npos"),
+        )
+        .withColumn("nneg", F.col("n") - F.col("npos"))
+    )
+    w = W.orderBy("z").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn(
+        "neg_below", F.coalesce(F.sum("nneg").over(w), F.lit(0))
+    )
+    s = c.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("neg_below") + F.col("nneg"))
+        ).cast("long").alias("num2"),
+        F.sum("npos").cast("long").alias("npos"),
+        F.sum("nneg").cast("long").alias("nneg"),
+    )
+    return s.select(
+        "npos",
+        "nneg",
+        F.expr("(1000000 * num2) div (2 * greatest(npos * nneg, 1))")
+        .cast("long")
+        .alias("auc_micro"),
+    )

@@ -1582,3 +1582,27 @@ def test_rerank_topk_ivf_batch_shape(spark):
         ]
         reordered += by_rerank != by_cosine
     assert reordered >= 1
+
+
+def test_classifier_auc_matches_bruteforce_pairs(spark):
+    """The rank-statistic AUC equals the O(n²) pair definition computed
+    in plain Python: (wins + ties/2) / (npos·nneg), micro-floored."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.calibration import (
+        _scored,
+        classifier_auc_exact,
+    )
+
+    rows = [
+        (r["z"], r["pos"])
+        for r in _scored(spark, SF_SMALL).collect()
+        if r["z"] is not None
+    ]
+    pos = [z for z, p in rows if p]
+    neg = [z for z, p in rows if not p]
+    num2 = sum(
+        2 if zp > zn else (1 if zp == zn else 0) for zp in pos for zn in neg
+    )
+    want = (1_000_000 * num2) // (2 * max(len(pos) * len(neg), 1))
+    got = classifier_auc_exact(spark, SF_SMALL).collect()[0]
+    assert got["npos"] == len(pos) and got["nneg"] == len(neg)
+    assert got["auc_micro"] == want
