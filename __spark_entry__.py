@@ -83,6 +83,7 @@ _PRIORITY_FIRST = [
     "rerank_topk_cross",  # new r8
     "rerank_topk_ivf",  # new r8
     "bloom_url_dedup",  # new r8
+    "bloom_fp_audit",  # new r8
     "quality_calibration_bins",  # new r8
     "quality_threshold_metrics",  # new r8
     "classifier_auc_exact",  # new r8
@@ -120,7 +121,6 @@ _PRIORITY_FIRST = [
     "null_normalization",  # r05
     "peak_concurrency_daily",  # r05
     "q10_returned_items",  # r05
-    "q3_shipping_priority",  # r05
     "incremental_rollup_merge",  # r06-changed
     "json_extract_props",  # r06-changed
     "moving_avg_user_value",  # r06-changed
@@ -133,6 +133,7 @@ _PRIORITY_FIRST = [
     # -- slots 51+: the remaining r05 stale rows lead the tail (the
     # driver cap is 50, so these ride VERIFY_LOCAL_r08 until round 9's
     # rotation — or get rows this round if the cap ever rises).
+    "q3_shipping_priority",  # r05
     "regex_part_filter",  # r05
     "rolling_active_users",  # r05
     "rollup_status_priority",  # r05

@@ -144,9 +144,10 @@ def probe_bloom(incoming: DataFrame, bits: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "bloom_url_dedup",
-    oracle=f"""
+#: shared oracle CTEs (url synthesis, seen/incoming split, filter bits,
+#: probe) + the per-doc classification — bloom_fp_audit re-aggregates
+#: the same construction, so the two oracles cannot desynchronize.
+_BLOOM_CTES = f"""
     WITH d AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
     seen AS (SELECT url FROM d WHERE doc_id % 3 <> 0),
     inc AS (SELECT doc_id, url FROM d WHERE doc_id % 3 = 0),
@@ -162,14 +163,24 @@ def probe_bloom(incoming: DataFrame, bits: DataFrame) -> DataFrame:
         LEFT JOIN bits b
           ON b.bit = {_sql_bit('i.url', 'CAST(t.j AS VARCHAR)')}
         GROUP BY i.doc_id, i.url
+    ),
+    classified AS (
+        SELECT p.doc_id, p.url,
+               CAST(CASE WHEN p.hit THEN 1 ELSE 0 END AS INT) AS bloom_hit,
+               CASE WHEN NOT p.hit THEN 'new'
+                    WHEN s.url IS NOT NULL THEN 'dup'
+                    ELSE 'false_positive' END AS verdict
+        FROM probe p
+        LEFT JOIN (SELECT DISTINCT url FROM seen) s ON p.url = s.url
     )
-    SELECT p.doc_id, p.url,
-           CAST(CASE WHEN p.hit THEN 1 ELSE 0 END AS INT) AS bloom_hit,
-           CASE WHEN NOT p.hit THEN 'new'
-                WHEN s.url IS NOT NULL THEN 'dup'
-                ELSE 'false_positive' END AS verdict
-    FROM probe p
-    LEFT JOIN (SELECT DISTINCT url FROM seen) s ON p.url = s.url
+"""
+
+
+@query(
+    "bloom_url_dedup",
+    oracle=f"""
+    {_BLOOM_CTES}
+    SELECT doc_id, url, bloom_hit, verdict FROM classified
     """,
 )
 def bloom_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,3 +226,78 @@ def bloom_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return negatives.unionByName(positives)
+
+
+@query(
+    "bloom_fp_audit",
+    oracle=f"""
+    {_BLOOM_CTES},
+    counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+            CAST(SUM(CASE WHEN verdict = 'dup' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup,
+            CAST(SUM(CASE WHEN verdict = 'false_positive' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_fp
+        FROM classified
+    ),
+    fill AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits)
+    SELECT c.n_new, c.n_dup, c.n_fp, f.n_bits_set,
+           CAST((1000000 * c.n_fp) // greatest(c.n_fp + c.n_new, 1)
+                AS BIGINT) AS fp_obs_micro,
+           CAST((1000000 * f.n_bits_set * f.n_bits_set * f.n_bits_set)
+                // ({M_BITS}::BIGINT * {M_BITS} * {M_BITS})
+                AS BIGINT) AS fp_pred_micro
+    FROM counts c, fill f
+    """,
+)
+def bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the filter's OBSERVED false-positive rate
+    (fp / (fp + new) — the absent keys that bloom-hit anyway) beside
+    its ANALYTIC rate under the realized fill, (n_bits_set / M_BITS)^
+    {K_HASH} — the exact hit probability of a uniformly-hashed absent
+    key given the actual bit set (the e^(-kn/m) textbook form is the
+    expectation of this over random builds). Both in integer micro
+    units (floor-divided — n_bits_set³ ≤ 2³⁰, no overflow), so the
+    comparison is hash-exact across engines. The gap between the two
+    columns is the sizing dashboard: observed ≫ predicted means the
+    hash positions correlate with the key distribution; observed
+    tracking predicted while both are too high means M_BITS is
+    undersized for the key volume (this demo's deliberate state —
+    see the module docstring's sizing rule).
+
+    Plan shape: one pass over the classified output (conditional
+    sums), one bit count, both 1-row scalars (the allowlisted
+    kmv/tf_idf class) joined by a constant-true broadcast."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _url_col().alias("url")
+    )
+    seen = d.filter(F.col("doc_id") % 3 != 0).select("url")
+    counts = bloom_url_dedup(spark, sf_dir).agg(
+        F.sum(F.when(F.col("verdict") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("verdict") == "dup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("verdict") == "false_positive", 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    fill = bloom_bits(seen).agg(F.count("*").cast("long").alias("n_bits_set"))
+    m3 = M_BITS * M_BITS * M_BITS
+    return counts.crossJoin(F.broadcast(fill)).select(
+        "n_new",
+        "n_dup",
+        "n_fp",
+        "n_bits_set",
+        F.expr("(1000000 * n_fp) div greatest(n_fp + n_new, 1)")
+        .cast("long")
+        .alias("fp_obs_micro"),
+        F.expr(
+            f"(1000000 * n_bits_set * n_bits_set * n_bits_set) div {m3}"
+        )
+        .cast("long")
+        .alias("fp_pred_micro"),
+    )

@@ -125,6 +125,8 @@ def test_no_accidental_cartesian_products(spark, queries):
         "rerank_topk_ivf",
         # 1-row bloom-bits scalar broadcast (once per union branch)
         "bloom_url_dedup",
+        # 1-row counts x 1-row fill scalar join over the same machinery
+        "bloom_fp_audit",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
