@@ -1606,3 +1606,41 @@ def test_classifier_auc_matches_bruteforce_pairs(spark):
     got = classifier_auc_exact(spark, SF_SMALL).collect()[0]
     assert got["npos"] == len(pos) and got["nneg"] == len(neg)
     assert got["auc_micro"] == want
+
+
+def test_bloom_no_false_negative_property(spark):
+    """Hypothesis property: for ANY seen/incoming URL sets, every
+    incoming URL that exists in the seen set bloom-hits — the
+    no-false-negative guarantee the 'new' verdict's skip-the-join
+    optimization rests on. Runs each example through the REAL
+    bloom_bits + probe_bloom DataFrame path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        bloom_bits,
+        probe_bloom,
+    )
+
+    url = st.text(
+        alphabet="abcxyz019/:._%-é", min_size=0, max_size=24
+    ).map(lambda s: "u:" + s)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seen=st.lists(url, min_size=1, max_size=12, unique=True),
+        extra=st.lists(url, min_size=0, max_size=6, unique=True),
+    )
+    def check(seen, extra):
+        seen_df = spark.createDataFrame([(u,) for u in seen], "url string")
+        inc = list(dict.fromkeys(seen[: len(seen) // 2 + 1] + extra))
+        inc_df = spark.createDataFrame([(u,) for u in inc], "url string")
+        hits = {
+            r["url"]: r["hit"]
+            for r in probe_bloom(inc_df, bloom_bits(seen_df)).collect()
+        }
+        for u in inc:
+            if u in seen:
+                assert hits[u], (u, seen)
+
+    check()

@@ -1163,3 +1163,81 @@ def test_streaming_m4_downsample_closes_buckets(spark, tmp_path):
         ("min", 3, 1.0),
         ("max", 2, 9.0),
     }
+
+
+def test_streaming_bloom_ingest_foreachbatch(spark, tmp_path):
+    """The Bloom filter rides the streaming-ingest cadence: each
+    micro-batch probes against the accumulated bit table, emits its
+    verdicts, then appends its own bits — so later batches dedup
+    against all earlier ones without re-hashing them. availableNow +
+    maxFilesPerTrigger=1 forces multiple ordered batches; the final
+    verdict set must show a batch-1 URL that repeats a batch-0 URL as
+    a bloom hit, and every bloom-negative must be genuinely unseen at
+    its batch's point in time (no false negatives, cumulatively)."""
+    import json as _json
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        BLOOM_BITS_TABLE,
+        bloom_bits,
+        ingest_bloom_bits,
+        probe_bloom,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    src = tmp_path / "urls_src"
+    src.mkdir()
+    batches = [
+        ["https://a/1", "https://a/2", "https://a/3"],
+        ["https://a/2", "https://b/1"],          # a/2 repeats batch 0
+        ["https://a/3", "https://b/1", "https://c/9"],  # both repeat
+    ]
+    for i, urls in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for u in urls:
+                f.write(_json.dumps({"url": u}) + "\n")
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    out = tmp_path / "verdicts"
+
+    def sink(batch_df, bid):
+        if store.exists(BLOOM_BITS_TABLE):
+            bits = store.read(BLOOM_BITS_TABLE)
+        else:
+            bits = bloom_bits(batch_df).limit(0)
+        probed = probe_bloom(batch_df, bits).withColumn(
+            "batch_id", F.lit(int(bid))
+        )
+        probed.write.mode("append").parquet(str(out))
+        ingest_bloom_bits(store, batch_df.select("url"))
+
+    q = (
+        spark.readStream.format("json")
+        .schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == sum(len(b) for b in batches)
+    # batch 0 probes an empty filter: everything is a miss
+    assert all(not r["hit"] for r in rows if r["batch_id"] == 0)
+    # cumulative no-false-negatives: a URL seen in ANY earlier batch
+    # must bloom-hit when it reappears
+    seen: set[str] = set()
+    by_batch: dict[int, list] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    hits_of_repeats = []
+    for bid in sorted(by_batch):
+        for r in by_batch[bid]:
+            if r["url"] in seen:
+                hits_of_repeats.append(r["hit"])
+        seen.update(r["url"] for r in by_batch[bid])
+    assert hits_of_repeats and all(hits_of_repeats)
