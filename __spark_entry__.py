@@ -45,6 +45,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     timeseries,  # noqa: F401
     tpch,  # noqa: F401
     tpch_final,  # noqa: F401
+    urlnorm,  # noqa: F401
     warehouse,  # noqa: F401
     windows,  # noqa: F401
 )
@@ -87,6 +88,7 @@ _PRIORITY_FIRST = [
     "quality_calibration_bins",  # new r8
     "quality_threshold_metrics",  # new r8
     "classifier_auc_exact",  # new r8
+    "canonical_url_dedup",  # new r8
     "bpe_merge_pair_counts",  # r04
     "char_lm_surprise",  # r04
     "udtf_char_chunks",  # r04
@@ -120,7 +122,6 @@ _PRIORITY_FIRST = [
     "notin_priority_counts",  # r05
     "null_normalization",  # r05
     "peak_concurrency_daily",  # r05
-    "q10_returned_items",  # r05
     "incremental_rollup_merge",  # r06-changed
     "json_extract_props",  # r06-changed
     "moving_avg_user_value",  # r06-changed
@@ -133,6 +134,7 @@ _PRIORITY_FIRST = [
     # -- slots 51+: the remaining r05 stale rows lead the tail (the
     # driver cap is 50, so these ride VERIFY_LOCAL_r08 until round 9's
     # rotation — or get rows this round if the cap ever rises).
+    "q10_returned_items",  # r05
     "q3_shipping_priority",  # r05
     "regex_part_filter",  # r05
     "rolling_active_users",  # r05

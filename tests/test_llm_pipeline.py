@@ -1644,3 +1644,29 @@ def test_bloom_no_false_negative_property(spark):
                 assert hits[u], (u, seen)
 
     check()
+
+
+def test_url_canonicalize_rules(spark):
+    """Rule-by-rule pins: fragment/utm stripped, scheme+host (only)
+    lowercased, default port dropped but NON-default kept, one trailing
+    slash off a non-root path, path case preserved, non-URL strings
+    pass through rules 1-2 only, NULL stays NULL."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.urlnorm import (
+        url_canonicalize,
+    )
+
+    cases = [
+        ("https://A.com/X/Y#frag", "https://a.com/X/Y"),
+        ("https://a.com/p?utm_x=1", "https://a.com/p"),
+        ("https://a.com/p?utm_x=1&q=2", "https://a.com/p?q=2"),
+        ("HTTPS://EXAMPLE.com:443/Path/", "https://example.com/Path"),
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),   # kept
+        ("https://a.com/", "https://a.com/"),               # root slash kept
+        ("not a url #tail", "not a url "),                  # rules 1-2 only
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(url_canonicalize("u").alias("c")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)
