@@ -1670,3 +1670,33 @@ def test_url_canonicalize_rules(spark):
     got = [r["c"] for r in df.select(url_canonicalize("u").alias("c")).collect()]
     for (raw, want), g in zip(cases, got):
         assert g == want, (raw, g, want)
+
+
+def test_canonicalize_then_bloom_composition(spark):
+    """The urlnorm docstring's composition claim, pinned: a re-crawled
+    URL in a DIFFERENT spelling misses the raw-string Bloom filter but
+    hits after both sides canonicalize — canonicalization must run as
+    the dedup prologue or raw-string dedup under-merges."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        bloom_bits,
+        probe_bloom,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.urlnorm import (
+        url_canonicalize,
+    )
+
+    seen_raw = spark.createDataFrame(
+        [("https://example.com/p/7?utm_source=feed",)], "url string"
+    )
+    incoming_raw = spark.createDataFrame(
+        [("HTTPS://EXAMPLE.com:443/p/7/",)], "url string"
+    )
+    # raw strings: the respelled URL misses
+    raw_hit = probe_bloom(incoming_raw, bloom_bits(seen_raw)).collect()[0]["hit"]
+    assert not raw_hit
+    # canonicalized on both sides: it hits
+    canon = lambda df: df.select(url_canonicalize("url").alias("url"))
+    canon_hit = probe_bloom(
+        canon(incoming_raw), bloom_bits(canon(seen_raw))
+    ).collect()[0]["hit"]
+    assert canon_hit
