@@ -172,6 +172,22 @@ def mask_json_keys(col: Column | str, keys: tuple[str, ...] = PII_KEYS) -> Colum
     return _mask_finish(_mask_rewrite(src, keys), keys)
 
 
+def _stage1_tmp_name(df: DataFrame, tag: str) -> str:
+    """Scratch-column name for the staged maskers. Raises loudly if the
+    frame already carries a column of that name — ``withColumn`` would
+    silently overwrite it and the final ``drop`` would then destroy the
+    caller's column (cleansing.sanitize_nonfinite's loud-failure
+    convention: a collision must not become a silent data loss)."""
+    tmp = f"__mask_stage1_{tag}"
+    if tmp in df.columns:
+        raise ValueError(
+            f"staged masking needs scratch column {tmp!r}, but the "
+            "input frame already has a column of that name; rename it "
+            "or use the one-expression mask_json_keys/mask_struct_value"
+        )
+    return tmp
+
+
 def mask_json_keys_staged(
     df: DataFrame,
     src: Column | str,
@@ -190,7 +206,7 @@ def mask_json_keys_staged(
     two Projects and the regexp runs once (0.370 → 0.157 s on the
     sf0.1 props column; plan-pinned by
     tests/test_functions.py::test_mask_json_keys_staged_plan)."""
-    tmp = f"__mask_stage1_{alias}"
+    tmp = _stage1_tmp_name(df, alias)
     src_col = F.col(src) if isinstance(src, str) else src
     return (
         df.withColumn(tmp, _mask_rewrite(src_col, keys))
@@ -222,7 +238,7 @@ def mask_struct_value_staged(
     of once per conditional branch. NULL structs pass through like the
     one-expression form (a NULL struct yields a NULL stage-1 value,
     and the outer ``when`` short-circuits the rebuild)."""
-    tmp = f"__mask_stage1_{name}"
+    tmp = _stage1_tmp_name(df, name)
     c = F.col(name)
     return (
         df.withColumn(tmp, _mask_rewrite(c.getField("value"), keys))

@@ -334,6 +334,33 @@ def test_mask_struct_value_staged_equals_expression(spark):
     assert staged[-1] is None
 
 
+def test_mask_staged_scratch_column_collision_raises(spark):
+    """If the input frame already carries the staged maskers' scratch
+    column (``__mask_stage1_<tag>``), ``withColumn`` would silently
+    overwrite it and the final ``drop`` would destroy the CALLER'S
+    column — so both staged forms must refuse loudly instead
+    (sanitize_nonfinite's convention)."""
+    import pytest as _pytest
+
+    from data_ingestion_from_multiple_directories_linux_spark.functions.masking import (
+        mask_json_keys_staged,
+        mask_struct_value_staged,
+    )
+
+    df = spark.createDataFrame(
+        [("{}", "precious")], "j string, __mask_stage1_m string"
+    )
+    with _pytest.raises(ValueError, match="__mask_stage1_m"):
+        mask_json_keys_staged(df, "j", "m")
+
+    df2 = spark.createDataFrame(
+        [(("t", "{}"), "precious")],
+        "s struct<type:string, value:string>, __mask_stage1_s string",
+    )
+    with _pytest.raises(ValueError, match="__mask_stage1_s"):
+        mask_struct_value_staged(df2, "s")
+
+
 def test_mask_json_keys_staged_plan(spark):
     """Plan pin for the round-8 double-evaluation fix: the staged form
     keeps the ~1.2 kB stage-1 regexp behind its own projection, so the

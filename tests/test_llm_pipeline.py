@@ -1665,11 +1665,67 @@ def test_url_canonicalize_rules(spark):
         ("https://a.com/", "https://a.com/"),               # root slash kept
         ("not a url #tail", "not a url "),                  # rules 1-2 only
         (None, None),
+        # multi-utm: a leading RUN, an utm-only query, a mid-query run
+        ("https://a.com/p?utm_a=1&utm_b=2&q=3", "https://a.com/p?q=3"),
+        ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+        ("https://a.com/p?q=1&utm_a=2&utm_b=3", "https://a.com/p?q=1"),
+        # literal '&' (even '&utm_') in a QUERY-LESS path is path data
+        ("https://a.com/a&b", "https://a.com/a&b"),
+        ("https://a.com/a&utm_x", "https://a.com/a&utm_x"),
+        # trailing '/' in a query VALUE kept; on the PATH stripped even
+        # when a query follows; a bare dangling '?' dropped
+        ("https://a.com/p?q=2/", "https://a.com/p?q=2/"),
+        ("https://a.com/p/?q=1", "https://a.com/p?q=1"),
+        ("https://a.com/p?", "https://a.com/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(url_canonicalize("u").alias("c")).collect()]
     for (raw, want), g in zip(cases, got):
         assert g == want, (raw, g, want)
+
+
+def test_url_canonicalize_duckdb_twin(spark):
+    """_sql_canonicalize must stay BIT-IDENTICAL to url_canonicalize on
+    general inputs, not just the synthesized corpus: run both engines
+    over the adversarial case list (multi-utm runs — where DuckDB's
+    non-'g' regexp_replace would diverge — literal path '&', query
+    slashes, ports, fragments) and compare string-for-string."""
+    import duckdb
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.urlnorm import (
+        _sql_canonicalize,
+        url_canonicalize,
+    )
+
+    urls = [
+        "https://a.com/p?utm_a=1&utm_b=2&q=3",
+        "https://a.com/p?utm_a=1&utm_b=2&utm_c=3",
+        "https://a.com/p?q=1&utm_a=2&utm_b=3&r=4",
+        "https://a.com/p?utm_source=feed",
+        "https://a.com/a&b",
+        "https://a.com/a&utm_x",
+        "https://a.com/p?q=2/",
+        "https://a.com/p/?q=1",
+        "https://a.com/p?",
+        "HTTPS://EXAMPLE.com:443/Path/?utm_x=1&Y=2#frag",
+        "http://A.com:80/",
+        "https://a.com:8443/p/?utm_a&utm_b",
+        "ftp://Mixed.Case/Path",
+        "no scheme ?utm_a=1&keep=2 #tail",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got_spark = [
+        r["c"] for r in df.select(url_canonicalize("u").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_sql_canonicalize('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    for u, s, d in zip(urls, got_spark, got_duck):
+        assert s == d, (u, s, d)
 
 
 def test_canonicalize_then_bloom_composition(spark):
