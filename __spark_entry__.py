@@ -41,10 +41,12 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     semistructured,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
+    substring_dedup,  # noqa: F401
     text_analysis,  # noqa: F401
     timeseries,  # noqa: F401
     tpch,  # noqa: F401
     tpch_final,  # noqa: F401
+    training,  # noqa: F401
     urlnorm,  # noqa: F401
     warehouse,  # noqa: F401
     windows,  # noqa: F401
@@ -63,87 +65,38 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-8 allocation — DERIVED from tools/staleness.py at round start
-# (90 stale rows at HEAD: the 54 the round-7 verdict queued — 21 r04 +
-# 33 r05 — plus r06/r07 rows re-staled by this round's own edits to
-# masking/relational/windows/timeseries/cleansing; the fresh-process
-# VERIFY_LOCAL_r08 records at HEAD carry everything past the cap).
-# Slots: all 21 r04 rows first (tpch block, BPE trio, warehouse pair,
-# multimodal pair, click_attribution, udtf/weighted corpus pair), then
-# the 20 oldest r05 rows in tool order, then one manual displacement
-# block (the round-7 maintenance_report_tables precedent): the 9
-# queries whose ORACLE text or PLAN SHAPE changed this round — the
-# mask two-stage trio (json_extract_props, struct_field_mask,
-# struct_to_json) and the six quant-domain-interpolation oracles —
-# take the last 9 slots ahead of the remaining 13 r05 rows, which
-# lead the 51+ tail for round 9. Final adjustment: the 4 queries ADDED
-# this round (rerank/bloom/calibration — no driver row ever, the
-# weakest evidence class, ranked first by the tool's rnd==0 rule) take
-# slots 1-4, displacing the last 4 r05 renewals to the tail head.
+# Round-9 allocation — DERIVED from tools/staleness.py at round start
+# (51 strict-stale rows at HEAD). Slots 1-2: the 2 queries ADDED this
+# round (no driver row ever — the tool's rnd==0 rule ranks them
+# first). Slots 3-6: the rows RE-STALED by this round's own edits —
+# canonical_url_dedup (urlnorm.py oracle/corpus rewrite) and the mask
+# two-stage trio, whose masking.py helper gained the scratch-column
+# guard (helper-import staleness; round-8 displacement precedent).
+# Slots 7-8: the last two r04 rows (graphs.py — file untouched but the
+# oldest ledger rows; verdict item 1). Then every strict-stale row in
+# tool order: 21 r05, 12 r06, and the first 9 of the 15 r07 rows —
+# exactly 50. The remaining 6 r07 rows (windows/timeseries family)
+# lead the 51+ tail for round 10 and ride VERIFY_LOCAL_r09 at HEAD
+# meanwhile.
 _PRIORITY_FIRST = [
-    "rerank_topk_cross",  # new r8
-    "rerank_topk_ivf",  # new r8
-    "bloom_url_dedup",  # new r8
-    "bloom_fp_audit",  # new r8
-    "quality_calibration_bins",  # new r8
-    "quality_threshold_metrics",  # new r8
-    "classifier_auc_exact",  # new r8
-    "canonical_url_dedup",  # new r8
-    "bpe_merge_pair_counts",  # r04
-    "char_lm_surprise",  # r04
-    "udtf_char_chunks",  # r04
-    "vocab_dense_ids",  # r04
-    "weighted_sample_docs",  # r04
-    "audio_fingerprint_classes",  # r04
-    "click_attribution_batch",  # r04
-    "cohort_retention",  # r04
-    "image_near_dup_ahash",  # r04
-    "q11_part_value_concentration",  # r04
-    "q13_customer_order_distribution",  # r04
-    "q14_promo_effect",  # r04
-    "q15_top_revenue_supplier",  # r04
-    "q18_large_volume_customers",  # r04
-    "q19_disjunctive_revenue",  # r04
-    "q20_dominant_share_suppliers",  # r04
-    "q21_sole_late_suppliers",  # r04
-    "q4_late_shipment_priority",  # r04
-    "q6_forecast_revenue",  # r04
-    "q9_nation_year_profit",  # r04
-    "scd2_user_state_intervals",  # r04
-    "count_distinct_users",  # r05
-    "cube_status_priority",  # r05
-    "date_validation_split",  # r05
-    "distinct_status_priority",  # r05
-    "event_transition_matrix",  # r05
-    "except_open_not_failed",  # r05
-    "funnel_conversion",  # r05
-    "intersect_repeat_customers",  # r05
-    "minmax_priority_window",  # r05
-    "notin_priority_counts",  # r05
-    "null_normalization",  # r05
-    "peak_concurrency_daily",  # r05
-    "incremental_rollup_merge",  # r06-changed
-    "json_extract_props",  # r06-changed
-    "moving_avg_user_value",  # r06-changed
-    "multires_rollup_events",  # r06-changed
-    "salted_skew_counts",  # r06-changed
-    "struct_field_mask",  # r06-changed
-    "struct_to_json",  # r06-changed
-    "time_weighted_avg_value",  # r06-changed
-    "user_value_outliers",  # r06-changed
-    # -- slots 51+: the remaining r05 stale rows lead the tail (the
-    # driver cap is 50, so these ride VERIFY_LOCAL_r08 until round 9's
-    # rotation — or get rows this round if the cap ever rises).
+    "quality_gate_training",  # new r9
+    "repeated_substring_spans",  # new r9
+    "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
+    "json_extract_props",  # r08, masking.py helper touched
+    "struct_field_mask",  # r08, masking.py helper touched
+    "struct_to_json",  # r08, masking.py helper touched
+    "contamination_spread",  # r04
+    "near_dup_triangles",  # r04
     "q10_returned_items",  # r05
     "q3_shipping_priority",  # r05
     "regex_part_filter",  # r05
-    "rolling_active_users",  # r05
     "rollup_status_priority",  # r05
-    "top_event_paths",  # r05
     "top_k_orders",  # r05
     "top_spender_subquery_agg",  # r05
     "union_pipeline_summary",  # r05
     "update_join_propagate",  # r05
+    "rolling_active_users",  # r05
+    "top_event_paths",  # r05
     "cluster_size_histogram",  # r05
     "cross_source_overlap",  # r05
     "dedup_materialize_canonical",  # r05
@@ -155,6 +108,36 @@ _PRIORITY_FIRST = [
     "media_pixel_stats",  # r05
     "q22_idle_customers",  # r05
     "top_parts_per_brand",  # r05
+    "concat_runid_format",  # r06
+    "filename_parse_lineage",  # r06
+    "pii_mask_constant",  # r06
+    "q5_local_supplier_volume",  # r06
+    "self_join_sibling_success",  # r06
+    "session_duration_secs",  # r06
+    "substring_truncate",  # r06
+    "gap_fill_hourly_locf",  # r06
+    "histogram_quantiles",  # r06
+    "quantiles_by_event_type",  # r06
+    "tumbling_window_counts",  # r06
+    "value_histogram_events",  # r06
+    "anti_join_no_orders",  # r07
+    "broadcast_brand_revenue",  # r07
+    "bulk_update_requeue",  # r07
+    "dedup_keep_newest",  # r07
+    "duplicate_extra_rows",  # r07
+    "q1_pricing_summary",  # r07
+    "semi_join_failed_retry",  # r07
+    "state_machine_summary",  # r07
+    "work_queue_dequeue",  # r07
+    # -- slots 51+: the remaining r07 stale rows lead the tail (the
+    # driver cap is 50); they ride VERIFY_LOCAL_r09 at HEAD until the
+    # round-10 rotation.
+    "event_gaps_lag",  # r07
+    "m4_downsample_events",  # r07
+    "ntile_customer_quartiles",  # r07
+    "percent_rank_part_prices",  # r07
+    "session_window_stats",  # r07
+    "sliding_window_counts",  # r07
 ]
 
 

@@ -1,0 +1,248 @@
+"""In-engine training of the quality-gate classifier.
+
+``operators/calibration.py`` CALIBRATES a linear quality gate whose
+integer weights it treats as pre-trained ("training lives elsewhere").
+This module closes that loop: the same weights are trained IN the
+engine — batch gradient descent on squared loss over the same integer
+surface features (token count, char count, stopword hits), every step
+an exact integer DataFrame aggregate, so the whole trajectory is
+oracle-replayable bit-for-bit.
+
+Why this is exact (and why that matters):
+
+* **Integer features, integer targets.** x = (n_tokens, n_chars,
+  n_stopwords, 1) are BIGINTs; the label is scaled to the model's
+  milli-logit space (y · 1000), so the residual r = w·x − 1000·y and
+  the gradient sums Σ r·x_j are exact BIGINT aggregates — no float
+  accumulation order to drift between engines.
+* **Fixed-point learning rates.** The update is
+  ``w_j ← w_j − floor(g_j / (n · D_j))`` with per-feature integer
+  denominators D_j (a diagonal preconditioner ≈ 2·E[x_j²] rounded to a
+  round number — mandatory because the surface features differ by two
+  orders of magnitude). Dividing the SUM by n·D_j normalizes by corpus
+  size, so the step magnitude — and convergence — is scale-invariant:
+  the same constants train at sf0.001 and at 100 TB.
+* **floor, not truncate.** Spark's ``div`` truncates toward zero while
+  DuckDB's ``//`` floors, so negative gradients would round apart. The
+  update uses the non-negative-mod identity
+  ``floor(a / b) = (a - ((a % b + b) % b)) / b`` (exact integer
+  division — the numerator is divisible by b), which both engines
+  evaluate identically; driver-side Python ``//`` floors natively.
+
+Scale shape: each of the K+1 steps is ONE distributed corpus pass
+(project + all-to-one partial aggregate of 6 BIGINTs); only the
+6-number stat row reaches the driver per step (the `train_bpe_merges`
+precedent — the model is O(1), the data never moves). At 100 TB the
+aggregate sums fit DECIMAL(38,0) if BIGINT ever gets tight (|Σ r·x| ≲
+n · 10⁷ here — BIGINT holds to n ≈ 10¹¹ documents).
+
+Reference parity: the reference repo has no model training; this is
+part of the additive LLM-data-pipeline surface (SURVEY.md §2.12a),
+feeding the L129/L130 calibration pair with weights trained on the
+same engine that serves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..catalog import load_table
+from ..functions.text import STOPWORDS, tokens
+from .calibration import BIAS, W_CHAR, W_STOP, W_TOK
+from .registry import query
+from .text_analysis import TOK_SQL
+
+#: the label, scaled into the model's milli-logit output space.
+Y_SCALE = 1000
+
+#: per-feature fixed-point learning-rate denominators (step_j =
+#: floor(Σ r·x_j / (n · D_j))) — the diagonal preconditioner, each
+#: ≈ 4·E[x_j²] for the documents corpus rounded to a round number
+#: (E[x_tok²] ≈ 3e3, E[x_char²] ≈ 1e5, E[x_stop²] ≈ 16, bias ≈ 1; the
+#: extra 2× under pure Newton keeps the correlated-feature descent
+#: monotone — SSE strictly decreases at every tested SF, pinned in
+#: tests/test_llm_pipeline.py).
+D_TOK, D_CHAR, D_STOP, D_BIAS = 20_000, 800_000, 100, 8
+
+#: gradient-descent steps the registered query runs (rows = steps + 1:
+#: the init row plus one per update).
+TRAIN_STEPS = 3
+
+_FEATS_SQL = f"""
+    SELECT CAST(len({TOK_SQL.format(c='text')}) AS BIGINT) AS x_tok,
+           CAST(n_chars AS BIGINT) AS x_char,
+           CAST(len(list_filter({TOK_SQL.format(c='text')},
+                                x -> x IN {STOPWORDS!r})) AS BIGINT) AS x_stop,
+           CAST(CASE WHEN lang = 'en' THEN {Y_SCALE} ELSE 0 END AS BIGINT) AS y
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
+"""
+
+
+def _sql_floordiv(a: str, b: str) -> str:
+    """DuckDB floor division via the non-negative-mod identity (DuckDB
+    ``//`` already floors, but spelling the identity keeps the oracle
+    textually parallel to the Spark expression it must replay)."""
+    return f"(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b})"
+
+
+def _oracle_training_sql(steps: int) -> str:
+    """Unrolled K-step training trajectory: CTE ``s{k}`` is the stat
+    pass at weights ``w_k``; the weight literals are folded by the SAME
+    Python arithmetic the Spark path uses, so the oracle text replays
+    each update from the previous step's aggregates symbolically."""
+    names = ("g_tok", "g_char", "g_stop", "g_bias")
+    denoms = (D_TOK, D_CHAR, D_STOP, D_BIAS)
+    wcols = ("w_tok", "w_char", "w_stop", "bias")
+    ctes = [f"feats AS ({_FEATS_SQL})"]
+    ctes.append(
+        f"w0 AS (SELECT CAST({W_TOK} AS BIGINT) AS w_tok,"
+        f" CAST({W_CHAR} AS BIGINT) AS w_char,"
+        f" CAST({W_STOP} AS BIGINT) AS w_stop,"
+        f" CAST({BIAS} AS BIGINT) AS bias)"
+    )
+    for k in range(steps + 1):
+        r = (
+            f"(w.w_tok * x_tok + w.w_char * x_char"
+            f" + w.w_stop * x_stop + w.bias - y)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+            SELECT CAST(SUM({r} * x_tok) AS BIGINT) AS g_tok,
+                   CAST(SUM({r} * x_char) AS BIGINT) AS g_char,
+                   CAST(SUM({r} * x_stop) AS BIGINT) AS g_stop,
+                   CAST(SUM({r}) AS BIGINT) AS g_bias,
+                   CAST(SUM({r} * {r}) AS BIGINT) AS sse
+            FROM feats, w{k} w)"""
+        )
+        if k < steps:
+            upd = ", ".join(
+                f"w{k}.{wc} - ({_sql_floordiv(f's{k}.{g}', f'cnt.n * {d}')})"
+                f" AS {wc}"
+                for wc, g, d in zip(wcols, names, denoms)
+            )
+            ctes.append(
+                f"w{k + 1} AS (SELECT {upd} FROM w{k}, s{k},"
+                f" (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats) cnt)"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, w{k}.w_tok, w{k}.w_char,"
+        f" w{k}.w_stop, w{k}.bias, s{k}.g_tok, s{k}.g_char, s{k}.g_stop,"
+        f" s{k}.g_bias, s{k}.sse FROM w{k}, s{k}"
+        for k in range(steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+_TRAIN_SCHEMA = StructType(
+    [
+        StructField(c, LongType(), True)
+        for c in (
+            "step w_tok w_char w_stop bias "
+            "g_tok g_char g_stop g_bias sse".split()
+        )
+    ]
+)
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    toks = tokens("text")
+    return d.select(
+        F.size(toks).cast("long").alias("x_tok"),
+        F.col("n_chars").cast("long").alias("x_char"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("x_stop"),
+        F.when(F.col("lang") == "en", F.lit(Y_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+def train_linear_gate(
+    feats: DataFrame,
+    init: tuple[int, int, int, int] = (W_TOK, W_CHAR, W_STOP, BIAS),
+    steps: int = TRAIN_STEPS,
+    denoms: tuple[int, int, int, int] = (D_TOK, D_CHAR, D_STOP, D_BIAS),
+) -> list[dict[str, int]]:
+    """Run ``steps`` batch-GD updates on squared loss over a frame of
+    (x_tok, x_char, x_stop, y) BIGINT columns. Each step is ONE
+    distributed aggregate; only the 6-number stat row is collected
+    (the train_bpe_merges device). Returns the trajectory: one dict per
+    step 0..steps with the weights AT that step and the gradient/SSE
+    measured at them. Python ``//`` floors, matching the oracle's
+    integer floor division exactly."""
+    feats = feats.persist()
+    try:
+        w = dict(zip(("w_tok", "w_char", "w_stop", "bias"), init))
+        out: list[dict[str, int]] = []
+        for k in range(steps + 1):
+            r = (
+                F.lit(w["w_tok"]) * F.col("x_tok")
+                + F.lit(w["w_char"]) * F.col("x_char")
+                + F.lit(w["w_stop"]) * F.col("x_stop")
+                + F.lit(w["bias"])
+                - F.col("y")
+            )
+            s = feats.agg(
+                F.sum(r * F.col("x_tok")).cast("long").alias("g_tok"),
+                F.sum(r * F.col("x_char")).cast("long").alias("g_char"),
+                F.sum(r * F.col("x_stop")).cast("long").alias("g_stop"),
+                F.sum(r).cast("long").alias("g_bias"),
+                F.sum(r * r).cast("long").alias("sse"),
+                F.count("*").cast("long").alias("n"),
+            ).first()
+            out.append(
+                {
+                    "step": k,
+                    **w,
+                    "g_tok": s["g_tok"],
+                    "g_char": s["g_char"],
+                    "g_stop": s["g_stop"],
+                    "g_bias": s["g_bias"],
+                    "sse": s["sse"],
+                }
+            )
+            if k < steps:
+                n = s["n"]
+                for wc, g, d in zip(
+                    ("w_tok", "w_char", "w_stop", "bias"),
+                    ("g_tok", "g_char", "g_stop", "g_bias"),
+                    denoms,
+                ):
+                    w[wc] = w[wc] - (s[g] // (n * d))
+        return out
+    finally:
+        feats.unpersist()
+
+
+@query("quality_gate_training", oracle=_oracle_training_sql(TRAIN_STEPS))
+def quality_gate_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TRAIN_STEPS-step training trajectory of the quality
+    gate: step number, the integer weight vector at that step, and the
+    exact gradient + SSE measured at it. Every number is an integer
+    aggregate, so the DuckDB oracle — which unrolls the identical
+    updates as chained CTEs — replays the trajectory bit-for-bit;
+    SSE decreasing down the rows is the training actually working
+    (pinned by tests/test_llm_pipeline.py).
+    """
+    rows = train_linear_gate(_features(spark, sf_dir))
+    return spark.createDataFrame(
+        [
+            tuple(
+                int(r[c])
+                for c in (
+                    "step w_tok w_char w_stop bias "
+                    "g_tok g_char g_stop g_bias sse".split()
+                )
+            )
+            for r in rows
+        ],
+        _TRAIN_SCHEMA,
+    )

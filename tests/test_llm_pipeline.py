@@ -1756,3 +1756,101 @@ def test_canonicalize_then_bloom_composition(spark):
         canon(incoming_raw), bloom_bits(canon(seen_raw))
     ).collect()[0]["hit"]
     assert canon_hit
+
+
+def test_quality_gate_training_descends_and_floors(spark):
+    """Invariants the oracle compare can't see: (1) the trajectory is
+    actual TRAINING — SSE strictly decreases at every step and the
+    weights move off the init; (2) the update floors negative
+    gradients (Python // and the oracle's non-negative-mod identity)
+    rather than truncating toward zero — pinned on a crafted 2-row
+    frame whose gradient is negative and not divisible by n·D."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.training import (
+        train_linear_gate,
+    )
+
+    rows = QUERIES["quality_gate_training"](spark, SF_SMALL).collect()
+    assert [r["step"] for r in rows] == [0, 1, 2, 3]
+    sses = [r["sse"] for r in rows]
+    assert all(a > b for a, b in zip(sses, sses[1:])), sses
+    w0 = (rows[0]["w_tok"], rows[0]["w_char"], rows[0]["w_stop"], rows[0]["bias"])
+    wk = (rows[-1]["w_tok"], rows[-1]["w_char"], rows[-1]["w_stop"], rows[-1]["bias"])
+    assert w0 != wk
+
+    # floor-not-truncate: two rows, only the bias feature active
+    # (x = (0, 0, 0, 1)), y = 1000 on both, init bias 0 → residual
+    # r = -1000 per row, g_bias = -2000, n = 2; with D_bias = 3 the
+    # step is floor(-2000 / 6) = -334 (truncation would give -333),
+    # so bias_1 = 0 - (-334) = 334.
+    feats = spark.createDataFrame(
+        [(0, 0, 0, 1000), (0, 0, 0, 1000)],
+        "x_tok long, x_char long, x_stop long, y long",
+    )
+    traj = train_linear_gate(
+        feats, init=(0, 0, 0, 0), steps=1, denoms=(1, 1, 1, 3)
+    )
+    assert traj[0]["g_bias"] == -2000
+    assert traj[1]["bias"] == 334
+
+
+def test_repeated_window_spans_matches_python_reference(spark):
+    """Pin repeated_window_spans against a brute-force pure-Python
+    suffix-window reference on a crafted micro-corpus: a shared
+    passage at DIFFERENT alignments in two docs (invisible to the
+    fixed-span L44 dedup), a within-doc repeat, an all-unique doc
+    (absent from the result), and a doc shorter than the window."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.substring_dedup import (
+        repeated_window_spans,
+    )
+
+    win, min_occ = 8, 2
+    shared = "ABCDEFGHIJKLMNOP"  # 16 chars -> repeated at odd offsets
+    docs = {
+        0: "xxx" + shared + "yyyyyyyy",       # shared at pos 4
+        1: "qqqqqqq" + shared + "zz",         # shared at pos 8
+        2: "rrrrrrrrrr" + "SAMESAME" * 2 + "uuuuuuuuu",  # within-doc
+        3: "0123456789abcdefghij",            # unique
+        4: "short",                           # < win
+    }
+
+    # brute-force reference
+    from collections import Counter, defaultdict
+
+    occ = Counter()
+    for t in docs.values():
+        for i in range(len(t) - win + 1):
+            occ[t[i : i + win]] += 1
+    expect = {}
+    for d, t in docs.items():
+        pos = [
+            i + 1
+            for i in range(len(t) - win + 1)
+            if occ[t[i : i + win]] >= min_occ
+        ]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][-1] <= win:
+                spans[-1].append(p)
+            else:
+                spans.append([p])
+        expect[d] = (
+            len(pos),
+            len(spans),
+            sum(s[-1] - s[0] + win for s in spans),
+        )
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in repeated_window_spans(df, win=win, min_occ=min_occ).collect()
+    }
+    assert got == expect
+    assert 0 in got and 1 in got and 2 in got      # cross- and within-doc
+    assert 3 not in got and 4 not in got
