@@ -1854,3 +1854,94 @@ def test_repeated_window_spans_matches_python_reference(spark):
     assert got == expect
     assert 0 in got and 1 in got and 2 in got      # cross- and within-doc
     assert 3 not in got and 4 not in got
+
+
+def test_dpo_pairs_decontaminated_and_margin_gated(spark):
+    """Invariants the oracle compare can't see: no preference pair may
+    contain an eval-slice doc OR a contaminated doc (recomputed via the
+    same L31 probe), both sides of a pair are distinct docs from the
+    same prompt group, and the margin gate holds (chosen strictly
+    outscores rejected by >= MARGIN_MIN)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.calibration import (
+        _scored,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus import (
+        DECON_EVAL_MOD,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.preference import (
+        MARGIN_MIN,
+        PROMPT_MOD,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+
+    pairs = QUERIES["dpo_preference_pairs"](spark, SF_SMALL).collect()
+    assert pairs, "corpus should yield at least one preference pair"
+
+    contaminated = {
+        r["doc_id"]
+        for r in QUERIES["benchmark_decontamination"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    z = {r["doc_id"]: r["z"] for r in _scored(spark, SF_SMALL).collect()}
+
+    for p in pairs:
+        c, r = p["chosen_doc_id"], p["rejected_doc_id"]
+        assert c != r
+        assert c % PROMPT_MOD == p["group_id"]
+        assert r % PROMPT_MOD == p["group_id"]
+        for d in (c, r):
+            assert d % DECON_EVAL_MOD != 0, f"eval doc {d} leaked"
+            assert d not in contaminated, f"contaminated doc {d} leaked"
+        assert p["margin"] == z[c] - z[r]
+        assert p["margin"] >= MARGIN_MIN
+
+
+def test_crosslingual_near_dup_finds_all_twins(spark):
+    """Invariants the oracle can't see: (1) NO FALSE NEGATIVES on the
+    planted set — every translated twin pairs with its original at
+    concept-jaccard 1.0; (2) nothing same-language is reported; (3) the
+    blindness claim that motivates the operator — WITHOUT concept
+    normalization the same pipeline finds none of the twins (surface
+    shingles of a translation share nothing)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.crosslingual import (
+        TWIN_MOD,
+        TWIN_OFFSET,
+        XLING_NGRAM,
+        XLING_THRESHOLD,
+        _xling_corpus,
+        crosslingual_pairs,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        minhash_pairs,
+    )
+
+    corpus = _xling_corpus(spark, SF_SMALL)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in crosslingual_pairs(corpus).collect()
+    }
+    originals = [
+        r["doc_id"]
+        for r in corpus.filter(
+            (F.col("doc_id") % TWIN_MOD == 0) & (F.col("doc_id") < TWIN_OFFSET)
+        ).collect()
+    ]
+    assert originals
+    for d in originals:
+        pair = got.get((d, d + TWIN_OFFSET))
+        assert pair is not None, f"twin of {d} missed"
+        assert pair["jaccard"] == 1.0
+        assert pair["lang_a"] != "xx" and pair["lang_b"] == "xx"
+    assert all(r["lang_a"] != r["lang_b"] for r in got.values())
+
+    # without normalization the twins are invisible to surface shingles
+    raw_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_pairs(
+            corpus.select("doc_id", "text"), XLING_NGRAM, XLING_THRESHOLD
+        ).collect()
+    }
+    assert all((d, d + TWIN_OFFSET) not in raw_pairs for d in originals)
