@@ -118,8 +118,14 @@ def _oracle_training_sql(steps: int) -> str:
             FROM feats, w{k} w)"""
         )
         if k < steps:
+            # empty-corpus guard (G4 parity): COUNT(*)=0 makes every
+            # SUM NULL — COALESCE the gradient to 0 and clamp the
+            # divisor with GREATEST so the update is a no-op (weights
+            # hold; the OUTPUT gradients/sse stay NULL per SUM
+            # semantics) instead of NULL-poisoning the trajectory.
             upd = ", ".join(
-                f"w{k}.{wc} - ({_sql_floordiv(f's{k}.{g}', f'cnt.n * {d}')})"
+                f"w{k}.{wc} - "
+                f"({_sql_floordiv(f'COALESCE(s{k}.{g}, 0)', f'GREATEST(cnt.n, 1) * {d}')})"
                 f" AS {wc}"
                 for wc, g, d in zip(wcols, names, denoms)
             )
@@ -210,13 +216,16 @@ def train_linear_gate(
                 }
             )
             if k < steps:
-                n = s["n"]
+                # empty-corpus guard (G4 parity, mirrors the oracle's
+                # COALESCE/GREATEST): zero rows → NULL sums → no-op
+                # update; weights hold, output gradients stay NULL.
+                n = max(s["n"], 1)
                 for wc, g, d in zip(
                     ("w_tok", "w_char", "w_stop", "bias"),
                     ("g_tok", "g_char", "g_stop", "g_bias"),
                     denoms,
                 ):
-                    w[wc] = w[wc] - (s[g] // (n * d))
+                    w[wc] = w[wc] - ((s[g] or 0) // (n * d))
         return out
     finally:
         feats.unpersist()
@@ -236,7 +245,7 @@ def quality_gate_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             tuple(
-                int(r[c])
+                None if r[c] is None else int(r[c])
                 for c in (
                     "step w_tok w_char w_stop bias "
                     "g_tok g_char g_stop g_bias sse".split()
