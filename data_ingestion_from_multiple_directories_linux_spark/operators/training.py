@@ -88,11 +88,11 @@ def _sql_floordiv(a: str, b: str) -> str:
     return f"(({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b})"
 
 
-def _oracle_training_sql(steps: int) -> str:
-    """Unrolled K-step training trajectory: CTE ``s{k}`` is the stat
-    pass at weights ``w_k``; the weight literals are folded by the SAME
-    Python arithmetic the Spark path uses, so the oracle text replays
-    each update from the previous step's aggregates symbolically."""
+def _oracle_training_ctes(steps: int) -> list[str]:
+    """The shared CTE chain: ``feats``, weight states ``w0..w{steps}``
+    and stat passes ``s0..s{steps}`` (``s{k}`` measured AT ``w{k}``) —
+    the building block for both the trajectory oracle and the
+    trained-weights calibration oracle."""
     names = ("g_tok", "g_char", "g_stop", "g_bias")
     denoms = (D_TOK, D_CHAR, D_STOP, D_BIAS)
     wcols = ("w_tok", "w_char", "w_stop", "bias")
@@ -133,13 +133,21 @@ def _oracle_training_sql(steps: int) -> str:
                 f"w{k + 1} AS (SELECT {upd} FROM w{k}, s{k},"
                 f" (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats) cnt)"
             )
+    return ctes
+
+
+def _oracle_training_sql(steps: int) -> str:
+    """Unrolled K-step training trajectory: CTE ``s{k}`` is the stat
+    pass at weights ``w_k``; the weight literals are folded by the SAME
+    Python arithmetic the Spark path uses, so the oracle text replays
+    each update from the previous step's aggregates symbolically."""
     rows = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, w{k}.w_tok, w{k}.w_char,"
         f" w{k}.w_stop, w{k}.bias, s{k}.g_tok, s{k}.g_char, s{k}.g_stop,"
         f" s{k}.g_bias, s{k}.sse FROM w{k}, s{k}"
         for k in range(steps + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + rows
+    return "WITH " + ",\n".join(_oracle_training_ctes(steps)) + "\n" + rows
 
 
 _TRAIN_SCHEMA = StructType(
@@ -229,6 +237,76 @@ def train_linear_gate(
         return out
     finally:
         feats.unpersist()
+
+
+def _oracle_trained_calibration_sql(steps: int) -> str:
+    """Reliability-table oracle scored with the STEP-``steps`` trained
+    weights: the training CTE chain, then the L129 binning over
+    z = w_K·x (same BIN_W, same floor-over-double binning)."""
+    from .calibration import BIN_W
+
+    ctes = _oracle_training_ctes(steps)
+    scored = f"""scored AS (
+        SELECT w.w_tok * x_tok + w.w_char * x_char
+               + w.w_stop * x_stop + w.bias AS z,
+               CASE WHEN y = {Y_SCALE} THEN 1 ELSE 0 END AS pos
+        FROM feats, w{steps} w)"""
+    bin_sql = f"CAST(floor(CAST(z AS DOUBLE) / {BIN_W}) AS BIGINT)"
+    return (
+        "WITH "
+        + ",\n".join(ctes + [scored])
+        + f"""
+    SELECT {bin_sql} AS bin,
+           {bin_sql} * {BIN_W} AS z_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST((1000 * SUM(pos)) // COUNT(*) AS BIGINT) AS rate_milli
+    FROM scored
+    GROUP BY 1
+    """
+    )
+
+
+@query(
+    "trained_gate_calibration",
+    oracle=_oracle_trained_calibration_sql(TRAIN_STEPS),
+)
+def trained_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → serve, composed: the reliability table of L129 computed
+    with the weights the TRAIN_STEPS-step in-engine training produced
+    (not the fixed init) — per score-bin document count, positive count
+    and integer-exact positive rate, binned exactly like
+    quality_calibration_bins (same BIN_W, same floor-over-double). The
+    oracle re-derives the trained weights through the same unrolled CTE
+    chain, so a single hash compare certifies the whole
+    train-then-calibrate dataflow end to end."""
+    from .calibration import BIN_W
+
+    feats = _features(spark, sf_dir)
+    w = train_linear_gate(feats)[-1]
+    z = (
+        F.lit(w["w_tok"]) * F.col("x_tok")
+        + F.lit(w["w_char"]) * F.col("x_char")
+        + F.lit(w["w_stop"]) * F.col("x_stop")
+        + F.lit(w["bias"])
+    )
+    pos = F.when(F.col("y") == Y_SCALE, F.lit(1)).otherwise(F.lit(0))
+    b = F.floor(z.cast("double") / BIN_W).cast("long")
+    return (
+        feats.select(b.alias("bin"), pos.alias("pos"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * BIN_W).alias("z_lo"),
+            "n",
+            "n_pos",
+            F.expr("(1000 * n_pos) div n").cast("long").alias("rate_milli"),
+        )
+    )
 
 
 @query("quality_gate_training", oracle=_oracle_training_sql(TRAIN_STEPS))

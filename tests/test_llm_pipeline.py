@@ -1945,3 +1945,28 @@ def test_crosslingual_near_dup_finds_all_twins(spark):
         ).collect()
     }
     assert all((d, d + TWIN_OFFSET) not in raw_pairs for d in originals)
+
+
+def test_trained_gate_calibration_uses_trained_weights(spark):
+    """The train->serve composition must actually SERVE the trained
+    model: its reliability table differs from the init-weight L129
+    table (training moved the weights), while covering the same
+    documents (total n equal) with the same base rate (total n_pos
+    equal)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: F401
+        calibration as _cal,
+        training as _trn,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+
+    init_bins = QUERIES["quality_calibration_bins"](spark, SF_SMALL).collect()
+    trained_bins = QUERIES["trained_gate_calibration"](spark, SF_SMALL).collect()
+    assert sum(r["n"] for r in init_bins) == sum(r["n"] for r in trained_bins)
+    assert sum(r["n_pos"] for r in init_bins) == sum(
+        r["n_pos"] for r in trained_bins
+    )
+    assert {(r["bin"], r["n"]) for r in init_bins} != {
+        (r["bin"], r["n"]) for r in trained_bins
+    }
