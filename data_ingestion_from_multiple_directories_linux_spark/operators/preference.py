@@ -48,11 +48,10 @@ PROMPT_MOD = 23
 #: closer than this are preference noise, not signal.
 MARGIN_MIN = 500
 
-
-@query(
-    "dpo_preference_pairs",
-    oracle=f"""
-    WITH scored AS ({_SCORED_SQL}),
+#: the decontaminated candidate pool, SQL side — shared verbatim by the
+#: DPO-pair and GRPO-advantage oracles so the two preference surfaces
+#: can never disagree about who is a clean candidate.
+_CAND_CTES = f"""scored AS ({_SCORED_SQL}),
     tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
     sh AS (
         SELECT doc_id,
@@ -74,7 +73,46 @@ MARGIN_MIN = 500
         WHERE z IS NOT NULL
           AND doc_id % {DECON_EVAL_MOD} <> 0
           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-    ),
+    )"""
+
+
+def _clean_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_id, doc_id, z) — scored, non-eval, decontaminated
+    candidate pool (the Spark twin of ``_CAND_CTES``), shared by the
+    DPO-pair and GRPO-advantage queries."""
+    from ..catalog import load_table
+
+    scored = _scored(spark, sf_dir).filter(F.col("z").isNotNull())
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= DECON_NGRAM
+    )
+    ex = tokd.select(
+        "doc_id", F.explode_outer(shingles("toks", DECON_NGRAM)).alias("s")
+    ).filter(F.col("s").isNotNull())
+    eval_sh = (
+        ex.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
+    )
+    contaminated = (
+        ex.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        scored.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            (F.col("doc_id") % PROMPT_MOD).alias("group_id"), "doc_id", "z"
+        )
+    )
+
+
+@query(
+    "dpo_preference_pairs",
+    oracle=f"""
+    WITH {_CAND_CTES},
     ranked AS (
         SELECT group_id, doc_id, z,
                ROW_NUMBER() OVER (PARTITION BY group_id
@@ -107,34 +145,7 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken by doc_id), groups with fewer than two clean candidates
     or a margin under MARGIN_MIN dropped. Columns: group_id,
     chosen_doc_id, rejected_doc_id, margin, n_candidates."""
-    from ..catalog import load_table
-
-    scored = _scored(spark, sf_dir).filter(F.col("z").isNotNull())
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokd = d.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") >= DECON_NGRAM
-    )
-    ex = tokd.select(
-        "doc_id", F.explode_outer(shingles("toks", DECON_NGRAM)).alias("s")
-    ).filter(F.col("s").isNotNull())
-    eval_sh = (
-        ex.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("s").distinct()
-    )
-    contaminated = (
-        ex.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(F.broadcast(eval_sh), "s")
-        .select("doc_id")
-        .distinct()
-    )
-
-    cand = (
-        scored.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .select(
-            (F.col("doc_id") % PROMPT_MOD).alias("group_id"), "doc_id", "z"
-        )
-    )
+    cand = _clean_candidates(spark, sf_dir)
     by_group = Window.partitionBy("group_id")
     ranked = cand.select(
         "group_id",
@@ -169,4 +180,70 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin"),
         F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+@query(
+    "grpo_group_advantages",
+    oracle=f"""
+    WITH {_CAND_CTES},
+    stats AS (
+        SELECT group_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(z) AS BIGINT) AS s,
+               CAST(SUM(z * z) AS BIGINT) AS ss
+        FROM cand GROUP BY group_id
+    )
+    SELECT CAST(c.group_id AS BIGINT) AS group_id,
+           CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(c.z AS BIGINT) AS reward,
+           CAST(t.n_samples * c.z - t.s AS BIGINT) AS adv_num,
+           CAST(t.n_samples * t.ss - t.s * t.s AS BIGINT) AS var_num,
+           t.n_samples
+    FROM cand c JOIN stats t USING (group_id)
+    WHERE t.n_samples >= 2
+    """,
+)
+def grpo_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage preparation (the GRPO/RLOO shape): for
+    every clean candidate, its reward (the quality-gate z standing in
+    for a reward-model score) centered against its PROMPT GROUP — the
+    per-group baseline that replaces a learned value function.
+
+    Everything stays in exact integers (the mergeable-statistics
+    device): ``adv_num = n·r − Σr`` is the advantage scaled by n, and
+    ``var_num = n·Σr² − (Σr)²`` is the group variance scaled by n² —
+    the trainer's whitening step ``adv = adv_num / sqrt(n·var_num)``
+    is a trivial consumer-side float projection, kept OUT of the
+    engine so no cross-engine sqrt ulp can drift the hash (the L101
+    exact-moment convention). Groups with a single clean candidate
+    carry no signal and are dropped.
+
+    Plan: the candidate pool (same decontaminated pool as the DPO
+    pairs — shared CTEs/builder) aggregates per group (map-side
+    partials, |groups| rows), then joins back — at 100 TB the stats
+    side is prompt-count-sized and broadcasts."""
+    cand = _clean_candidates(spark, sf_dir)
+    stats = cand.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
+    )
+    return (
+        cand.join(F.broadcast(stats), "group_id")
+        .filter(F.col("n_samples") >= 2)
+        .select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("z").cast("long").alias("reward"),
+            (F.col("n_samples") * F.col("z") - F.col("s"))
+            .cast("long")
+            .alias("adv_num"),
+            (
+                F.col("n_samples") * F.col("ss") - F.col("s") * F.col("s")
+            )
+            .cast("long")
+            .alias("var_num"),
+            "n_samples",
+        )
     )

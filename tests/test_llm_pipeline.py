@@ -1970,3 +1970,46 @@ def test_trained_gate_calibration_uses_trained_weights(spark):
     assert {(r["bin"], r["n"]) for r in init_bins} != {
         (r["bin"], r["n"]) for r in trained_bins
     }
+
+
+def test_grpo_advantages_center_and_share_pool(spark):
+    """Invariants the oracle can't see: within every prompt group the
+    scaled advantages SUM TO ZERO (the defining property of a group
+    baseline), var_num is non-negative and group-constant and matches
+    the definition recomputed in Python, and the candidate pool is
+    EXACTLY the DPO pool (shared decontamination — no drift between the
+    two preference surfaces)."""
+    from collections import defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.preference import (
+        _clean_candidates,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+
+    rows = QUERIES["grpo_group_advantages"](spark, SF_SMALL).collect()
+    assert rows
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["group_id"]].append(r)
+    for g, rs in by_group.items():
+        n = rs[0]["n_samples"]
+        assert len(rs) == n >= 2
+        assert sum(r["adv_num"] for r in rs) == 0, f"group {g} not centered"
+        vs = {r["var_num"] for r in rs}
+        assert len(vs) == 1 and min(vs) >= 0
+        rewards = [r["reward"] for r in rs]
+        s, ss = sum(rewards), sum(x * x for x in rewards)
+        assert vs == {n * ss - s * s}
+        for r in rs:
+            assert r["adv_num"] == n * r["reward"] - s
+
+    pool = {
+        (r["group_id"], r["doc_id"])
+        for r in _clean_candidates(spark, SF_SMALL).collect()
+    }
+    grpo_pool = {(r["group_id"], r["doc_id"]) for r in rows}
+    multi = {g for g, rs in by_group.items()}
+    # every clean candidate in a multi-candidate group appears
+    assert grpo_pool == {(g, d) for (g, d) in pool if g in multi}
