@@ -77,8 +77,14 @@ def repeated_window_spans(
     (overlapping/adjacent dup positions merged into islands) and
     ``dup_chars`` (characters covered by the merged spans). Documents
     with no duplicated window are absent from the result."""
+    # hash-repartition first: the test parquet is ONE input partition
+    # and the window transform is the expensive interpreted expression
+    # (the dedup._shingle_sets lesson — without this the whole explode
+    # runs on a single core); at 100 TB the scan already has thousands
+    # of partitions and this is a cheap narrow re-balance.
     wins = (
         docs.filter(F.length("text") >= win)
+        .repartition(F.col("doc_id"))
         .select(
             "doc_id",
             F.explode(
@@ -91,13 +97,35 @@ def repeated_window_spans(
         )
         .select("doc_id", "pw.pos", "pw.w")
     )
+    # two-phase frequency pass: an 8-byte xxhash64 prefilter does the
+    # corpus-sized shuffle (hash count >= string count, so no true dup
+    # can be lost), then the EXACT string groupBy + join run only over
+    # the surviving candidates (~15% here) — the shuffle payload drop
+    # the module docstring promises, without giving up oracle-exact
+    # results (a hash collision can only ADD a candidate, which the
+    # string verify then rejects).
+    #
+    # wins feeds both phase-1 sides, and the stride-1 window transform
+    # is the expensive interpreted expression — persist so it runs
+    # ONCE, not once per plan branch (the minhash_pairs device;
+    # LRU-evicted, ~100 MB at sf0.1 — at 100 TB this is the
+    # materialized window table between stages, or a recompute if
+    # storage is tighter than CPU). Measured 8.4 -> 4.3 s at sf0.1.
+    wins_h = wins.withColumn("h", F.xxhash64("w")).persist()
+    hot_h = (
+        wins_h.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occ)
+        .select("h")
+    )
+    cand = wins_h.join(hot_h, "h").select("doc_id", "pos", "w")
     dup_w = (
-        wins.groupBy("w")
+        cand.groupBy("w")
         .agg(F.count("*").alias("occ"))
         .filter(F.col("occ") >= min_occ)
         .select("w")
     )
-    dup_pos = wins.join(dup_w, "w").select("doc_id", "pos")
+    dup_pos = cand.join(dup_w, "w").select("doc_id", "pos")
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     islands = dup_pos.withColumn(
         "new_island",
