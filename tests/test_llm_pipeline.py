@@ -2013,3 +2013,42 @@ def test_grpo_advantages_center_and_share_pool(spark):
     multi = {g for g, rs in by_group.items()}
     # every clean candidate in a multi-candidate group appears
     assert grpo_pool == {(g, d) for (g, d) in pool if g in multi}
+
+
+def test_preference_surfaces_compose(spark):
+    """Cross-operator composition (the L99 convention): the DPO pair
+    and GRPO advantage surfaces must agree group by group, because they
+    share one candidate pool and one reward — the chosen doc carries
+    the group-max advantage, the rejected doc the group-min (up to
+    score ties, where DPO's doc_id tiebreak picks within the argmax
+    set), and the pair margin equals the advantage spread divided by
+    the group size."""
+    from collections import defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: F401
+        preference as _pref,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+
+    pairs = {
+        r["group_id"]: r
+        for r in QUERIES["dpo_preference_pairs"](spark, SF_SMALL).collect()
+    }
+    adv = defaultdict(list)
+    for r in QUERIES["grpo_group_advantages"](spark, SF_SMALL).collect():
+        adv[r["group_id"]].append(r)
+
+    assert pairs, "no pairs to compose"
+    for g, p in pairs.items():
+        rs = adv[g]
+        assert len(rs) == p["n_candidates"]
+        hi = max(r["adv_num"] for r in rs)
+        lo = min(r["adv_num"] for r in rs)
+        hi_docs = {r["doc_id"] for r in rs if r["adv_num"] == hi}
+        lo_docs = {r["doc_id"] for r in rs if r["adv_num"] == lo}
+        assert p["chosen_doc_id"] in hi_docs
+        assert p["rejected_doc_id"] in lo_docs
+        n = rs[0]["n_samples"]
+        assert p["margin"] * n == hi - lo
