@@ -29,10 +29,10 @@ Plan shape and the 100 TB story:
   shuffle payload, not the algorithm;
 * pathological windows (whitespace boilerplate repeated millions of
   times) are the skew risk: the frequency pass bounds them — the join
-  probe side carries each DISTINCT duplicated window once, and a
-  df_cap-style guard (drop windows with count > cap from the REPORT,
+  probe side carries each DISTINCT duplicated window once, and the
+  ``occ_cap`` guard (drop windows with count > cap from the REPORT,
   they are dedup'd unconditionally anyway) caps any residual hot key
-  exactly like the Jaccard df-cap (ops/dedup.py).
+  exactly like the Jaccard df_cap (ops/dedup.py) — contract-tested.
 * island merging is a per-document window function — partitioned by
   doc_id, no global sort.
 
@@ -69,14 +69,25 @@ BOILER = (
 
 
 def repeated_window_spans(
-    docs: DataFrame, win: int = WIN, min_occ: int = MIN_OCC
+    docs: DataFrame,
+    win: int = WIN,
+    min_occ: int = MIN_OCC,
+    occ_cap: int | None = None,
 ) -> DataFrame:
     """Per-document maximal repeated-span report over ``docs(doc_id,
     text)``: ``n_dup_windows`` (stride-1 ``win``-char windows whose
     content occurs ≥ ``min_occ`` times corpus-wide), ``n_spans``
     (overlapping/adjacent dup positions merged into islands) and
     ``dup_chars`` (characters covered by the merged spans). Documents
-    with no duplicated window are absent from the result."""
+    with no duplicated window are absent from the result.
+
+    ``occ_cap`` is the hot-window skew guard (the Jaccard df_cap
+    convention): a window occurring > ``occ_cap`` times is
+    mass-duplicated boilerplate whose positions-frame join fan-out is
+    occ-sized PER OCCURRENCE — with the cap set such windows are
+    dropped from the REPORT before the join (their content belongs to
+    the exact-dedup path, not span accounting). Default ``None`` keeps
+    exact parity with the oracle."""
     # hash-repartition first: the test parquet is ONE input partition
     # and the window transform is the expensive interpreted expression
     # (the dedup._shingle_sets lesson — without this the whole explode
@@ -119,10 +130,13 @@ def repeated_window_spans(
         .select("h")
     )
     cand = wins_h.join(hot_h, "h").select("doc_id", "pos", "w")
+    occ_ok = F.col("occ") >= min_occ
+    if occ_cap is not None:
+        occ_ok = occ_ok & (F.col("occ") <= occ_cap)
     dup_w = (
         cand.groupBy("w")
         .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= min_occ)
+        .filter(occ_ok)
         .select("w")
     )
     dup_pos = cand.join(dup_w, "w").select("doc_id", "pos")

@@ -2052,3 +2052,51 @@ def test_preference_surfaces_compose(spark):
         assert p["rejected_doc_id"] in lo_docs
         n = rs[0]["n_samples"]
         assert p["margin"] * n == hi - lo
+
+
+def test_repeated_window_spans_occ_cap_guard(spark):
+    """The hot-window skew guard's contract: with occ_cap set, windows
+    occurring more than occ_cap times vanish from the report (their
+    content is mass-boilerplate for the exact-dedup path), while rarer
+    duplicated windows are untouched — and occ_cap=None keeps the
+    uncapped result."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.substring_dedup import (
+        repeated_window_spans,
+    )
+
+    win = 8
+    hot = "HOTHOTHO"          # win chars, occurs in 4 docs
+    rare = "RARERARE"         # occurs in exactly 2 docs
+    docs = [
+        (0, "aaaa" + hot + "bbbb"),
+        (1, "cccc" + hot + "dddd"),
+        (2, "eeee" + hot + rare),
+        (3, "ffff" + hot + rare),
+        (4, "unique text with nothing repeated here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in repeated_window_spans(df, win=win, min_occ=2).collect()
+    }
+    assert set(uncapped) == {0, 1, 2, 3}
+
+    capped = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in repeated_window_spans(
+            df, win=win, min_occ=2, occ_cap=3
+        ).collect()
+    }
+    # the 4-occurrence hot window is dropped; the 2-occurrence rare
+    # window survives, so only docs 2 and 3 still report spans
+    assert set(capped) == {2, 3}
+    assert all(capped[d] < uncapped[d] for d in capped)
+
+    same = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in repeated_window_spans(
+            df, win=win, min_occ=2, occ_cap=None
+        ).collect()
+    }
+    assert same == uncapped
