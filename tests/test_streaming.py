@@ -1241,3 +1241,141 @@ def test_streaming_bloom_ingest_foreachbatch(spark, tmp_path):
                 hits_of_repeats.append(r["hit"])
         seen.update(r["url"] for r in by_batch[bid])
     assert hits_of_repeats and all(hits_of_repeats)
+
+
+def test_streaming_crawl_frontier_dedups_across_batches(spark, tmp_path):
+    """L140 e2e: the canonicalize->bloom->exact-rescue frontier emits
+    every canonical resource EXACTLY ONCE across micro-batches, raw
+    respellings included — wave 2's respellings of wave-1 resources
+    are recognized as seen, its genuinely-new resources emit."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.frontier import (
+        StreamingCrawlFrontier,
+    )
+
+    src = tmp_path / "frontier_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(os.path.join(str(src), name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def canon_url(i):
+        return f"https://example.com/r/{i}"
+
+    wave1 = [
+        {"doc_id": i, "url": f"https://example.com/r/{i}"} for i in range(10)
+    ]
+    # respellings of resources 5-9 (case/port/utm/slash variants of the
+    # same canonical key) plus new resources 10-14
+    wave2 = [
+        {"doc_id": 100 + i, "url": f"HTTPS://EXAMPLE.com:443/r/{i}"}
+        for i in range(5, 8)
+    ] + [
+        {"doc_id": 100 + i, "url": f"https://example.com/r/{i}?utm_source=x"}
+        for i in range(8, 10)
+    ] + [
+        {"doc_id": 100 + i, "url": f"https://example.com/r/{i}"}
+        for i in range(10, 15)
+    ]
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    fr = StreamingCrawlFrontier(
+        spark, store, str(src), str(tmp_path / "ckpt")
+    )
+    write_file("w1.json", wave1)
+    fr.run_available_now()
+    write_file("w2.json", wave2)
+    fr.run_available_now()
+
+    rows = fr.frontier().collect()
+    assert len(rows) == 15, rows
+    assert {r["url"] for r in rows} == {canon_url(i) for i in range(15)}
+    # each resource exactly once, and wave-1 resources carry their
+    # wave-1 keeper doc_id (the respelling never re-emitted)
+    by_url = {r["url"]: r for r in rows}
+    for i in range(10):
+        assert by_url[canon_url(i)]["doc_id"] == i
+    for i in range(10, 15):
+        assert by_url[canon_url(i)]["doc_id"] == 100 + i
+
+
+def test_streaming_crawl_frontier_rescues_false_positives(spark, tmp_path):
+    """The no-false-drop pin: pre-pollute the filter with EVERY bit set
+    (worst case — all probes hit), then stream genuinely-new URLs. A
+    bloom-only frontier would drop them all forever; the exact rescue
+    must emit every one."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.bloomdedup import (
+        M_BITS,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.frontier import (
+        FRONTIER_BITS,
+        StreamingCrawlFrontier,
+    )
+
+    src = tmp_path / "fp_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "url": f"https://example.com/fresh/{i}"}
+        for i in range(20)
+    ]
+    with open(os.path.join(str(src), "b1.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        FRONTIER_BITS,
+        spark.range(M_BITS).select(F.col("id").cast("long").alias("bit")),
+    )
+    fr = StreamingCrawlFrontier(
+        spark, store, str(src), str(tmp_path / "ckpt")
+    )
+    fr.run_available_now()
+    got = {r["url"] for r in fr.frontier().collect()}
+    assert got == {r["url"] for r in rows}
+
+
+def test_streaming_crawl_frontier_replay_idempotent(spark, tmp_path):
+    """foreachBatch at-least-once: re-processing a batch with the same
+    batch_id (its keys already in the filter, its rows already in the
+    output table) must leave the frontier byte-identical — the purge-
+    then-rewrite path plus the rescue join's own-batch exclusion."""
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.frontier import (
+        StreamingCrawlFrontier,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    fr = StreamingCrawlFrontier(
+        spark, store, str(tmp_path / "src"), str(tmp_path / "ckpt")
+    )
+    batch = spark.createDataFrame(
+        [(i, f"https://example.com/p/{i}") for i in range(8)],
+        "doc_id long, url string",
+    )
+    fr._process_batch(batch, 0)
+    once = sorted(
+        (r["url"], r["doc_id"], r["batch_id"])
+        for r in fr.frontier().collect()
+    )
+    fr._process_batch(batch, 0)  # crash-replay of the same batch
+    twice = sorted(
+        (r["url"], r["doc_id"], r["batch_id"])
+        for r in fr.frontier().collect()
+    )
+    assert once == twice and len(once) == 8
