@@ -280,33 +280,8 @@ def trained_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the trained weights through the same unrolled CTE
     chain, so a single hash compare certifies the whole
     train-then-calibrate dataflow end to end."""
-    from .calibration import BIN_W
-
-    feats = _features(spark, sf_dir)
-    w = train_linear_gate(feats)[-1]
-    z = (
-        F.lit(w["w_tok"]) * F.col("x_tok")
-        + F.lit(w["w_char"]) * F.col("x_char")
-        + F.lit(w["w_stop"]) * F.col("x_stop")
-        + F.lit(w["bias"])
-    )
-    pos = F.when(F.col("y") == Y_SCALE, F.lit(1)).otherwise(F.lit(0))
-    b = F.floor(z.cast("double") / BIN_W).cast("long")
-    return (
-        feats.select(b.alias("bin"), pos.alias("pos"))
-        .groupBy("bin")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("pos").cast("long").alias("n_pos"),
-        )
-        .select(
-            "bin",
-            (F.col("bin") * BIN_W).alias("z_lo"),
-            "n",
-            "n_pos",
-            F.expr("(1000 * n_pos) div n").cast("long").alias("rate_milli"),
-        )
-    )
+    w = train_linear_gate(_features(spark, sf_dir))[-1]
+    return calibration_bins_for_weights(spark, sf_dir, w)
 
 
 @query("quality_gate_training", oracle=_oracle_training_sql(TRAIN_STEPS))
@@ -332,4 +307,74 @@ def quality_gate_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows
         ],
         _TRAIN_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model persistence: train once, serve from any later session
+# ---------------------------------------------------------------------------
+
+#: persisted gate-weight table (the fifth persistent-state family,
+#: beside IVF/PQ codebooks, the MinHash band index, the Bloom bit
+#: table and the streaming checkpoint).
+GATE_WEIGHTS_TABLE = "_quality_gate_weights"
+
+
+def save_gate_weights(store, w: dict[str, int]) -> None:
+    """Persist a trained weight vector (one row, atomic swap). Integer
+    weights round-trip parquet exactly, so a reloaded model scores
+    BIT-IDENTICALLY to the in-session one (pytest: cross-process
+    e2e)."""
+    row = [(int(w["w_tok"]), int(w["w_char"]), int(w["w_stop"]), int(w["bias"]))]
+    store.overwrite(
+        GATE_WEIGHTS_TABLE,
+        store.spark.createDataFrame(
+            row, "w_tok long, w_char long, w_stop long, bias long"
+        ),
+    )
+
+
+def load_gate_weights(store) -> dict[str, int]:
+    """Reload the persisted gate weights into the driver-side dict the
+    scoring/calibration expressions consume."""
+    r = store.read(GATE_WEIGHTS_TABLE).first()
+    return {
+        "w_tok": r["w_tok"],
+        "w_char": r["w_char"],
+        "w_stop": r["w_stop"],
+        "bias": r["bias"],
+    }
+
+
+def calibration_bins_for_weights(
+    spark: SparkSession, sf_dir: str, w: dict[str, int]
+) -> DataFrame:
+    """The L129 reliability table at an ARBITRARY weight vector — the
+    serve-side scoring path shared by ``trained_gate_calibration``
+    (fresh weights) and a session that only reloaded them."""
+    from .calibration import BIN_W
+
+    feats = _features(spark, sf_dir)
+    z = (
+        F.lit(w["w_tok"]) * F.col("x_tok")
+        + F.lit(w["w_char"]) * F.col("x_char")
+        + F.lit(w["w_stop"]) * F.col("x_stop")
+        + F.lit(w["bias"])
+    )
+    pos = F.when(F.col("y") == Y_SCALE, F.lit(1)).otherwise(F.lit(0))
+    b = F.floor(z.cast("double") / BIN_W).cast("long")
+    return (
+        feats.select(b.alias("bin"), pos.alias("pos"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * BIN_W).alias("z_lo"),
+            "n",
+            "n_pos",
+            F.expr("(1000 * n_pos) div n").cast("long").alias("rate_milli"),
+        )
     )

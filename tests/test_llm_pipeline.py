@@ -2100,3 +2100,85 @@ def test_repeated_window_spans_occ_cap_guard(spark):
         ).collect()
     }
     assert same == uncapped
+
+
+_GATE_SERVE_SCRIPT = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+wh, out, sf = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from data_ingestion_from_multiple_directories_linux_spark.operators.training import (
+    calibration_bins_for_weights,
+    load_gate_weights,
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+    TableStore,
+)
+
+store = TableStore(spark, wh)
+w = load_gate_weights(store)
+rows = sorted(
+    (r["bin"], r["z_lo"], r["n"], r["n_pos"], r["rate_milli"])
+    for r in calibration_bins_for_weights(spark, sf, w).collect()
+)
+with open(out, "w") as f:
+    json.dump({"weights": w, "bins": rows}, f)
+spark.stop()
+"""
+
+
+def test_gate_weights_train_once_serve_elsewhere(spark, tmp_path):
+    """The model-persistence lifecycle (the IVFPQ/band-index cadence,
+    now for the quality gate): train in THIS session, persist the
+    weight row, then a SEPARATE process with a brand-new SparkSession
+    reloads ONLY the persisted table and must reproduce the trained
+    reliability table BIT-IDENTICALLY — integer weights round-trip
+    parquet exactly, and the serve-side scoring path is shared code."""
+    import json
+    import subprocess
+    import sys
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.training import (
+        _features,
+        save_gate_weights,
+        train_linear_gate,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+
+    wh = str(tmp_path / "wh")
+    store = TableStore(spark, wh)
+    trained = train_linear_gate(_features(spark, SF_SMALL))[-1]
+    save_gate_weights(store, trained)
+
+    script = tmp_path / "serve_gate.py"
+    script.write_text(_GATE_SERVE_SCRIPT)
+    out_json = tmp_path / "bins.json"
+    proc = subprocess.run(
+        [sys.executable, str(script), wh, str(out_json), SF_SMALL],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"serve process failed:\n{proc.stderr[-4000:]}"
+    got = json.load(out_json.open())
+    assert got["weights"] == {
+        k: trained[k] for k in ("w_tok", "w_char", "w_stop", "bias")
+    }
+    here = sorted(
+        (r["bin"], r["z_lo"], r["n"], r["n_pos"], r["rate_milli"])
+        for r in QUERIES["trained_gate_calibration"](spark, SF_SMALL).collect()
+    )
+    assert [tuple(b) for b in got["bins"]] == here and here
