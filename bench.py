@@ -110,6 +110,14 @@ SCALE_OPS = (
     # bound holds, not that bucketing tamed a quadratic
     "bloom_url_dedup",
     "rerank_topk_cross",
+    # round-9 additions — the window-frequency pass shuffles hashes and
+    # joins only duplicated positions (amplification's per-copy cipher
+    # keeps within-copy boilerplate repeats, so dup volume scales
+    # linearly); crosslingual rides the banded-LSH pipeline (per-copy
+    # cipher commutes with the token-reverse concept map, so planted
+    # twins keep matching within each copy)
+    "repeated_substring_spans",
+    "crosslingual_near_dup",
 )
 SCALE_SMALL_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_SMALL_DIR", "/root/testdata/sf0.01"
