@@ -33,6 +33,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     dedup,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
+    leakage_split,  # noqa: F401
     maintenance,  # noqa: F401
     matching,  # noqa: F401
     multimodal,  # noqa: F401
@@ -68,19 +69,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # prior-round row only while the file is untouched).
 #
 # Round-9 allocation — DERIVED from tools/staleness.py at round start
-# (51 strict-stale rows at HEAD). Slots 1-6: the 6 queries ADDED this
+# (51 strict-stale rows at HEAD). Slots 1-7: the 7 queries ADDED this
 # round (no driver row ever — the tool's rnd==0 rule ranks them
-# first). Slots 7-10: the rows RE-STALED by this round's own edits —
+# first). Slots 8-11: the rows RE-STALED by this round's own edits —
 # canonical_url_dedup (urlnorm.py oracle/corpus rewrite) and the mask
 # two-stage trio, whose masking.py helper gained the scratch-column
 # guard (helper-import staleness; round-8 displacement precedent).
-# Slots 11-12: the last two r04 rows (graphs.py — file untouched but
+# Slots 12-13: the last two r04 rows (graphs.py — file untouched but
 # the oldest ledger rows; verdict item 1). Then every strict-stale row
-# in tool order: 21 r05, 12 r06, and 5 of the 15 r07 rows (tool order,
+# in tool order: 21 r05, 12 r06, and 4 of the 15 r07 rows (tool order,
 # except q1_pricing_summary — the flagship — kept in-cap over
-# duplicate_extra_rows) — exactly 50. The remaining 10 r07 rows lead
-# the 51+ tail for round 10 and ride VERIFY_LOCAL_r09 at HEAD
-# meanwhile.
+# dedup_keep_newest/duplicate_extra_rows) — exactly 50. The remaining
+# 11 r07 rows lead the 51+ tail for round 10 and ride VERIFY_LOCAL_r09
+# at HEAD meanwhile.
 _PRIORITY_FIRST = [
     "quality_gate_training",  # new r9
     "repeated_substring_spans",  # new r9
@@ -88,6 +89,7 @@ _PRIORITY_FIRST = [
     "crosslingual_near_dup",  # new r9
     "trained_gate_calibration",  # new r9
     "grpo_group_advantages",  # new r9
+    "leakage_safe_split",  # new r9
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -130,11 +132,11 @@ _PRIORITY_FIRST = [
     "anti_join_no_orders",  # r07
     "broadcast_brand_revenue",  # r07
     "bulk_update_requeue",  # r07
-    "dedup_keep_newest",  # r07
     "q1_pricing_summary",  # r07 (flagship — kept in-cap)
     # -- slots 51+: the remaining r07 stale rows lead the tail (the
     # driver cap is 50); they ride VERIFY_LOCAL_r09 at HEAD until the
     # round-10 rotation.
+    "dedup_keep_newest",  # r07
     "duplicate_extra_rows",  # r07
     "semi_join_failed_retry",  # r07
     "state_machine_summary",  # r07

@@ -2182,3 +2182,61 @@ def test_gate_weights_train_once_serve_elsewhere(spark, tmp_path):
         for r in QUERIES["trained_gate_calibration"](spark, SF_SMALL).collect()
     )
     assert [tuple(b) for b in got["bins"]] == here and here
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """The leakage guarantee the oracle can't see: (1) every near-dup
+    PAIR lands entirely inside one split; (2) every duplicate CLUSTER
+    is split-homogeneous; (3) singletons keep the naive L30 assignment
+    (stability — the guard only moves clustered docs); (4) the NAIVE
+    doc-id split straddles at least one pair on the same corpus — the
+    failure mode this operator closes."""
+    from collections import defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus import (
+        SPLIT_TRAIN_BELOW,
+        SPLIT_VAL_BELOW,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators import (  # noqa: F401
+        leakage_split as _ls,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.dedup import (
+        JACCARD_CLUSTER_THRESHOLD,
+        _cluster_corpus,
+        jaccard_pairs,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.registry import (
+        QUERIES,
+    )
+
+    rows = QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    by_rep = defaultdict(set)
+    for r in rows:
+        by_rep[r["rep"]].add(r["split"])
+    assert all(len(s) == 1 for s in by_rep.values())
+
+    corpus = _cluster_corpus(spark, SF_SMALL)
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(corpus, 4, JACCARD_CLUSTER_THRESHOLD).collect()
+    ]
+    assert pairs
+    assert all(split_of[a] == split_of[b] for a, b in pairs)
+
+    import hashlib
+
+    def naive(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        return (
+            "train"
+            if h < SPLIT_TRAIN_BELOW
+            else ("val" if h < SPLIT_VAL_BELOW else "test")
+        )
+
+    # singletons (rep == doc_id) keep the naive assignment
+    for r in rows:
+        if r["rep"] == r["doc_id"]:
+            assert r["split"] == naive(r["doc_id"])
+    # and the naive split DOES straddle at least one near-dup pair
+    assert any(naive(a) != naive(b) for a, b in pairs)
