@@ -2240,3 +2240,71 @@ def test_leakage_safe_split_never_straddles(spark):
             assert r["split"] == naive(r["doc_id"])
     # and the naive split DOES straddle at least one near-dup pair
     assert any(naive(a) != naive(b) for a, b in pairs)
+
+
+def test_url_canonicalize_seeded_fuzz_twins(spark):
+    """Seeded fuzz over a URL component grammar (300 cases): the Spark
+    expression and the DuckDB twin must agree STRING-FOR-STRING on
+    every generated URL — schemes/hosts in mixed case, default and
+    non-default ports, path segments containing literal '&'/'utm_'/
+    uppercase, query strings with utm runs at every position, literal
+    '?' inside values, fragments, trailing slashes and bare
+    separators. This is the general-input guarantee behind the round-9
+    utm/'g'-option fixes, beyond the hand-picked adversarial list."""
+    import random
+
+    import duckdb
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.urlnorm import (
+        _sql_canonicalize,
+        url_canonicalize,
+    )
+
+    rng = random.Random(20260815)
+    schemes = ["https", "HTTPS", "http", "Http", "ftp", ""]
+    hosts = ["example.com", "EXAMPLE.com", "A.b.C.de", "x-y.io"]
+    ports = ["", ":443", ":80", ":8443", ":0443"]
+    segs = ["p", "Path", "a&b", "utm_x", "a&utm_c", "X%20y", "q?v"]
+    params = [
+        "utm_a=1", "utm_b", "utm_source=f&x", "q=2", "X=Y/", "a=b?c",
+        "utm_c=3", "k=", "=v", "&", "utm_",
+    ]
+    frags = ["", "#f", "#sec/2?x=1", "#"]
+
+    def make_url():
+        s = rng.choice(schemes)
+        u = f"{s}://" if s else ""
+        u += rng.choice(hosts) + rng.choice(ports)
+        u += "".join(
+            "/" + rng.choice(segs) for _ in range(rng.randint(0, 3))
+        )
+        if rng.random() < 0.3:
+            u += "/"
+        if rng.random() < 0.7:
+            u += "?" + "&".join(
+                rng.choice(params) for _ in range(rng.randint(0, 4))
+            )
+        u += rng.choice(frags)
+        return u
+
+    urls = [make_url() for _ in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got_spark = [
+        r["c"]
+        for r in df.coalesce(1)
+        .select(url_canonicalize("u").alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_sql_canonicalize('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    mismatches = [
+        (u, s, d)
+        for u, s, d in zip(urls, got_spark, got_duck)
+        if s != d
+    ]
+    assert not mismatches, mismatches[:5]
