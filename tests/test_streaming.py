@@ -1379,3 +1379,100 @@ def test_streaming_crawl_frontier_replay_idempotent(spark, tmp_path):
         for r in fr.frontier().collect()
     )
     assert once == twice and len(once) == 8
+
+
+_FRONTIER_RESUME_SCRIPT = """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+src, ckpt, wh, out = sys.argv[1:5]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+    TableStore,
+)
+from data_ingestion_from_multiple_directories_linux_spark.streaming.frontier import (
+    StreamingCrawlFrontier,
+)
+
+fr = StreamingCrawlFrontier(spark, TableStore(spark, wh), src, ckpt)
+fr.run_available_now()
+rows = sorted(
+    (r["url"], r["doc_id"]) for r in fr.frontier().collect()
+)
+with open(out, "w") as f:
+    json.dump(rows, f)
+spark.stop()
+"""
+
+
+def test_streaming_crawl_frontier_resumes_cross_process(spark, tmp_path):
+    """The cron-cadence lifecycle for L140: wave 1 runs in THIS
+    process; the next cron tick is a SEPARATE OS process with a fresh
+    SparkSession resuming the same checkpoint + warehouse. The source
+    checkpoint must skip wave-1 files, the reloaded filter must
+    recognize wave-1 resources under new spellings, and new resources
+    must emit — the frontier ends with each resource exactly once."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.frontier import (
+        StreamingCrawlFrontier,
+    )
+
+    src = tmp_path / "resume_src"
+    src.mkdir()
+    ckpt, wh = str(tmp_path / "ckpt"), str(tmp_path / "wh")
+
+    def write_file(name, rows):
+        with open(os.path.join(str(src), name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file(
+        "w1.json",
+        [{"doc_id": i, "url": f"https://example.com/r/{i}"} for i in range(6)],
+    )
+    fr = StreamingCrawlFrontier(spark, TableStore(spark, wh), str(src), ckpt)
+    fr.run_available_now()
+    assert len(fr.frontier().collect()) == 6
+
+    # next tick: respellings of 0-2 plus new 6-8, fresh process
+    write_file(
+        "w2.json",
+        [
+            {"doc_id": 100 + i, "url": f"HTTPS://EXAMPLE.com:443/r/{i}/"}
+            for i in range(3)
+        ]
+        + [
+            {"doc_id": 100 + i, "url": f"https://example.com/r/{i}"}
+            for i in range(6, 9)
+        ],
+    )
+    script = tmp_path / "resume_frontier.py"
+    script.write_text(_FRONTIER_RESUME_SCRIPT)
+    out_json = tmp_path / "frontier.json"
+    proc = subprocess.run(
+        [sys.executable, str(script), str(src), ckpt, wh, str(out_json)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"resume process failed:\n{proc.stderr[-4000:]}"
+    got = [tuple(r) for r in _json.load(out_json.open())]
+    want = sorted(
+        [(f"https://example.com/r/{i}", i) for i in range(6)]
+        + [(f"https://example.com/r/{i}", 100 + i) for i in range(6, 9)]
+    )
+    assert got == want
