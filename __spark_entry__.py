@@ -41,6 +41,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     profiling,  # noqa: F401
     relational,  # noqa: F401
     reranking,  # noqa: F401
+    retrieval,  # noqa: F401
     semistructured,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
