@@ -29,11 +29,13 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     bloomdedup,  # noqa: F401
     calibration,  # noqa: F401
     corpus,  # noqa: F401
+    corpus_stats,  # noqa: F401
     crosslingual,  # noqa: F401
     dedup,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
     leakage_split,  # noqa: F401
+    linkgraph,  # noqa: F401
     maintenance,  # noqa: F401
     matching,  # noqa: F401
     multimodal,  # noqa: F401
@@ -70,9 +72,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # prior-round row only while the file is untouched).
 #
 # Round-9 allocation — DERIVED from tools/staleness.py at round start
-# (51 strict-stale rows at HEAD). Slots 1-7: the 7 queries ADDED this
-# round (no driver row ever — the tool's rnd==0 rule ranks them
-# first). Slots 8-11: the rows RE-STALED by this round's own edits —
+# (51 strict-stale rows at HEAD). Slots 1-11: the 11 queries ADDED
+# this round (no driver row ever — the tool's rnd==0 rule ranks them
+# first; bm25_topk/hybrid_rrf_fusion/host_pagerank/vocab_growth_curve
+# landed in the continuation session and displace the last four
+# non-flagship in-cap rows — anti_join_no_orders,
+# broadcast_brand_revenue, bulk_update_requeue, value_histogram_events
+# — to the head of the 51+ tail). Next: the rows RE-STALED by this
+# round's own edits —
 # canonical_url_dedup (urlnorm.py oracle/corpus rewrite) and the mask
 # two-stage trio, whose masking.py helper gained the scratch-column
 # guard (helper-import staleness; round-8 displacement precedent).
@@ -91,6 +98,10 @@ _PRIORITY_FIRST = [
     "trained_gate_calibration",  # new r9
     "grpo_group_advantages",  # new r9
     "leakage_safe_split",  # new r9
+    "bm25_topk",  # new r9 (continuation session)
+    "hybrid_rrf_fusion",  # new r9 (continuation session)
+    "host_pagerank",  # new r9 (continuation session)
+    "vocab_growth_curve",  # new r9 (continuation session)
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -129,14 +140,15 @@ _PRIORITY_FIRST = [
     "histogram_quantiles",  # r06
     "quantiles_by_event_type",  # r06
     "tumbling_window_counts",  # r06
+    "q1_pricing_summary",  # r07 (flagship — kept in-cap)
+    # -- slots 51+: rows displaced by the continuation session's four
+    # new queries, then the remaining r07 stale rows (the driver cap
+    # is 50); they ride the committed VERIFY_LOCAL record at HEAD
+    # until the round-10 rotation.
     "value_histogram_events",  # r06
     "anti_join_no_orders",  # r07
     "broadcast_brand_revenue",  # r07
     "bulk_update_requeue",  # r07
-    "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: the remaining r07 stale rows lead the tail (the
-    # driver cap is 50); they ride VERIFY_LOCAL_r09 at HEAD until the
-    # round-10 rotation.
     "dedup_keep_newest",  # r07
     "duplicate_extra_rows",  # r07
     "semi_join_failed_retry",  # r07

@@ -1,0 +1,123 @@
+"""Corpus-level statistical audits (vocabulary growth / Heaps' law).
+
+Tokenizer-budget planning for a training corpus needs the vocabulary
+growth curve: how many DISTINCT tokens (and total tokens) the corpus
+contains at each ingest prefix. Sub-linear growth (Heaps' law) is the
+healthy shape; a near-linear distinct-token curve is the classic
+symptom of an ID-like / junk token stream that will blow up a learned
+tokenizer's merge table.
+
+Exact and one-pass at any scale: the corpus collapses to TWO tiny
+aggregates — per-term first-appearance doc (vocabulary-sized) and
+per-doc token counts (document-sized) — and the 10-row decile table
+broadcasts onto both for conditional sums. No corpus-sized window, no
+global sort; prefix boundaries are exact integer arithmetic
+((n_docs·d) div 10), so Spark's truncating `div` equals DuckDB's
+flooring `//` on these non-negative values and the driver can
+hash-compare the curve bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens
+from .registry import query
+from .text_analysis import TOK_SQL
+
+#: curve resolution: prefixes at n·d/DECILES for d = 1..DECILES.
+DECILES = 10
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOK_SQL.format(c='text')}) AS term FROM documents
+    ),
+    firsts AS (
+        SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM tok GROUP BY term
+    ),
+    dtok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY doc_id
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dec AS (
+        SELECT CAST(d AS BIGINT) AS decile,
+               (nd.n_docs * d) // {DECILES} AS prefix_docs
+        FROM range(1, {DECILES} + 1) t(d), nd
+    ),
+    vocab AS (
+        SELECT dec.decile,
+               CAST(SUM(CASE WHEN f.first_doc < dec.prefix_docs
+                             THEN 1 ELSE 0 END) AS BIGINT) AS distinct_terms
+        FROM dec CROSS JOIN firsts f GROUP BY dec.decile
+    ),
+    toks AS (
+        SELECT dec.decile,
+               CAST(dec.prefix_docs AS BIGINT) AS docs_prefix,
+               CAST(SUM(CASE WHEN t.doc_id < dec.prefix_docs
+                             THEN t.n_tok ELSE 0 END) AS BIGINT) AS total_tokens
+        FROM dec CROSS JOIN dtok t GROUP BY dec.decile, dec.prefix_docs
+    )
+    SELECT t.decile, t.docs_prefix, v.distinct_terms, t.total_tokens
+    FROM toks t JOIN vocab v USING (decile)
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, docs_prefix, distinct_terms, total_tokens) — the
+    vocabulary growth curve at 10 ingest prefixes (docs ordered by
+    doc_id, the ingest order of the synthetic corpus). distinct_terms
+    counts terms whose first appearance falls inside the prefix;
+    total_tokens sums token counts of prefix docs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    firsts = tok.groupBy("term").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    dtok = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
+    nd = d.select(F.count("*").cast("long").alias("n_docs"))
+    dec = (
+        spark.range(1, DECILES + 1)
+        .select(F.col("id").cast("long").alias("decile"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "decile",
+            F.expr(f"(n_docs * decile) div {DECILES}").cast("long").alias(
+                "prefix_docs"
+            ),
+        )
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(dec))
+        .groupBy("decile")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("prefix_docs"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("distinct_terms")
+        )
+    )
+    toks = (
+        dtok.crossJoin(F.broadcast(dec))
+        .groupBy("decile", "prefix_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") < F.col("prefix_docs"), F.col("n_tok"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("total_tokens")
+        )
+    )
+    return toks.join(vocab, "decile").select(
+        "decile",
+        F.col("prefix_docs").alias("docs_prefix"),
+        "distinct_terms",
+        "total_tokens",
+    )
