@@ -32,6 +32,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     corpus_stats,  # noqa: F401
     crosslingual,  # noqa: F401
     dedup,  # noqa: F401
+    embeval,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
     leakage_split,  # noqa: F401
@@ -102,6 +103,9 @@ _PRIORITY_FIRST = [
     "hybrid_rrf_fusion",  # new r9 (continuation session)
     "host_pagerank",  # new r9 (continuation session)
     "vocab_growth_curve",  # new r9 (continuation session)
+    "crawl_budget_apportionment",  # new r9 (continuation session)
+    "embedding_covariance",  # new r9 (continuation session)
+    "knn_label_eval",  # new r9 (continuation session)
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -137,14 +141,14 @@ _PRIORITY_FIRST = [
     "session_duration_secs",  # r06
     "substring_truncate",  # r06
     "gap_fill_hourly_locf",  # r06
-    "histogram_quantiles",  # r06
-    "quantiles_by_event_type",  # r06
-    "tumbling_window_counts",  # r06
     "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: rows displaced by the continuation session's four
+    # -- slots 51+: rows displaced by the continuation session's seven
     # new queries, then the remaining r07 stale rows (the driver cap
     # is 50); they ride the committed VERIFY_LOCAL record at HEAD
     # until the round-10 rotation.
+    "histogram_quantiles",  # r06
+    "quantiles_by_event_type",  # r06
+    "tumbling_window_counts",  # r06
     "value_histogram_events",  # r06
     "anti_join_no_orders",  # r07
     "broadcast_brand_revenue",  # r07

@@ -1,0 +1,245 @@
+"""Embedding-space evaluation: exact covariance matrix + kNN label audit.
+
+Two audits an embedding pipeline runs before trusting a vector corpus:
+
+* ``embedding_covariance`` — the exact per-dimension second-moment
+  matrix (upper triangle), the input to whitening / PCA / drift
+  detection. Following the exact-moment convention (L101): the engine
+  emits EXACT mergeable integer statistics — Σ floor(x_i·x_j·10^9) and
+  Σ floor(x_i·10^9) as BIGINTs, order-independent under partial
+  aggregation — plus the covariance as a fixed-shape double projection
+  of those integers, so the driver hash-compares all of it.
+
+* ``knn_label_eval`` — leave-seeds-out k-nearest-neighbor label
+  prediction: every fifth vector keeps its label (the seed pool), each
+  remaining vector is predicted by majority vote of its 5 nearest
+  seeds (quantized cosine, vote ties → smallest label), and the output
+  is the confusion matrix. This is the standard "does the geometry
+  encode the labels?" audit for an embedding model or a weak labeler
+  — near-diagonal mass ⇒ trustworthy space; uniform mass (what this
+  synthetic corpus shows) ⇒ geometry and labels are independent,
+  which is exactly the finding the audit exists to surface.
+
+Scale shape: covariance is ONE map-side pair expansion (d·(d+1)/2
+struct rows per vector, codegen'd transform/flatten) into a groupBy
+over d² keys — vocabulary-sized shuffle, corpus scanned once. kNN
+broadcasts the seed pool (labeled data ≪ corpus by construction) and
+windows per query over its seed candidates only; at 100 TB stage 1
+swaps to the trained IVF cells (L46) exactly as the reranking family
+does — prune to cell-mates, then the same vote.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import (
+    SCALE,
+    cosine_q,
+    dot_q,
+    norm_sq_q,
+    sql_cosine_q,
+    sql_dot_q,
+    sql_norm_sq_q,
+    to_double_array,
+)
+from .registry import query
+from .similarity import E_SQL, EMB_DIM, load_embeddings
+
+#: every SEED_MOD-th vector keeps its label; the rest are evaluated.
+SEED_MOD = 5
+#: vote width for the kNN label audit.
+KNN_K = 5
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH e AS ({E_SQL}),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM e),
+    pairs AS (
+        SELECT i.range AS i, j.range AS j,
+               CAST(SUM(CAST(floor((e.v[i.range + 1] * e.v[j.range + 1])
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS sum_xy_q
+        FROM e, range(0, {EMB_DIM}) i, range(0, {EMB_DIM}) j
+        WHERE j.range >= i.range
+        GROUP BY i.range, j.range
+    ),
+    means AS (
+        SELECT i.range AS i,
+               CAST(SUM(CAST(floor(e.v[i.range + 1] * 1e9) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM e, range(0, {EMB_DIM}) i
+        GROUP BY i.range
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           nv.n_vec, p.sum_xy_q,
+           mi.m AS sum_x_q, mj.m AS sum_y_q,
+           (CAST(p.sum_xy_q AS DOUBLE) / (1e9 * nv.n_vec))
+           - ((CAST(mi.m AS DOUBLE) / (1e9 * nv.n_vec))
+              * (CAST(mj.m AS DOUBLE) / (1e9 * nv.n_vec))) AS cov
+    FROM pairs p
+    JOIN means mi ON mi.i = p.i
+    JOIN means mj ON mj.i = p.j
+    CROSS JOIN nv
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding corpus:
+    (i, j, n_vec, sum_xy_q, sum_x_q, sum_y_q, cov) for 0 ≤ i ≤ j < 64.
+    The integer sums are the mergeable statistics (exact, resumable —
+    a second corpus shard's sums simply add); cov is their fixed-shape
+    double projection cov = E[xy] − E[x]E[y] on the 10^9-quantized
+    values."""
+    e = load_embeddings(spark, sf_dir).select(
+        to_double_array("embedding").alias("v")
+    )
+    nv = e.select(F.count("*").cast("long").alias("n_vec"))
+    pair_rows = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(EMB_DIM - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.floor(
+                        (F.element_at(F.col("v"), i + 1)
+                         * F.element_at(F.col("v"), j + 1))
+                        * F.lit(SCALE)
+                    )
+                    .cast("long")
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        e.select(F.explode(pair_rows).alias("r"))
+        .groupBy(
+            F.col("r.i").cast("long").alias("i"),
+            F.col("r.j").cast("long").alias("j"),
+        )
+        .agg(F.sum("r.p").cast("long").alias("sum_xy_q"))
+    )
+    means = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum(F.floor(F.col("x") * F.lit(SCALE)).cast("long")).cast("long").alias("m"))
+    )
+    mi = means.select(F.col("i").alias("i"), F.col("m").alias("sum_x_q"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("sum_y_q"))
+    out = (
+        pairs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(nv))
+    )
+    cov = (
+        F.col("sum_xy_q").cast("double") / (F.lit(SCALE) * F.col("n_vec"))
+    ) - (
+        (F.col("sum_x_q").cast("double") / (F.lit(SCALE) * F.col("n_vec")))
+        * (F.col("sum_y_q").cast("double") / (F.lit(SCALE) * F.col("n_vec")))
+    )
+    return out.select(
+        "i", "j", "n_vec", "sum_xy_q", "sum_x_q", "sum_y_q", cov.alias("cov")
+    )
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+    WITH e AS ({E_SQL}),
+    seeds AS (
+        SELECT vec_id AS sid, label AS slabel, v AS sv,
+               {sql_norm_sq_q('v')} AS nsv
+        FROM e WHERE vec_id % {SEED_MOD} = 0
+    ),
+    qs AS (
+        SELECT vec_id AS qid, label AS qlabel, v AS qv,
+               {sql_norm_sq_q('v')} AS nqv
+        FROM e WHERE vec_id % {SEED_MOD} <> 0
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, s.sid, s.slabel,
+               {sql_cosine_q(sql_dot_q('q.qv', 's.sv'), 'nqv', 'nsv')} AS cosine
+        FROM qs q CROSS JOIN seeds s
+    ),
+    topk AS (
+        SELECT qid, qlabel, slabel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, sid
+            ) AS rn FROM scored
+        ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+        SELECT qid, qlabel, slabel, CAST(COUNT(*) AS BIGINT) AS c
+        FROM topk GROUP BY qid, qlabel, slabel
+    ),
+    pred AS (
+        SELECT qid, qlabel, slabel AS plabel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY c DESC, slabel
+            ) AS rn FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label_true,
+           CAST(plabel AS BIGINT) AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY qlabel, plabel
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (label_true, label_pred, n) of 5-NN majority-
+    vote label prediction, seeds = every 5th vector. Vote ties break to
+    the smallest label; neighbor ties break on vec_id — both total
+    orders, so the prediction is engine-portable."""
+    e = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") % SEED_MOD == 0).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("v").alias("sv"),
+        norm_sq_q("v").alias("nsv"),
+    )
+    qs = e.filter(F.col("vec_id") % SEED_MOD != 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        norm_sq_q("v").alias("nqv"),
+    )
+    scored = qs.crossJoin(F.broadcast(seeds)).select(
+        "qid",
+        "qlabel",
+        "sid",
+        "slabel",
+        cosine_q(dot_q("qv", "sv"), F.col("nqv"), F.col("nsv")).alias("cosine"),
+    )
+    topk = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("sid"))
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+        .select("qid", "qlabel", "slabel")
+    )
+    votes = topk.groupBy("qid", "qlabel", "slabel").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("c"), F.asc("slabel"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", F.col("slabel").alias("plabel"))
+    )
+    return pred.groupBy(
+        F.col("qlabel").cast("long").alias("label_true"),
+        F.col("plabel").cast("long").alias("label_pred"),
+    ).agg(F.count("*").cast("long").alias("n"))

@@ -43,7 +43,7 @@ retries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -162,7 +162,10 @@ def _links_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _pagerank_oracle_sql() -> str:
+def _pagerank_ctes() -> str:
+    """Shared oracle CTE body up to the final rank table r{PR_ITERS} —
+    consumed verbatim by host_pagerank AND crawl_budget_apportionment,
+    so the two surfaces cannot disagree about the trajectory."""
     teleport = f"({DAMP_DEN - DAMP_NUM} * {MASS}) // ({DAMP_DEN} * nh.n_hosts)"
     ctes = [
         f"nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)",
@@ -194,9 +197,12 @@ def _pagerank_oracle_sql() -> str:
                 FROM nodes n LEFT JOIN i{t} i USING (host), nh
             )"""
         )
-    body = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _pagerank_oracle_sql() -> str:
     return f"""
-    WITH {body},
+    WITH {_pagerank_ctes()},
     instats AS (
         SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS n_in_hosts,
                CAST(SUM(w) AS BIGINT) AS in_weight
@@ -241,3 +247,84 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("out_w").cast("long").alias("out_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-budget apportionment (largest-remainder / Hamilton method)
+# ---------------------------------------------------------------------------
+
+#: fetches to apportion across hosts per crawl cycle.
+BUDGET = 1_000_000
+
+
+def largest_remainder(masses: DataFrame, budget: int = BUDGET) -> DataFrame:
+    """(host, mass, base_alloc, extra, alloc) — apportion `budget`
+    integer units across ``masses(host, mass)`` proportionally, exactly:
+    base = (budget·mass) div total, and the budget − Σbase leftover
+    units go to the largest remainders ((budget·mass) mod total,
+    host-id tiebreak). Σalloc == budget ALWAYS — the property float
+    rounding cannot give. Window state is host-count-sized (the mass
+    table is an aggregate, never the corpus), so the single-partition
+    sort is bounded — the documented bounded-frame pattern."""
+    total = masses.select(F.sum("mass").cast("long").alias("total_mass"))
+    q = masses.crossJoin(F.broadcast(total)).select(
+        "host",
+        "mass",
+        F.expr(f"({budget} * mass) div total_mass").cast("long").alias("base"),
+        F.expr(f"({budget} * mass) % total_mass").cast("long").alias("rem"),
+    )
+    bs = q.select(F.sum("base").cast("long").alias("base_sum"))
+    rn = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("host")))
+    return (
+        q.withColumn("rn", rn)
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "host",
+            "mass",
+            F.col("base").alias("base_alloc"),
+            F.when(F.col("rn") <= F.lit(budget) - F.col("base_sum"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("alloc", (F.col("base_alloc") + F.col("extra")).cast("long"))
+    )
+
+
+@query(
+    "crawl_budget_apportionment",
+    oracle=f"""
+    WITH {{ctes}},
+    total AS (SELECT CAST(SUM(r) AS BIGINT) AS total_mass FROM r{PR_ITERS}),
+    quota AS (
+        SELECT host, CAST(r AS BIGINT) AS mass,
+               ({BUDGET} * r) // t.total_mass AS base,
+               ({BUDGET} * r) % t.total_mass AS rem
+        FROM r{PR_ITERS}, total t
+    ),
+    bs AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM quota),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn FROM quota
+    )
+    SELECT host, mass, CAST(base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rn <= {BUDGET} - bs.base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rn <= {BUDGET} - bs.base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked, bs
+    """.format(ctes=_pagerank_ctes()),
+)
+def crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion the per-cycle crawl budget across hosts proportional to
+    their PageRank mass — importance-weighted fetch scheduling, the step
+    that CONSUMES host_pagerank. Largest-remainder apportionment is
+    exact integer arithmetic end to end (Σalloc == BUDGET pytest-
+    pinned); the oracle replays the full PageRank trajectory (shared
+    CTE body) plus the apportionment, so one hash match certifies the
+    whole rank→budget dataflow."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ew = host_edges(docs).localCheckpoint(eager=True)
+    masses = pagerank(ew, PR_ITERS, checkpoint=False).select(
+        "host", F.col("rank_micro").alias("mass")
+    )
+    return largest_remainder(masses, BUDGET)

@@ -89,3 +89,33 @@ def test_pagerank_edge_bookkeeping_consistent(spark):
     assert sum(r["out_weight"] for r in rows) == n_docs * len(LINK_RULES)
     for r in rows:
         assert 1 <= r["n_in_hosts"] <= N_HOSTS
+
+
+def test_largest_remainder_apportionment_exact(spark):
+    from data_ingestion_from_multiple_directories_linux_spark.operators.linkgraph import (
+        BUDGET,
+        crawl_budget_apportionment,
+    )
+
+    rows = crawl_budget_apportionment(spark, SF).collect()
+    assert len(rows) == N_HOSTS
+    # the defining property: the budget is apportioned EXACTLY.
+    assert sum(r["alloc"] for r in rows) == BUDGET
+    total_mass = sum(r["mass"] for r in rows)
+    for r in rows:
+        assert r["extra"] in (0, 1)
+        assert r["alloc"] == r["base_alloc"] + r["extra"]
+        assert r["base_alloc"] == (BUDGET * r["mass"]) // total_mass
+    # extras go to the largest remainders (host-id tiebreak)
+    rem = sorted(
+        ((BUDGET * r["mass"]) % total_mass, -r["host"]) for r in rows
+    )
+    n_extra = sum(r["extra"] for r in rows)
+    cutoff = set()
+    for remv, neg_h in sorted(rem, reverse=True)[:n_extra]:
+        cutoff.add(-neg_h)
+    assert {r["host"] for r in rows if r["extra"] == 1} == cutoff
+    # masses are the pagerank ranks — consistency with host_pagerank
+    pr = {r["host"]: r["rank_micro"] for r in host_pagerank(spark, SF).collect()}
+    for r in rows:
+        assert r["mass"] == pr[r["host"]]
