@@ -142,11 +142,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode_outer(tokens("text")).alias("term")
     ).filter(F.col("term").isNotNull())
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # The inverted index feeds FIVE consumers (qterms, candidates, df,
+    # dl, n_tok); persist it so the corpus is tokenized ONCE — at 100 TB
+    # the persisted tf IS the index a retrieval system materializes
+    # anyway. dl / n_tok are derived from tf (Σtf per doc == token
+    # count), not from a second tokenization pass.
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     nd = d.select(F.count("*").cast("long").alias("n_docs"))
-    ntok = tok.select(F.count("*").cast("long").alias("n_tok"))
+    ntok = tf.select(F.sum("tf").cast("long").alias("n_tok"))
 
     anchors = d.filter(
         (F.col("doc_id") % ANCHOR_STEP == 0) & (F.col("doc_id") < ANCHOR_MAX_ID)
