@@ -53,6 +53,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     timeseries,  # noqa: F401
     tpch,  # noqa: F401
     tpch_final,  # noqa: F401
+    traindata,  # noqa: F401
     training,  # noqa: F401
     urlnorm,  # noqa: F401
     warehouse,  # noqa: F401
@@ -106,6 +107,8 @@ _PRIORITY_FIRST = [
     "crawl_budget_apportionment",  # new r9 (continuation session)
     "embedding_covariance",  # new r9 (continuation session)
     "knn_label_eval",  # new r9 (continuation session)
+    "fim_span_prep",  # new r9 (continuation session)
+    "source_token_drift",  # new r9 (continuation session)
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -139,13 +142,13 @@ _PRIORITY_FIRST = [
     "q5_local_supplier_volume",  # r06
     "self_join_sibling_success",  # r06
     "session_duration_secs",  # r06
-    "substring_truncate",  # r06
-    "gap_fill_hourly_locf",  # r06
     "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: rows displaced by the continuation session's seven
+    # -- slots 51+: rows displaced by the continuation session's nine
     # new queries, then the remaining r07 stale rows (the driver cap
     # is 50); they ride the committed VERIFY_LOCAL record at HEAD
     # until the round-10 rotation.
+    "substring_truncate",  # r06
+    "gap_fill_hourly_locf",  # r06
     "histogram_quantiles",  # r06
     "quantiles_by_event_type",  # r06
     "tumbling_window_counts",  # r06

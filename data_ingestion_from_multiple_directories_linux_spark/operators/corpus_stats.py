@@ -19,7 +19,7 @@ hash-compare the curve bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -120,4 +120,103 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prefix_docs").alias("docs_prefix"),
         "distinct_terms",
         "total_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token drift (chi-square contributions)
+# ---------------------------------------------------------------------------
+
+#: divergent cells reported per source.
+DRIFT_TOP_K = 10
+
+
+@query(
+    "source_token_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({TOK_SQL.format(c='text')}) AS term
+        FROM documents WHERE source IS NOT NULL
+    ),
+    cells AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS o
+        FROM tok GROUP BY source, term
+    ),
+    rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY source),
+    cols_ AS (SELECT term, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY term),
+    grand AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    full_grid AS (
+        SELECT rw.source, cl.term, rw.r, cl.c, COALESCE(ce.o, 0) AS o
+        FROM rows_ rw CROSS JOIN cols_ cl
+        LEFT JOIN cells ce ON ce.source = rw.source AND ce.term = cl.term
+    ),
+    scored AS (
+        SELECT source, term, o, r, c, g.n,
+               CAST(floor(((CAST(o * g.n - r * c AS DOUBLE)
+                            * CAST(o * g.n - r * c AS DOUBLE))
+                           / CAST(r * c AS DOUBLE)) / CAST(g.n AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS contrib_micro
+        FROM full_grid, grand g
+    )
+    SELECT source, term, o, r, c, n, contrib_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY contrib_micro DESC, term
+        ) AS rn FROM scored
+    ) WHERE rn <= {DRIFT_TOP_K}
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 drifting tokens per source by exact chi-square
+    contribution: contrib = (o·N − r·c)² / (r·c·N), the homogeneity
+    test's per-cell term, floor-quantized to micros on the 10^6 grid
+    (the numerator difference is an exact BIGINT; the two divisions are
+    fixed-shape double ops). Zero cells (a source never emitting a
+    corpus term) are INCLUDED via the sources×vocab grid — they are
+    drift evidence, and the grid is (n_sources · vocabulary) rows, tiny
+    at any corpus size. This is the content-drift dashboard a mixture
+    pipeline watches when a crawl source changes character: the
+    shuffle is vocabulary-keyed partial aggregation; the grid and
+    ranking windows run on aggregate-sized frames only."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    tok = d.select(
+        "source", F.explode_outer(tokens("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    cells = tok.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("o")
+    ).persist()
+    rows_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("term").agg(F.sum("o").cast("long").alias("c"))
+    grand = cells.select(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(cells, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            "r",
+            "c",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    chi = (diff * diff / (F.col("r") * F.col("c")).cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    scored = grid.select(
+        "source",
+        "term",
+        "o",
+        "r",
+        "c",
+        "n",
+        F.floor(chi * F.lit(1000000.0)).cast("long").alias("contrib_micro"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("contrib_micro"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rank", rn.cast("long"))
+        .filter(F.col("rank") <= DRIFT_TOP_K)
     )

@@ -47,3 +47,49 @@ def test_vocab_growth_matches_pure_python_and_is_monotone(spark):
     first, last = rows[0], rows[-1]
     assert last["total_tokens"] > first["total_tokens"] * (DECILES - 2)
     assert last["distinct_terms"] < first["distinct_terms"] * (DECILES - 2)
+
+
+def test_source_token_drift_matches_pure_python(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus_stats import (
+        DRIFT_TOP_K,
+        source_token_drift,
+    )
+
+    docs = load_table(spark, SF, "documents").collect()
+    cells: Counter = Counter()
+    for r in docs:
+        if r["source"] is None or r["text"] is None:
+            continue
+        for t in re.split(r"\s+", r["text"].lower()):
+            if t:
+                cells[(r["source"], t)] += 1
+    rtot: Counter = Counter()
+    ctot: Counter = Counter()
+    for (s, t), o in cells.items():
+        rtot[s] += o
+        ctot[t] += o
+    n = sum(cells.values())
+    expect = defaultdict(list)
+    for s in rtot:
+        for t in ctot:
+            o = cells.get((s, t), 0)
+            d = float(o * n - rtot[s] * ctot[t])
+            micro = math.floor(
+                ((d * d) / float(rtot[s] * ctot[t])) / float(n) * 1000000.0
+            )
+            expect[s].append((-micro, t, o))
+    want = {}
+    for s, lst in expect.items():
+        for rank, (neg_micro, t, o) in enumerate(sorted(lst)[:DRIFT_TOP_K], 1):
+            want[(s, t)] = (-neg_micro, o, rank)
+    rows = source_token_drift(spark, SF).collect()
+    got = {
+        (r["source"], r["term"]): (r["contrib_micro"], r["o"], r["rank"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["n"] == n and r["r"] == rtot[r["source"]] and r["c"] == ctot[r["term"]]
