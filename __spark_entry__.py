@@ -109,6 +109,8 @@ _PRIORITY_FIRST = [
     "knn_label_eval",  # new r9 (continuation session)
     "fim_span_prep",  # new r9 (continuation session)
     "source_token_drift",  # new r9 (continuation session)
+    "langid_confusion",  # new r9 (continuation session)
+    "tokenizer_fertility_by_lang",  # new r9 (continuation session)
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -140,13 +142,13 @@ _PRIORITY_FIRST = [
     "filename_parse_lineage",  # r06
     "pii_mask_constant",  # r06
     "q5_local_supplier_volume",  # r06
-    "self_join_sibling_success",  # r06
-    "session_duration_secs",  # r06
     "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: rows displaced by the continuation session's nine
+    # -- slots 51+: rows displaced by the continuation session's eleven
     # new queries, then the remaining r07 stale rows (the driver cap
     # is 50); they ride the committed VERIFY_LOCAL record at HEAD
     # until the round-10 rotation.
+    "self_join_sibling_success",  # r06
+    "session_duration_secs",  # r06
     "substring_truncate",  # r06
     "gap_fill_hourly_locf",  # r06
     "histogram_quantiles",  # r06

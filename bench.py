@@ -118,6 +118,17 @@ SCALE_OPS = (
     # twins keep matching within each copy)
     "repeated_substring_spans",
     "crosslingual_near_dup",
+    # round-9 continuation additions — all LINEAR by construction and
+    # measured to certify the bound: bm25's anchors live in copy 0 only
+    # (doc_id < 400), so query count is fixed while the index grows;
+    # pagerank's host set is fixed (mod 24) while edges grow linearly;
+    # covariance is a single scan with a fixed d² key space. (The
+    # deliberately-quadratic audit knn_label_eval is NOT here: its
+    # seed pool grows with the corpus by design — the documented 100 TB
+    # path swaps stage 1 to IVF cells, L131-style.)
+    "bm25_topk",
+    "host_pagerank",
+    "embedding_covariance",
 )
 SCALE_SMALL_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_SMALL_DIR", "/root/testdata/sf0.01"

@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import tokens
+from ..functions.text import BPE_RE, tokens
 from .registry import query
-from .text_analysis import TOK_SQL
+from .text_analysis import TOK_SQL, _en_bigram_sql
 
 #: curve resolution: prefixes at n·d/DECILES for d = 1..DECILES.
 DECILES = 10
@@ -219,4 +219,87 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", rn.cast("long"))
         .filter(F.col("rank") <= DRIFT_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion + tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN ({_en_bigram_sql()})
+                         / CAST(greatest(length(coalesce(text, '')), 1)
+                                AS DOUBLE) >= 0.02
+                    THEN 'en' ELSE 'und' END AS predicted
+        FROM documents
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the L10 language-ID heuristic against the
+    corpus's ground-truth ``lang`` column: (lang, predicted, n_docs).
+    The predictor is language_id_ngram CALLED, not re-derived — the two
+    surfaces share one implementation, so this eval can never audit a
+    drifted copy. Label-space-sized output; one projection + one
+    aggregation."""
+    from .text_analysis import language_id_ngram
+
+    pred = language_id_ngram(spark, sf_dir)
+    return pred.groupBy("lang", "predicted").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_t,
+               CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                           '{BPE_RE}')) AS BIGINT) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars_t) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST((SUM(n_chars_t) * 1000000) // greatest(SUM(n_bpe), 1)
+                AS BIGINT) AS chars_per_token_micro
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (chars per BPE-ish token, micro fixed point)
+    per language — the multilingual-pipeline budget metric: a language
+    whose fertility is far off the fleet average is paying more tokens
+    per unit text, which skews both mixture weights (L41) and packing
+    density (L39). Exact integers end to end: char/token counts are
+    BIGINT sums and the ratio is one integer div on the 10^6 grid.
+    Map-only scan + a language-count-sized aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    from ..functions.text import bpe_tokens
+
+    base = d.select(
+        "lang",
+        F.length(t).cast("long").alias("n_chars_t"),
+        F.size(bpe_tokens(t)).cast("long").alias("n_bpe"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars_t").cast("long").alias("total_chars"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.expr(
+            "(sum(n_chars_t) * 1000000) div greatest(sum(n_bpe), 1)"
+        )
+        .cast("long")
+        .alias("chars_per_token_micro"),
     )

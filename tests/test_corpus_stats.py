@@ -93,3 +93,54 @@ def test_source_token_drift_matches_pure_python(spark):
     assert got == want
     for r in rows:
         assert r["n"] == n and r["r"] == rtot[r["source"]] and r["c"] == ctot[r["term"]]
+
+
+def test_langid_confusion_consistent_with_predictor(spark):
+    from collections import Counter
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus_stats import (
+        langid_confusion,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.text_analysis import (
+        language_id_ngram,
+    )
+
+    pred = Counter(
+        (r["lang"], r["predicted"])
+        for r in language_id_ngram(spark, SF).collect()
+    )
+    got = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in langid_confusion(spark, SF).collect()
+    }
+    assert got == dict(pred)
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(got.values()) == n_docs
+
+
+def test_tokenizer_fertility_matches_pure_python(spark):
+    import re as _re
+    from collections import defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus_stats import (
+        tokenizer_fertility_by_lang,
+    )
+
+    pat = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    agg = defaultdict(lambda: [0, 0, 0])  # n_docs, chars, bpe
+    for r in load_table(spark, SF, "documents").collect():
+        t = r["text"] or ""
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += len(pat.findall(t.lower()))
+    rows = tokenizer_fertility_by_lang(spark, SF).collect()
+    assert {r["lang"] for r in rows} == set(agg)
+    for r in rows:
+        n, chars, bpe = agg[r["lang"]]
+        assert (r["n_docs"], r["total_chars"], r["total_bpe_tokens"]) == (
+            n,
+            chars,
+            bpe,
+        )
+        assert r["chars_per_token_micro"] == (chars * 1000000) // max(bpe, 1)
