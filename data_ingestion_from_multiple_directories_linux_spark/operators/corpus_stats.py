@@ -179,12 +179,28 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is vocabulary-keyed partial aggregation; the grid and
     ranking windows run on aggregate-sized frames only."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
-    tok = d.select(
+    return drift_from_cells(token_cells(d))
+
+
+def token_cells(docs: DataFrame) -> DataFrame:
+    """(source, term, o) token-frequency cells of ``docs(source, text)``
+    — the mergeable statistic behind the drift audit: cells of disjoint
+    data slices MERGE BY ADDITION, which is what lets the streaming
+    monitor (streaming/drift_monitor.py) keep them current per
+    micro-batch and recompute the identical dashboard."""
+    tok = docs.select(
         "source", F.explode_outer(tokens("text")).alias("term")
     ).filter(F.col("term").isNotNull())
-    cells = tok.groupBy("source", "term").agg(
+    return tok.groupBy("source", "term").agg(
         F.count("*").cast("long").alias("o")
-    ).persist()
+    )
+
+
+def drift_from_cells(cells: DataFrame) -> DataFrame:
+    """The chi-square drift dashboard computed from (source, term, o)
+    cells — shared verbatim by the batch query and the streaming
+    monitor, so the two surfaces cannot disagree about the scoring."""
+    cells = cells.persist()
     rows_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
     cols_ = cells.groupBy("term").agg(F.sum("o").cast("long").alias("c"))
     grand = cells.select(F.sum("o").cast("long").alias("n"))

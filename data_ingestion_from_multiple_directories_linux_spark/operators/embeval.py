@@ -151,9 +151,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS ({E_SQL}),
     seeds AS (
+        -- NULL-label seeds cannot vote (and would tie-break NULLS
+        -- FIRST in Spark but NULLS LAST in DuckDB — adversarial-corpus
+        -- hazard), so the labeled-pool contract excludes them.
         SELECT vec_id AS sid, label AS slabel, v AS sv,
                {sql_norm_sq_q('v')} AS nsv
-        FROM e WHERE vec_id % {SEED_MOD} = 0
+        FROM e WHERE vec_id % {SEED_MOD} = 0 AND label IS NOT NULL
     ),
     qs AS (
         SELECT vec_id AS qid, label AS qlabel, v AS qv,
@@ -191,13 +194,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix (label_true, label_pred, n) of 5-NN majority-
-    vote label prediction, seeds = every 5th vector. Vote ties break to
+    vote label prediction, seeds = every 5th vector carrying a non-NULL
+    label (unlabeled seeds cannot vote). Vote ties break to
     the smallest label; neighbor ties break on vec_id — both total
     orders, so the prediction is engine-portable."""
     e = load_embeddings(spark, sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
-    seeds = e.filter(F.col("vec_id") % SEED_MOD == 0).select(
+    seeds = e.filter(
+        (F.col("vec_id") % SEED_MOD == 0) & F.col("label").isNotNull()
+    ).select(
         F.col("vec_id").alias("sid"),
         F.col("label").alias("slabel"),
         F.col("v").alias("sv"),

@@ -324,7 +324,14 @@ def crawl_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole rank→budget dataflow."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     ew = host_edges(docs).localCheckpoint(eager=True)
-    masses = pagerank(ew, PR_ITERS, checkpoint=False).select(
-        "host", F.col("rank_micro").alias("mass")
+    # the mass table feeds three consumers in largest_remainder (total,
+    # base_sum, the ranked output) — checkpoint the host-count-sized
+    # frame so the K-iteration rank chain is not re-derived per consumer
+    # (the corpus itself is already bounded to one scan by the edge
+    # checkpoint above).
+    masses = (
+        pagerank(ew, PR_ITERS, checkpoint=False)
+        .select("host", F.col("rank_micro").alias("mass"))
+        .localCheckpoint(eager=True)
     )
     return largest_remainder(masses, BUDGET)

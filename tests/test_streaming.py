@@ -1476,3 +1476,93 @@ def test_streaming_crawl_frontier_resumes_cross_process(spark, tmp_path):
         + [(f"https://example.com/r/{i}", 100 + i) for i in range(6, 9)]
     )
     assert got == want
+
+
+def test_streaming_drift_monitor_matches_batch_dashboard(spark, tmp_path):
+    """Mergeable-cells law for the drift audit, live: a document corpus
+    ingested in two micro-batch waves produces bit-identical merged
+    cells — and therefore a bit-identical chi-square dashboard — to the
+    batch operator run over the same rows in one shot; replaying a
+    batch id does not double-count."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.corpus_stats import (
+        drift_from_cells,
+        token_cells,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.drift_monitor import (
+        StreamingDriftMonitor,
+    )
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(os.path.join(str(src), name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    wave1 = [
+        {"doc_id": i, "source": f"src{i % 3}", "text": "alpha beta gamma " * (1 + i % 2)}
+        for i in range(60)
+    ]
+    # wave 2 drifts src2: a token the other sources never emit
+    wave2 = [
+        {
+            "doc_id": 100 + i,
+            "source": "src2",
+            "text": "spamtoken spamtoken beta",
+        }
+        for i in range(40)
+    ] + [{"doc_id": 200, "source": None, "text": "ignored null source"}]
+
+    store = TableStore(spark, str(tmp_path / "drift_wh"))
+    mon = StreamingDriftMonitor(
+        spark, store, str(src), str(tmp_path / "drift_ckpt")
+    )
+    write_file("w1.json", wave1)
+    mon.run_available_now()
+    write_file("w2.json", wave2)
+    mon.run_available_now()
+
+    def cell_dict(df):
+        return {(r["source"], r["term"]): r["o"] for r in df.collect()}
+
+    streamed = cell_dict(mon.cells())
+
+    all_rows = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in wave1 + wave2],
+        "doc_id long, source string, text string",
+    ).filter("source IS NOT NULL")
+    oneshot = cell_dict(token_cells(all_rows))
+    assert streamed == oneshot
+
+    # the dashboards agree bit-for-bit (same scoring function, same cells)
+    def dash(df):
+        return {
+            (r["source"], r["term"]): (r["o"], r["contrib_micro"], r["rank"])
+            for r in df.collect()
+        }
+
+    assert dash(mon.drift()) == dash(drift_from_cells(token_cells(all_rows)))
+
+    # the planted drift token tops src2's dashboard
+    top_src2 = [
+        r
+        for r in mon.drift().collect()
+        if r["source"] == "src2" and r["rank"] == 1
+    ]
+    assert top_src2 and top_src2[0]["term"] == "spamtoken"
+
+    # replaying a batch id replaces, never double-counts
+    one_batch = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in wave2 if r["source"]],
+        "doc_id long, source string, text string",
+    )
+    before = cell_dict(mon.cells())
+    mon._merge_batch(one_batch, batch_id=1)
+    assert cell_dict(mon.cells()) == before
