@@ -127,6 +127,20 @@ def test_no_accidental_cartesian_products(spark, queries):
         "bloom_url_dedup",
         # 1-row counts x 1-row fill scalar join over the same machinery
         "bloom_fp_audit",
+        # 1-row n_docs/n_tok corpus scalars (same pattern as tf_idf)
+        "bm25_topk",
+        "hybrid_rrf_fusion",
+        # 1-row n_docs/n_hosts scalars joined per PageRank iteration
+        "host_pagerank",
+        "crawl_budget_apportionment",
+        # 1-row n_docs scalar + 10-row broadcast decile table
+        "vocab_growth_curve",
+        # 1-row n_vec scalar broadcast onto the d^2 moment table
+        "embedding_covariance",
+        # broadcast labeled-seed pool (the deliberate design: seeds << corpus)
+        "knn_label_eval",
+        # 1-row grand-total scalar onto the sources x vocab grid
+        "source_token_drift",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
