@@ -28,6 +28,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     attribution,  # noqa: F401
     bloomdedup,  # noqa: F401
     calibration,  # noqa: F401
+    containment,  # noqa: F401
     corpus,  # noqa: F401
     corpus_stats,  # noqa: F401
     crosslingual,  # noqa: F401
@@ -111,6 +112,9 @@ _PRIORITY_FIRST = [
     "source_token_drift",  # new r9 (continuation session)
     "langid_confusion",  # new r9 (continuation session)
     "tokenizer_fertility_by_lang",  # new r9 (continuation session)
+    "shingle_containment_pairs",  # new r9 (continuation session)
+    "curriculum_phases",  # new r9 (continuation session)
+    "embedding_standardize",  # new r9 (continuation session)
     "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
     "json_extract_props",  # r08, masking.py helper touched
     "struct_field_mask",  # r08, masking.py helper touched
@@ -139,14 +143,14 @@ _PRIORITY_FIRST = [
     "q22_idle_customers",  # r05
     "top_parts_per_brand",  # r05
     "concat_runid_format",  # r06
+    "q1_pricing_summary",  # r07 (flagship — kept in-cap)
+    # -- slots 51+: rows displaced by the continuation session's
+    # fourteen new queries, then the remaining r07 stale rows (the
+    # driver cap is 50); they ride the committed VERIFY_LOCAL record at
+    # HEAD until the round-10 rotation.
     "filename_parse_lineage",  # r06
     "pii_mask_constant",  # r06
     "q5_local_supplier_volume",  # r06
-    "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: rows displaced by the continuation session's eleven
-    # new queries, then the remaining r07 stale rows (the driver cap
-    # is 50); they ride the committed VERIFY_LOCAL record at HEAD
-    # until the round-10 rotation.
     "self_join_sibling_success",  # r06
     "session_duration_secs",  # r06
     "substring_truncate",  # r06

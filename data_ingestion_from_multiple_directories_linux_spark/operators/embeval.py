@@ -249,3 +249,105 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qlabel").cast("long").alias("label_true"),
         F.col("plabel").cast("long").alias("label_pred"),
     ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Diagonal standardization (whitening apply — the L148 consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_standardize",
+    oracle=f"""
+    WITH e AS ({E_SQL}),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM e),
+    m AS (
+        SELECT i.range AS i,
+               CAST(SUM(CAST(floor(e.v[i.range + 1] * 1e9) AS BIGINT))
+                    AS BIGINT) AS ms,
+               CAST(SUM(CAST(floor((e.v[i.range + 1] * e.v[i.range + 1])
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS s2
+        FROM e, range(0, {EMB_DIM}) i
+        GROUP BY i.range
+    ),
+    stats AS (
+        SELECT i,
+               CAST(ms AS DOUBLE) / (1e9 * nv.n_vec) AS mu,
+               (CAST(s2 AS DOUBLE) / (1e9 * nv.n_vec))
+               - ((CAST(ms AS DOUBLE) / (1e9 * nv.n_vec))
+                  * (CAST(ms AS DOUBLE) / (1e9 * nv.n_vec))) AS var
+        FROM m, nv
+    ),
+    arrs AS (
+        SELECT list(mu ORDER BY i) AS mus, list(var ORDER BY i) AS vars
+        FROM stats
+    )
+    SELECT e.vec_id, CAST(j.range AS BIGINT) AS j,
+           CASE WHEN arrs.vars[j.range + 1] > 0 THEN
+               CAST(floor(((e.v[j.range + 1] - arrs.mus[j.range + 1])
+                           / sqrt(arrs.vars[j.range + 1])) * 1e6) AS BIGINT)
+           END AS z_micro
+    FROM e, arrs, range(0, {EMB_DIM}) j
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, j, z_micro) — diagonal whitening applied to every valid
+    vector: z_j = (x_j − μ_j)/σ_j on the corpus's own moments (the L148
+    diagonal), micro-floor-quantized so the driver hash-compares the
+    standardized corpus bit-for-bit. Emitted one row per dimension (the
+    driver's value compare is scalar-typed; consumers re-assemble with
+    collect_list if they want arrays). A zero-variance dimension
+    standardizes to NULL in both engines (division by zero is
+    undefined, not 0 — the consumer must drop or impute it explicitly).
+
+    Shape: one moments aggregation (d-key shuffle of BIGINT partials),
+    the 64-entry μ/σ arrays collapse to ONE broadcast row, and the
+    apply is a map-only codegen'd transform over the scan — the
+    train-once/apply-everywhere cadence of the quantizer family."""
+    e = load_embeddings(spark, sf_dir).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    nv = e.select(F.count("*").cast("long").alias("n_vec"))
+    ex = e.select(F.posexplode("v").alias("i", "x"))
+    m = ex.groupBy("i").agg(
+        F.sum(F.floor(F.col("x") * F.lit(SCALE)).cast("long"))
+        .cast("long")
+        .alias("ms"),
+        F.sum(F.floor((F.col("x") * F.col("x")) * F.lit(SCALE)).cast("long"))
+        .cast("long")
+        .alias("s2"),
+    )
+    mu = F.col("ms").cast("double") / (F.lit(SCALE) * F.col("n_vec"))
+    var = (F.col("s2").cast("double") / (F.lit(SCALE) * F.col("n_vec"))) - (
+        mu * mu
+    )
+    stats = m.crossJoin(F.broadcast(nv)).select(
+        "i", mu.alias("mu"), var.alias("var")
+    )
+    arrs = stats.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mu", "var"))).alias("sv")
+    ).select(
+        F.transform(F.col("sv"), lambda s: s.mu).alias("mus"),
+        F.transform(F.col("sv"), lambda s: s["var"]).alias("vars"),
+    )
+    z = F.transform(
+        F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+        lambda j: F.when(
+            F.element_at(F.col("vars"), j + 1) > 0,
+            F.floor(
+                (
+                    (
+                        F.element_at(F.col("v"), j + 1)
+                        - F.element_at(F.col("mus"), j + 1)
+                    )
+                    / F.sqrt(F.element_at(F.col("vars"), j + 1))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ),
+    )
+    return (
+        e.crossJoin(F.broadcast(arrs))
+        .select("vec_id", F.posexplode_outer(z).alias("j", "z_micro"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "z_micro")
+    )

@@ -29,7 +29,7 @@ partitioned with input for the downstream pack/shuffle (L39/L47).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -108,4 +108,87 @@ def fim_span_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(MID_TOK),
             middle,
         ).alias("fim_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-based curriculum phases (histogram quantiles, no global sort)
+# ---------------------------------------------------------------------------
+
+#: curriculum phases (quartiles of the corpus by length).
+N_PHASES = 4
+
+
+@query(
+    "curriculum_phases",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, length(coalesce(text, '')) AS len FROM documents
+    ),
+    hist AS (
+        SELECT len, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY len
+    ),
+    cum AS (
+        SELECT len, SUM(cnt) OVER (ORDER BY len) AS cum
+        FROM hist
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    bounds AS (
+        SELECT p, MIN(len) AS t FROM (
+            SELECT c.len, p.p
+            FROM cum c, (SELECT unnest([1, 2, 3]) AS p) p, nd
+            WHERE c.cum * {N_PHASES} >= p.p * nd.n
+        ) GROUP BY p
+    )
+    SELECT b.doc_id, CAST(b.len AS BIGINT) AS n_chars_len,
+           CAST(1 + COALESCE(SUM(CASE WHEN b.len > bo.t THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS phase
+    FROM base b LEFT JOIN bounds bo ON TRUE
+    GROUP BY b.doc_id, b.len
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_len, phase 1..4) — length-based curriculum
+    assignment (short-to-long is the classic sequence-length curriculum)
+    WITHOUT a global sort: the corpus collapses to a length histogram
+    (bounded domain), exact quartile thresholds come from the cumulative
+    window over that tiny table (t_p = min length with cum·4 ≥ p·N), and
+    each document's phase is 1 + #thresholds it exceeds — a broadcast
+    join of a 3-row bounds table against the scan. The ntile()
+    alternative is an Exchange SinglePartition over the corpus; this
+    shape is one aggregate + one map stage at any scale. Phases are
+    stable under duplicate lengths (all docs of one length share a
+    phase — the well-defined behavior ntile cannot give)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.coalesce("text", F.lit(""))).alias("len")
+    )
+    hist = d.groupBy("len").agg(F.count("*").cast("long").alias("cnt"))
+    cum = hist.select(
+        "len",
+        F.sum("cnt").over(W.orderBy("len")).cast("long").alias("cum"),
+    )
+    nd = d.select(F.count("*").cast("long").alias("n"))
+    ps = spark.range(1, N_PHASES).select(F.col("id").cast("long").alias("p"))
+    bounds = (
+        cum.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("cum") * N_PHASES >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("len").alias("t"))
+    )
+    joined = d.crossJoin(F.broadcast(bounds.select("t")))
+    return (
+        joined.groupBy("doc_id", "len")
+        .agg(
+            (
+                F.lit(1)
+                + F.coalesce(
+                    F.sum(F.when(F.col("len") > F.col("t"), 1).otherwise(0)),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("phase")
+        )
+        .select("doc_id", F.col("len").cast("long").alias("n_chars_len"), "phase")
     )
