@@ -141,6 +141,10 @@ def test_no_accidental_cartesian_products(spark, queries):
         "knn_label_eval",
         # 1-row grand-total scalar onto the sources x vocab grid
         "source_token_drift",
+        # 3-row quartile-bounds broadcast + 1-row corpus-count scalar
+        "curriculum_phases",
+        # 1-row mu/sigma-arrays broadcast (train-once/apply-everywhere)
+        "embedding_standardize",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
