@@ -43,15 +43,40 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _release_leftover_blocks(spark) -> None:
+    """Drop the DataFrame cache entries the previous query left behind
+    (persist() inside a query pins blocks for the SESSION). Left alone,
+    a 186-query × REPS pass accumulates hundreds of dead cached frames
+    whose GC/BlockManager pressure measurably inflates LATE-alphabet
+    queries (minhash_estimate_calibration reproduced 1.6s → ~4s purely
+    from the accumulated prefix). Released OUTSIDE the timed window, so
+    every query is measured against a clean cache — which is also what
+    a fresh cluster job would see.
+
+    Deliberately ONLY the DataFrame cache manager: localCheckpoint RDD
+    blocks are left alone, because the similarity module's session
+    memos (_CENTROID_CACHE / _PQ_CODEBOOK_CACHE — train-once,
+    serve-many) hold checkpointed frames across invocations, and
+    dropping their blocks kills every later IVF/PQ query with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The per-query checkpoint
+    residue (host-count-sized rank tables and the like) is tiny next
+    to the corpus-sized cached frames this clears."""
+    spark.catalog.clearCache()
+
+
 def _run_once(fn, spark) -> float:
     """Time plan construction + full materialization (noop sink). The
     construction must sit inside the timer: iterative operators (e.g.
     duplicate_clusters' label propagation) do eager checkpointed work
-    while the plan is being built, not at write time."""
+    while the plan is being built, not at write time. After the timer
+    stops, leftover cached/checkpoint blocks are released so queries
+    cannot degrade each other across the serial pass."""
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    _release_leftover_blocks(spark)
+    return dt
 
 
 #: Arrow-batched Python-worker queries (mapInPandas / UDTF paths): their
@@ -153,6 +178,7 @@ def bench_scale(spark, big: dict[str, float]) -> dict:
             df = qs[name](spark, SCALE_SMALL_DIR)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            _release_leftover_blocks(spark)
         out[name] = {
             "small_sec": round(best, 4),
             "big_sec": big[name],
@@ -255,6 +281,7 @@ def bench_scale_100x(spark, small: dict) -> dict:
             df = qs[name](spark, amp)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            _release_leftover_blocks(spark)
             small_sec = small[name]["small_sec"]
             out[name] = {
                 "amp_sec": round(dt, 4),
