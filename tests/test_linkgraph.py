@@ -119,3 +119,50 @@ def test_largest_remainder_apportionment_exact(spark):
     pr = {r["host"]: r["rank_micro"] for r in host_pagerank(spark, SF).collect()}
     for r in rows:
         assert r["mass"] == pr[r["host"]]
+
+
+def test_largest_remainder_property_random_masses(spark):
+    """Property: for ANY non-negative mass vector with positive total,
+    largest_remainder apportions the budget EXACTLY (Σalloc == budget),
+    every allocation is base or base+1, and hosts with strictly larger
+    remainders never receive less extra than smaller ones (the defining
+    order of the Hamilton method)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.linkgraph import (
+        largest_remainder,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        masses=st.lists(
+            st.integers(min_value=0, max_value=10**7), min_size=2, max_size=12
+        ).filter(lambda m: sum(m) > 0),
+        budget=st.integers(min_value=1, max_value=10**6),
+    )
+    def check(masses, budget):
+        df = spark.createDataFrame(
+            [(i, m) for i, m in enumerate(masses)], "host long, mass long"
+        )
+        rows = {r["host"]: r for r in largest_remainder(df, budget).collect()}
+        total = sum(masses)
+        assert sum(r["alloc"] for r in rows.values()) == budget
+        for h, m in enumerate(masses):
+            r = rows[h]
+            assert r["base_alloc"] == (budget * m) // total
+            assert r["extra"] in (0, 1)
+            assert r["alloc"] == r["base_alloc"] + r["extra"]
+        # Hamilton order: any host WITH an extra has (rem, -host) >= any
+        # host without one
+        def key(h):
+            return ((budget * masses[h]) % total, -h)
+
+        with_extra = [h for h in rows if rows[h]["extra"] == 1]
+        without = [h for h in rows if rows[h]["extra"] == 0]
+        if with_extra and without:
+            assert min(key(h) for h in with_extra) > max(
+                key(h) for h in without
+            )
+
+    check()
