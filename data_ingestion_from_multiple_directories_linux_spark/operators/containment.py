@@ -13,7 +13,7 @@ Pipeline: the SAME inverted-index self-join as ngram_jaccard_pairs
 per-pair intersection counts), then BOTH scores from the same counts:
 jaccard = inter/(n_a+n_b−inter) and containment = inter/min(n_a,n_b).
 The registered corpus plants a container twin for every 9th document
-(original text + a fixed 40-token passage), so the planted pairs score
+(original text + a fixed 120-token passage), so the planted pairs score
 containment 1.0 while sitting far BELOW the Jaccard dedup threshold —
 the blind spot, demonstrated in the result and pytest-pinned.
 
@@ -43,11 +43,14 @@ SHINGLE_N = 4
 #: threshold while containment stays exactly 1.0.
 _FILLER = " ".join(f"pad{i:03d}" for i in range(120))
 
-#: corpus with planted container twins (both engines build it).
+#: corpus with planted container twins (both engines build it). Twin
+#: ids start at max(doc_id)+1 — derived from the corpus, not a fixed
+#: offset, so they can never collide with real doc_ids at any scale.
 CONTAINMENT_CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 20000 AS doc_id, text || ' {_FILLER}' AS text
+    SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+           text || ' {_FILLER}' AS text
     FROM documents WHERE doc_id % 9 = 0
 """
 
@@ -131,9 +134,17 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs show containment 1.0 at Jaccard far below the 0.6 dedup
     threshold, the inclusion blind spot this operator closes."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = d.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" " + _FILLER)).alias("text"),
+    # twin ids start past the corpus max — a 1-row broadcast, same
+    # pattern as the n_docs scalar joins elsewhere; no fixed offset
+    # that a >20k-doc corpus could collide with.
+    off = d.agg((F.max("doc_id") + F.lit(1)).alias("_off"))
+    twins = (
+        d.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_off")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" " + _FILLER)).alias("text"),
+        )
     )
     corpus = d.unionByName(twins)
     return containment_pairs(corpus, SHINGLE_N, CONTAINMENT_THRESHOLD)

@@ -196,11 +196,17 @@ def token_cells(docs: DataFrame) -> DataFrame:
     )
 
 
-def drift_from_cells(cells: DataFrame) -> DataFrame:
+def drift_from_cells(cells: DataFrame, persist: bool = True) -> DataFrame:
     """The chi-square drift dashboard computed from (source, term, o)
     cells — shared verbatim by the batch query and the streaming
-    monitor, so the two surfaces cannot disagree about the scoring."""
-    cells = cells.persist()
+    monitor, so the two surfaces cannot disagree about the scoring.
+
+    ``persist=False`` skips the internal cache for callers that hand in
+    an already-persisted/materialized cells frame and manage its
+    lifetime themselves (the streaming monitor — a long-lived process
+    where leaked caches accumulate across dashboard refreshes)."""
+    if persist:
+        cells = cells.persist()
     rows_ = cells.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
     cols_ = cells.groupBy("term").agg(F.sum("o").cast("long").alias("c"))
     grand = cells.select(F.sum("o").cast("long").alias("n"))

@@ -109,5 +109,18 @@ class StreamingDriftMonitor:
     def drift(self) -> DataFrame:
         """The chi-square dashboard from the merged cells — the SAME
         drift_from_cells the batch query runs, so streaming and batch
-        can never disagree on the same data."""
-        return drift_from_cells(self.cells())
+        can never disagree on the same data.
+
+        The monitor is long-lived, so the cells cache drift_from_cells
+        needs (4 references) is scoped to THIS call: persist, compute
+        the dashboard eagerly (top-K per source — dashboard-sized, never
+        vocabulary-sized), unpersist, return the materialized rows as a
+        local frame. Repeated dashboard refreshes leave zero cached
+        frames behind."""
+        cells = self.cells().persist()
+        try:
+            dash = drift_from_cells(cells, persist=False)
+            rows = dash.collect()
+            return self.spark.createDataFrame(rows, dash.schema)
+        finally:
+            cells.unpersist()

@@ -27,15 +27,17 @@ def _shingle_set(text, n=SHINGLE_N):
 
 
 def test_containment_matches_pure_python_and_catches_inclusion(spark):
+    raw = load_table(spark, SF, "documents").collect()
+    # twin offset is corpus-derived (max doc_id + 1), mirroring the
+    # operator — no fixed constant a large corpus could collide with
+    off = max(r["doc_id"] for r in raw) + 1
     docs = {
-        r["doc_id"]: r["text"]
-        for r in load_table(spark, SF, "documents").collect()
-        if r["text"] is not None
+        r["doc_id"]: r["text"] for r in raw if r["text"] is not None
     }
     corpus = dict(docs)
     for d, t in docs.items():
         if d % 9 == 0:
-            corpus[d + 20000] = t + " " + _FILLER
+            corpus[d + off] = t + " " + _FILLER
     sets = {d: _shingle_set(t) for d, t in corpus.items()}
     sets = {d: s for d, s in sets.items() if s}
     # pure-python replay over the inverted index's reachable pairs
@@ -71,7 +73,7 @@ def test_containment_matches_pure_python_and_catches_inclusion(spark):
     # every planted (original, container) pair is found at containment
     # 1.0 while its Jaccard sits below the 0.6 dedup threshold
     planted = [
-        (d, d + 20000) for d in docs if d % 9 == 0 and sets.get(d)
+        (d, d + off) for d in docs if d % 9 == 0 and sets.get(d)
     ]
     assert planted
     jacs = []
