@@ -94,6 +94,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 11 r07 rows lead the 51+ tail for round 10 and ride VERIFY_LOCAL_r09
 # at HEAD meanwhile.
 _PRIORITY_FIRST = [
+    "knn_label_eval_ivf",  # new r10
     "quality_gate_training",  # new r9
     "repeated_substring_spans",  # new r9
     "dpo_preference_pairs",  # new r9

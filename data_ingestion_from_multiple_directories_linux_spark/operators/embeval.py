@@ -24,9 +24,12 @@ Scale shape: covariance is ONE map-side pair expansion (d·(d+1)/2
 struct rows per vector, codegen'd transform/flatten) into a groupBy
 over d² keys — vocabulary-sized shuffle, corpus scanned once. kNN
 broadcasts the seed pool (labeled data ≪ corpus by construction) and
-windows per query over its seed candidates only; at 100 TB stage 1
-swaps to the trained IVF cells (L46) exactly as the reranking family
-does — prune to cell-mates, then the same vote.
+windows per query over its seed candidates only; ``knn_label_eval_ivf``
+is the 100 TB stage — exactly as the reranking family does, stage 1
+prunes every query to its trained-IVF cell-mates (the only broadcast
+is the K=32 centroid frame), then the same deterministic vote runs on
+the in-cell candidates; the oracle replays training, assignment, and
+vote bit-for-bit.
 """
 
 from __future__ import annotations
@@ -45,7 +48,18 @@ from ..functions.vectors import (
     to_double_array,
 )
 from .registry import query
-from .similarity import E_SQL, EMB_DIM, load_embeddings
+from .similarity import (
+    E_SQL,
+    EMB_DIM,
+    LLOYD_ROUNDS,
+    N_CENTROIDS,
+    TRAIN_SAMPLE_BELOW,
+    _assign_cells,
+    _sql_assign,
+    _sql_lloyd_update,
+    _trained_centroids,
+    load_embeddings,
+)
 
 #: every SEED_MOD-th vector keeps its label; the rest are evaluated.
 SEED_MOD = 5
@@ -221,6 +235,166 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         "slabel",
         cosine_q(dot_q("qv", "sv"), F.col("nqv"), F.col("nsv")).alias("cosine"),
+    )
+    topk = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("sid"))
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+        .select("qid", "qlabel", "slabel")
+    )
+    votes = topk.groupBy("qid", "qlabel", "slabel").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("c"), F.asc("slabel"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", F.col("slabel").alias("plabel"))
+    )
+    return pred.groupBy(
+        F.col("qlabel").cast("long").alias("label_true"),
+        F.col("plabel").cast("long").alias("label_pred"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-staged kNN label audit (the 100 TB form of knn_label_eval)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_knn_oracle_sql() -> str:
+    """Oracle for the IVF-staged audit: replay the md5-seeded sampled
+    Lloyd training (the similarity family's shared CTE building blocks)
+    on the RAW embeddings corpus, assign every vector to its cell, then
+    run the identical vote restricted to in-cell seeds."""
+    train = []
+    cent = "cent0"
+    for r in range(LLOYD_ROUNDS):
+        train.append(_sql_assign(cent, "base", f"tassign{r}"))
+        cent = f"cent{r + 1}"
+        train.append(_sql_lloyd_update(f"tassign{r}", cent))
+    train_ctes = ",".join(train)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, v, {sql_norm_sq_q('v')} AS nv FROM ({E_SQL})
+    ),
+    base AS (
+        SELECT vec_id, v, nv FROM e
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)
+              < '{TRAIN_SAMPLE_BELOW}'
+    ),
+    corpus AS (SELECT vec_id, v, nv FROM e),
+    cent0 AS (
+        SELECT rn - 1 AS cid, v AS cv, nv AS ncv FROM (
+            SELECT v, nv,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS rn
+            FROM base)
+        WHERE rn <= {N_CENTROIDS}
+    ),
+    {train_ctes},
+    {_sql_assign(cent, "corpus", "assigned")},
+    a AS (
+        SELECT s.vec_id, s.v, s.nv, s.cell, e.label
+        FROM assigned s JOIN e ON e.vec_id = s.vec_id
+    ),
+    seeds AS (
+        SELECT vec_id AS sid, label AS slabel, v AS sv, nv AS nsv, cell
+        FROM a WHERE vec_id % {SEED_MOD} = 0 AND label IS NOT NULL
+    ),
+    qs AS (
+        SELECT vec_id AS qid, label AS qlabel, v AS qv, nv AS nqv, cell
+        FROM a WHERE vec_id % {SEED_MOD} <> 0
+    ),
+    scored AS (
+        SELECT q.qid, q.qlabel, s.sid, s.slabel,
+               {sql_cosine_q(sql_dot_q('q.qv', 's.sv'), 'q.nqv', 's.nsv')}
+                   AS cosine
+        FROM qs q JOIN seeds s ON s.cell = q.cell
+    ),
+    topk AS (
+        SELECT qid, qlabel, slabel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, sid
+            ) AS rn FROM scored
+        ) WHERE rn <= {KNN_K}
+    ),
+    votes AS (
+        SELECT qid, qlabel, slabel, CAST(COUNT(*) AS BIGINT) AS c
+        FROM topk GROUP BY qid, qlabel, slabel
+    ),
+    pred AS (
+        SELECT qid, qlabel, slabel AS plabel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY c DESC, slabel
+            ) AS rn FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT CAST(qlabel AS BIGINT) AS label_true,
+           CAST(plabel AS BIGINT) AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY qlabel, plabel
+    """
+
+
+@query("knn_label_eval_ivf", oracle=_ivf_knn_oracle_sql())
+def knn_label_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of :func:`knn_label_eval` — the docstring promise
+    made real: stage 1 prunes every query vector to its trained-IVF
+    cell-mates (the shared ``_trained_centroids`` memo + the same
+    nearest-centroid assignment ``rerank_topk_ivf`` uses), stage 2 runs
+    the IDENTICAL deterministic vote over the in-cell seeds only.
+
+    Plan shape at 100 TB: the ONLY broadcast is the K={N_CENTROIDS}
+    centroid frame (never the seed pool, which grows with the corpus);
+    the query↔seed match is an equi-join on ``cell`` — hash-partitioned
+    both sides, candidates per query are O(corpus/K), and the vote
+    window runs over in-cell seed counts, never the corpus. A query
+    whose cell holds no labeled seed drops out of the audit (the
+    documented IVF recall trade, same as a cosine_topk miss across a
+    Voronoi face); the exact twin stays registered as the ground truth
+    to quantify that gap."""
+    e = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    corpus = e.select("vec_id", "v", norm_sq_q("v").alias("nv"))
+    assigned = _assign_cells(corpus, _trained_centroids(spark, sf_dir))
+    # seeds and queries both read the assignment — persist it once or
+    # the lazy plan re-derives the scan+assign subtree per consumer
+    # (the similarity family's convention, e.g. ivf_topk_neighbors)
+    a = assigned.join(e.select("vec_id", "label"), "vec_id").persist()
+    seeds = a.filter(
+        (F.col("vec_id") % SEED_MOD == 0) & F.col("label").isNotNull()
+    ).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("v").alias("sv"),
+        F.col("nv").alias("nsv"),
+        F.col("cell").alias("scell"),
+    )
+    qs = a.filter(F.col("vec_id") % SEED_MOD != 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nqv"),
+        "cell",
+    )
+    scored = qs.join(seeds, F.col("cell") == F.col("scell")).select(
+        "qid",
+        "qlabel",
+        "sid",
+        "slabel",
+        cosine_q(dot_q("qv", "sv"), F.col("nqv"), F.col("nsv")).alias(
+            "cosine"
+        ),
     )
     topk = (
         scored.withColumn(

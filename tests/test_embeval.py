@@ -11,6 +11,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.embeval impo
     SEED_MOD,
     embedding_covariance,
     knn_label_eval,
+    knn_label_eval_ivf,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -74,3 +75,66 @@ def test_knn_label_eval_matches_pure_python(spark):
     got = {(r["label_true"], r["label_pred"]): r["n"] for r in rows}
     assert got == dict(confusion)
     assert sum(got.values()) == len(qs)
+
+
+def test_knn_label_eval_ivf_matches_in_cell_replay(spark):
+    """Stage 2 of the IVF-staged audit replayed in pure Python over the
+    engine's own trained cell assignment: restrict every query's
+    candidate pool to its in-cell labeled seeds, run the identical
+    deterministic vote, and demand the confusion matrix matches —
+    including the documented drop of queries whose cell holds no
+    labeled seed."""
+    from collections import defaultdict
+
+    from data_ingestion_from_multiple_directories_linux_spark.functions.vectors import (
+        norm_sq_q,
+        to_double_array,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        _assign_cells,
+        _trained_centroids,
+        load_embeddings,
+    )
+
+    vecs = _vecs(spark)
+    corpus = (
+        load_embeddings(spark, SF)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nv", norm_sq_q("v"))
+    )
+    cell = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(corpus, _trained_centroids(spark, SF))
+        .select("vec_id", "cell")
+        .collect()
+    }
+
+    def qdot(a, b):
+        return sum(math.floor((x * y) * 1e9) for x, y in zip(a, b))
+
+    seeds_by_cell = defaultdict(list)
+    for sid, (sv, slabel) in vecs.items():
+        if sid % SEED_MOD == 0 and slabel is not None:
+            seeds_by_cell[cell[sid]].append((sid, sv, slabel))
+    confusion: Counter = Counter()
+    evaluated = 0
+    for qid, (qv, qlabel) in vecs.items():
+        if qid % SEED_MOD == 0:
+            continue
+        pool = seeds_by_cell.get(cell[qid], [])
+        if not pool:
+            continue
+        evaluated += 1
+        nq = qdot(qv, qv)
+        scored = []
+        for sid, sv, slabel in pool:
+            cos = qdot(qv, sv) / math.sqrt(float(qdot(sv, sv)) * float(nq))
+            scored.append((-cos, sid, slabel))
+        scored.sort()
+        votes: Counter = Counter(sl for _, _, sl in scored[:KNN_K])
+        plabel = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        confusion[(qlabel, plabel)] += 1
+    rows = knn_label_eval_ivf(spark, SF).collect()
+    got = {(r["label_true"], r["label_pred"]): r["n"] for r in rows}
+    assert got == dict(confusion)
+    assert sum(got.values()) == evaluated

@@ -139,12 +139,17 @@ def test_no_accidental_cartesian_products(spark, queries):
         "embedding_covariance",
         # broadcast labeled-seed pool (the deliberate design: seeds << corpus)
         "knn_label_eval",
+        # same ≤32-row centroid broadcast as ivf_topk_neighbors — the
+        # seed pool itself is NEVER broadcast (asserted below)
+        "knn_label_eval_ivf",
         # 1-row grand-total scalar onto the sources x vocab grid
         "source_token_drift",
         # 3-row quartile-bounds broadcast + 1-row corpus-count scalar
         "curriculum_phases",
         # 1-row mu/sigma-arrays broadcast (train-once/apply-everywhere)
         "embedding_standardize",
+        # 1-row max-doc_id scalar broadcast (corpus-derived twin offset)
+        "shingle_containment_pairs",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
@@ -152,6 +157,23 @@ def test_no_accidental_cartesian_products(spark, queries):
             continue
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_ivf_broadcasts_centroids_not_seeds(spark, queries):
+    """The IVF-staged kNN audit's 100 TB contract: the only nested-loop
+    broadcast is the K=32 centroid frame (IdentityBroadcastMode cross),
+    and the query↔seed match is a hash-based equi-join on ``cell`` —
+    the seed pool, which grows with the corpus, is never the build side
+    of a cartesian."""
+    plan = plan_of(queries["knn_label_eval_ivf"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # centroid assignment: one broadcast-cross per consumer branch, fed
+    # by the tiny single-partition centroid frame
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    # the seed match is an equi-join on cell, hash-partitioned
+    assert any(
+        k in plan for k in ("SortMergeJoin [cell", "ShuffledHashJoin [cell")
+    ), "seed match is not a hash equi-join on cell"
 
 
 def test_similarity_cross_joins_are_broadcast(spark, queries):
