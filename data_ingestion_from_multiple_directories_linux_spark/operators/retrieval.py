@@ -31,8 +31,10 @@ Determinism contract (what lets DuckDB replay this bit-for-bit):
   these non-negative values.
 
 Scale shape (100 TB): the inverted index (tf) is the only data-sized
-shuffle; df and the two corpus scalars are vocabulary-sized /
-1-row broadcasts; the anchor term table is (n_queries × 3) rows and
+shuffle; the df broadcast is semi-joined to the query-term set first —
+bounded by n_queries × QUERY_TERMS rows, never vocabulary-sized — and
+the two corpus scalars are 1-row broadcasts; the anchor term table is
+(n_queries × 3) rows and
 broadcasts onto the tf index, so candidate generation is an index
 probe, never a corpus scan per query; both per-query rankings window
 over candidate sets (docs sharing ≥1 query term; top-N_ARM dense
@@ -167,10 +169,18 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "term")
     )
 
+    # df is VOCABULARY-sized — at 100 TB broadcasting it whole is the
+    # scale-killer. Only the query terms' rows can ever match the
+    # candidate frame, so semi-join df down to the bounded qterms term
+    # set first: the broadcast build side is then ≤ n_queries ×
+    # QUERY_TERMS rows regardless of corpus vocabulary.
+    df_q = df_.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "semi"
+    )
     cand = (
         tf.join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(df_q), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(ntok))

@@ -159,6 +159,15 @@ def test_no_accidental_cartesian_products(spark, queries):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_bm25_df_broadcast_scoped_to_query_terms(spark, queries):
+    """BM25's doc-frequency table is vocabulary-sized; the broadcast
+    build side must be its semi-join against the bounded query-term set
+    (≤ n_queries × QUERY_TERMS rows), never the full vocabulary."""
+    for name in ("bm25_topk", "hybrid_rrf_fusion"):
+        plan = plan_of(queries[name](spark, SF_SMALL))
+        assert "LeftSemi" in plan, f"{name}: df not scoped to query terms"
+
+
 def test_knn_ivf_broadcasts_centroids_not_seeds(spark, queries):
     """The IVF-staged kNN audit's 100 TB contract: the only nested-loop
     broadcast is the K=32 centroid frame (IdentityBroadcastMode cross),
