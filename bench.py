@@ -487,6 +487,35 @@ INGEST_POINTS = tuple(
 )
 
 
+def bench_pipeline(spark) -> dict:
+    """End-to-end composed training-data pipeline (operators/funnel.py):
+    canonical-URL dedup → exact dedup → MinHash near-dup dedup (edges
+    reused by the split) → trained quality gate → benchmark
+    decontamination → leakage-safe split → curriculum phases → sequence
+    packing, as ONE lineage over $SF_DIR's documents + synthesized twin
+    families. The figure of merit is train tokens packed per wall-second
+    — the number a 100 TB run scales by — plus the per-stage funnel
+    counts so a stage silently passing everything (or nothing) is
+    visible round over round."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.funnel import (
+        training_funnel,
+    )
+
+    _release_leftover_blocks(spark)
+    t0 = time.time()
+    r = training_funnel(spark, SF_DIR)
+    r["result"].write.format("noop").mode("overwrite").save()
+    wall = round(time.time() - t0, 4)
+    _release_leftover_blocks(spark)
+    return {
+        "wall_sec": wall,
+        "counts": r["counts"],
+        "tokens_train": r["tokens_train"],
+        "n_sequences": r["n_sequences"],
+        "tokens_per_sec": round(r["tokens_train"] / wall, 1),
+    }
+
+
 def bench_ingest(spark, rows_per_file: int = 200) -> dict:
     """Files/sec + rows/sec of the full engine path (read → cleanse →
     quarantine → lineage → partitioned write → audit), at each
@@ -567,6 +596,7 @@ def main() -> None:
     scale_100x = bench_scale_100x(spark, scale)
     skew = bench_skew_guard(spark)
     ingest = bench_ingest(spark)
+    pipeline = bench_pipeline(spark)
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
@@ -589,6 +619,7 @@ def main() -> None:
                 },
                 "skew_guard": skew,
                 "ingest": ingest,
+                "pipeline": pipeline,
             }
         )
     )
@@ -619,6 +650,10 @@ def main() -> None:
                     for k in ("copies_growth", "uncapped_growth", "capped_growth")
                 },
                 "ingest": ingest,
+                "pipeline": {
+                    "wall_sec": pipeline["wall_sec"],
+                    "tokens_per_sec": pipeline["tokens_per_sec"],
+                },
             }
         )
     )
