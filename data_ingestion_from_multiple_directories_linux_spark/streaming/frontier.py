@@ -40,14 +40,24 @@ At 100 TB: the filter is the only broadcast state (one array row, the
 L128 sizing/sharding notes apply); the exact-rescue join is bounded by
 the Bloom-positive count, not the stream volume; everything else is
 map-only per batch.
+
+With ``host_masses`` supplied, each batch additionally runs a
+POLITENESS DISPATCH tick consuming the crawl-budget apportionment
+(L147's exact largest-remainder arithmetic): per-tick per-host fetch
+budgets proportional to host mass, unused allowance banked with a cap,
+oldest-pending-first dispatch, replay-idempotent — see
+:class:`StreamingCrawlFrontier`. Politeness state (dispatch log, carry
+table) is host/tick-sized, never stream-sized; the per-host ranking
+window runs over that host's pending backlog only.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.bloomdedup import bloom_bits, probe_bloom
+from ..operators.linkgraph import largest_remainder
 from ..operators.urlnorm import url_canonicalize
 from ..sources.table_store import TableStore
 
@@ -56,11 +66,34 @@ FRONTIER_OUT = "crawl_frontier_out"
 #: persisted filter bits for the frontier (separate from the batch
 #: operator's table — a different seen-set).
 FRONTIER_BITS = "crawl_frontier_bits"
+#: politeness-dispatch table: one row per (tick, fetched URL).
+FRONTIER_DISPATCH = "crawl_frontier_dispatch"
+#: per-tick carry-over state: one row per (tick, host).
+FRONTIER_CARRY = "crawl_frontier_carry"
+#: default fetches per tick, apportioned across hosts by mass.
+TICK_BUDGET = 64
+#: unused allowance a host may bank, in multiples of its per-tick
+#: apportionment (bounds carry growth for persistently idle hosts).
+CARRY_CAP_TICKS = 2
 
 
 class StreamingCrawlFrontier:
     """Maintain a first-seen-only crawl frontier over a JSON file
-    stream of (doc_id, url) discovery records."""
+    stream of (doc_id, url) discovery records.
+
+    With ``host_masses`` supplied (a (host, mass) frame — in production
+    the host_pagerank rank_micro table, L145), each micro-batch also
+    runs a POLITENESS DISPATCH tick: the tick's fetch budget is
+    apportioned across hosts by largest-remainder (the exact
+    crawl_budget_apportionment arithmetic, L147, imported), a host may
+    additionally spend allowance it banked in earlier ticks (carry-over,
+    capped at CARRY_CAP_TICKS × its per-tick share), and the oldest
+    pending frontier URLs per host — discovery order, deterministic
+    tiebreaks — are marked dispatched up to that allowance. Dispatch and
+    carry rows are keyed by (checkpoint scope, tick) and replayed ticks
+    purge-then-rewrite their own rows while reading only strictly-older
+    carry state, so a crash-replay re-derives the identical dispatch —
+    the same at-least-once discipline as the frontier emission itself."""
 
     def __init__(
         self,
@@ -69,12 +102,24 @@ class StreamingCrawlFrontier:
         source_dir: str,
         checkpoint_dir: str,
         schema: str = "doc_id bigint, url string",
+        host_masses: DataFrame | None = None,
+        tick_budget: int = TICK_BUDGET,
+        carry_cap_ticks: int = CARRY_CAP_TICKS,
     ) -> None:
         self.spark = spark
         self.store = store
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.schema = schema
+        # host-count-sized; pin it so every tick reuses one materialized
+        # copy instead of re-deriving the mass query per batch
+        self.host_masses = (
+            host_masses.localCheckpoint(eager=True)
+            if host_masses is not None
+            else None
+        )
+        self.tick_budget = tick_budget
+        self.carry_cap_ticks = carry_cap_ticks
 
     def _scope(self) -> str:
         # batch ids restart at 0 when a checkpoint is cleared — scope
@@ -139,6 +184,118 @@ class StreamingCrawlFrontier:
         # (bloom_bits merges by union), so no replay guard is needed
         self.store.append(FRONTIER_BITS, bloom_bits(new.select("url")))
 
+        if self.host_masses is not None:
+            self._dispatch_tick(int(batch_id))
+
+    @staticmethod
+    def _host(url) -> F.Column:
+        """Host of a CANONICAL url (lowercase scheme/host guaranteed;
+        stops before any non-default port, path, query, fragment)."""
+        return F.regexp_extract(url, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+
+    def _dispatch_tick(self, tick: int) -> None:
+        """One politeness tick: apportion → add banked carry → dispatch
+        oldest-pending per host → bank the (capped) remainder."""
+        scope = self._scope()
+        own = (F.col("checkpoint") == scope) & (F.col("batch_id") == tick)
+
+        out = self.store.read(FRONTIER_OUT).select(
+            "batch_id", "url", "doc_id"
+        )
+        if self.store.exists(FRONTIER_DISPATCH):
+            prior_d = self.store.read(FRONTIER_DISPATCH).filter(~own)
+            pending = out.join(
+                prior_d.select("url").distinct(), "url", "left_anti"
+            )
+        else:
+            prior_d = None
+            pending = out
+
+        # this tick's exact largest-remainder apportionment (Σ == budget)
+        alloc = largest_remainder(self.host_masses, self.tick_budget).select(
+            "host", "alloc"
+        )
+        # newest strictly-older carry row per host — a replayed tick
+        # must NOT read its own carry output
+        if self.store.exists(FRONTIER_CARRY):
+            cprev = (
+                self.store.read(FRONTIER_CARRY)
+                .filter(
+                    (F.col("checkpoint") == scope)
+                    & (F.col("batch_id") < tick)
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("host").orderBy(F.desc("batch_id"))
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("host", "carry")
+            )
+        else:
+            cprev = self.spark.createDataFrame([], "host string, carry bigint")
+        allowance = (
+            alloc.join(cprev, "host", "full_outer")
+            .select(
+                "host",
+                F.coalesce("alloc", F.lit(0)).cast("long").alias("alloc"),
+                F.coalesce("carry", F.lit(0)).cast("long").alias("carry_in"),
+            )
+            .withColumn("allow", (F.col("alloc") + F.col("carry_in")))
+        )
+
+        ranked = pending.select(
+            self._host(F.col("url")).alias("host"), "url", "doc_id", "batch_id"
+        ).withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("host").orderBy("batch_id", "doc_id", "url")
+            ),
+        )
+        j = ranked.join(F.broadcast(allowance), "host", "left")
+        disp = j.filter(F.col("rn") <= F.coalesce("allow", F.lit(0))).select(
+            F.lit(scope).alias("checkpoint"),
+            F.lit(tick).cast("long").alias("batch_id"),
+            "host",
+            "url",
+            "doc_id",
+        )
+        disp = disp.localCheckpoint(eager=True)  # derives from DISPATCH files
+
+        n_disp = disp.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_disp")
+        )
+        carry_rows = (
+            allowance.join(n_disp, "host", "left")
+            .select(
+                F.lit(scope).alias("checkpoint"),
+                F.lit(tick).cast("long").alias("batch_id"),
+                "host",
+                F.least(
+                    F.col("allow") - F.coalesce("n_disp", F.lit(0)),
+                    F.lit(self.carry_cap_ticks) * F.col("alloc"),
+                )
+                .cast("long")
+                .alias("carry"),
+            )
+        )
+        carry_rows = carry_rows.localCheckpoint(eager=True)  # reads CARRY
+
+        if prior_d is not None:
+            self.store.overwrite(
+                FRONTIER_DISPATCH, prior_d.unionByName(disp)
+            )
+        else:
+            self.store.overwrite(FRONTIER_DISPATCH, disp)
+        if self.store.exists(FRONTIER_CARRY):
+            kept_c = self.store.read(FRONTIER_CARRY).filter(~own)
+            self.store.overwrite(
+                FRONTIER_CARRY, kept_c.unionByName(carry_rows)
+            )
+        else:
+            self.store.overwrite(FRONTIER_CARRY, carry_rows)
+
     def run_available_now(self) -> None:
         q = (
             self.spark.readStream.format("json")
@@ -156,4 +313,23 @@ class StreamingCrawlFrontier:
         (url, doc_id, batch_id)."""
         return self.store.read(FRONTIER_OUT).select(
             "url", "doc_id", "batch_id"
+        )
+
+    def dispatched(self) -> DataFrame:
+        """Every politeness-dispatched fetch so far:
+        (batch_id, host, url, doc_id) — batch_id is the dispatch tick."""
+        return self.store.read(FRONTIER_DISPATCH).select(
+            "batch_id", "host", "url", "doc_id"
+        )
+
+    def pending(self) -> DataFrame:
+        """Frontier URLs emitted but not yet dispatched (the backlog a
+        host's future allowance will drain in discovery order)."""
+        out = self.frontier()
+        if not self.store.exists(FRONTIER_DISPATCH):
+            return out
+        return out.join(
+            self.store.read(FRONTIER_DISPATCH).select("url").distinct(),
+            "url",
+            "left_anti",
         )
