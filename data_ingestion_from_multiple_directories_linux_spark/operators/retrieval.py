@@ -136,28 +136,53 @@ _BM25_CTES = f"""
     )"""
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, bm25_micro, n_terms_hit) — the Spark twin of
-    the ``scored`` CTE. Inverted-index probe, not a corpus scan: the
-    (n_queries × QUERY_TERMS) anchor-term table broadcasts onto tf."""
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+def build_tf_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) inverted index from ``docs(doc_id, text)`` —
+    THE tokenize-once artifact both the batch queries and the streaming
+    index maintainer materialize (one definition, so the streamed index
+    can be pinned bit-identical to a one-shot build)."""
+    tok = docs.select(
         "doc_id", F.explode_outer(tokens("text")).alias("term")
     ).filter(F.col("term").isNotNull())
-    # The inverted index feeds FIVE consumers (qterms, candidates, df,
-    # dl, n_tok); persist it so the corpus is tokenized ONCE — at 100 TB
-    # the persisted tf IS the index a retrieval system materializes
-    # anyway. dl / n_tok are derived from tf (Σtf per doc == token
-    # count), not from a second tokenization pass.
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    return tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def bm25_scored_from_index(tf: DataFrame, nd: DataFrame) -> DataFrame:
+    """(query_id, doc_id, bm25_micro, n_terms_hit) from a prebuilt
+    (doc_id, term, tf) index plus a 1-row (n_docs) frame — the serving
+    path shared by the batch query (which builds the index from the
+    corpus scan) and the streaming index maintainer (which reads the
+    persisted segment table). ``nd`` must count ALL corpus documents,
+    token-less ones included (they carry no index rows but shift idf
+    and the dl normalization — the reason the streaming maintainer
+    keeps a per-segment doc-count cell alongside the tf segments).
+
+    Inverted-index probe, not a corpus scan: the (n_queries ×
+    QUERY_TERMS) anchor-term table broadcasts onto tf."""
+    # The index feeds FIVE consumers (anchors, qterms, candidates, df,
+    # dl/n_tok); persist it so it materializes ONCE — at 100 TB the
+    # persisted tf IS the index a retrieval system maintains anyway.
+    # dl / n_tok are derived from tf (Σtf per doc == token count), not
+    # from a second tokenization pass.
+    tf = tf.persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    nd = d.select(F.count("*").cast("long").alias("n_docs"))
     ntok = tf.select(F.sum("tf").cast("long").alias("n_tok"))
 
-    anchors = d.filter(
-        (F.col("doc_id") % ANCHOR_STEP == 0) & (F.col("doc_id") < ANCHOR_MAX_ID)
-    ).select(F.col("doc_id").alias("query_id"))
+    # anchors from the index's own doc set: a token-less anchor has no
+    # qterms and contributes nothing in the corpus-scan path either, so
+    # the two derivations score identically
+    anchors = (
+        tf.select("doc_id")
+        .distinct()
+        .filter(
+            (F.col("doc_id") % ANCHOR_STEP == 0)
+            & (F.col("doc_id") < ANCHOR_MAX_ID)
+        )
+        .select(F.col("doc_id").alias("query_id"))
+    )
     qt_rn = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
     )
@@ -200,6 +225,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro).cast("long").alias("bm25_micro"),
         F.count("*").cast("long").alias("n_terms_hit"),
     )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scan path: build the tf index + doc count from the
+    documents table, then serve through the shared index scorer."""
+    d = load_table(spark, sf_dir, "documents")
+    nd = d.select(F.count("*").cast("long").alias("n_docs"))
+    return bm25_scored_from_index(build_tf_index(d.select("doc_id", "text")), nd)
 
 
 @query(

@@ -1478,6 +1478,82 @@ def test_streaming_crawl_frontier_resumes_cross_process(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_bm25_index_matches_one_shot_batch(spark, tmp_path):
+    """Streaming BM25 index maintenance: ingesting the corpus in three
+    waves yields a tf index bit-identical to a one-shot build, the
+    ranking served from the streamed index equals the registered batch
+    query's output, and replaying the last batch changes nothing."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.retrieval import (
+        bm25_topk,
+        build_tf_index,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.bm25_stream import (
+        StreamingBM25Index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    src = tmp_path / "bm25_src"
+    src.mkdir()
+    idx = StreamingBM25Index(
+        spark,
+        TableStore(spark, str(tmp_path / "wh")),
+        str(src),
+        str(tmp_path / "ckpt"),
+    )
+    last_wave = None
+    for k in range(3):
+        wave = [(d, t) for d, t in rows if d % 3 == k]
+        with open(os.path.join(str(src), f"w{k}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        idx.run_available_now()
+        last_wave = wave
+
+    # 1 streamed index ≡ one-shot index
+    streamed = {
+        (r["doc_id"], r["term"]): r["tf"] for r in idx.tf().collect()
+    }
+    oneshot = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in build_tf_index(docs).collect()
+    }
+    assert streamed == oneshot
+    nd = idx.n_docs().collect()[0]["n_docs"]
+    assert nd == len(rows)
+
+    # 2 served ranking ≡ the registered batch query
+    def key(rs):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["bm25_micro"], r["n_terms_hit"], r["rank"])
+            for r in rs
+        )
+
+    served = key(idx.topk().collect())
+    batch = key(bm25_topk(spark, sf).collect())
+    assert served == batch and served
+
+    # 3 crash-replay of the last batch is a no-op
+    replay = spark.createDataFrame(last_wave, "doc_id long, text string")
+    idx._merge_batch(replay, 2)
+    assert {
+        (r["doc_id"], r["term"]): r["tf"] for r in idx.tf().collect()
+    } == oneshot
+    assert idx.n_docs().collect()[0]["n_docs"] == nd
+    assert key(idx.topk().collect()) == batch
+
+
 def test_streaming_frontier_politeness_budgets_and_carry(spark, tmp_path):
     """Politeness dispatch e2e: per-tick host budgets are the EXACT
     largest-remainder apportionment of the tick budget over host
