@@ -40,6 +40,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     linkgraph,  # noqa: F401
     maintenance,  # noqa: F401
     matching,  # noqa: F401
+    mixture,  # noqa: F401
     multimodal,  # noqa: F401
     preference,  # noqa: F401
     profiling,  # noqa: F401
@@ -95,6 +96,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # at HEAD meanwhile.
 _PRIORITY_FIRST = [
     "knn_label_eval_ivf",  # new r10
+    "temperature_mixture_alloc",  # new r10
     "quality_gate_training",  # new r9
     "repeated_substring_spans",  # new r9
     "dpo_preference_pairs",  # new r9
