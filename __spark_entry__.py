@@ -75,107 +75,90 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-9 allocation — DERIVED from tools/staleness.py at round start
-# (51 strict-stale rows at HEAD). Slots 1-11: the 11 queries ADDED
-# this round (no driver row ever — the tool's rnd==0 rule ranks them
-# first; bm25_topk/hybrid_rrf_fusion/host_pagerank/vocab_growth_curve
-# landed in the continuation session and displace the last four
-# non-flagship in-cap rows — anti_join_no_orders,
-# broadcast_brand_revenue, bulk_update_requeue, value_histogram_events
-# — to the head of the 51+ tail). Next: the rows RE-STALED by this
-# round's own edits —
-# canonical_url_dedup (urlnorm.py oracle/corpus rewrite) and the mask
-# two-stage trio, whose masking.py helper gained the scratch-column
-# guard (helper-import staleness; round-8 displacement precedent).
-# Slots 12-13: the last two r04 rows (graphs.py — file untouched but
-# the oldest ledger rows; verdict item 1). Then every strict-stale row
-# in tool order: 21 r05, 12 r06, and 4 of the 15 r07 rows (tool order,
-# except q1_pricing_summary — the flagship — kept in-cap over
-# dedup_keep_newest/duplicate_extra_rows) — exactly 50. The remaining
-# 11 r07 rows lead the 51+ tail for round 10 and ride VERIFY_LOCAL_r09
-# at HEAD meanwhile.
+# Round-10 allocation — the verbatim tools/staleness.py order at HEAD
+# (37 file-stale + 30 helper-import-stale of 188 queries). Slots 1-2:
+# the two queries ADDED this round (no driver row). Slots 3-27: the
+# r06/r07 tail the round-9 cap displaced (relational/timeseries/windows
+# — files untouched, oldest rows; closes verdict item 1's burn-down).
+# Slots 28-37: rows RE-STALED by this round's own edits (retrieval.py
+# BM25 broadcast scoping + streaming-index refactor; embeval.py IVF kNN;
+# corpus_stats.py drift persist parameter; containment.py twin-offset
+# fix). Slots 38-50: the head of the helper-import-stale queue in tool
+# order (r05 corpus.py rows via text_analysis.py, then r06 asof/
+# similarity rows via cleansing.py). q1_pricing_summary's row is r09-
+# fresh with its file untouched, so the flagship needs no slot this
+# round. The 17 remaining helper-stale rows queue at 51+.
 _PRIORITY_FIRST = [
-    "knn_label_eval_ivf",  # new r10
     "temperature_mixture_alloc",  # new r10
-    "quality_gate_training",  # new r9
-    "repeated_substring_spans",  # new r9
-    "dpo_preference_pairs",  # new r9
-    "crosslingual_near_dup",  # new r9
-    "trained_gate_calibration",  # new r9
-    "grpo_group_advantages",  # new r9
-    "leakage_safe_split",  # new r9
-    "bm25_topk",  # new r9 (continuation session)
-    "hybrid_rrf_fusion",  # new r9 (continuation session)
-    "host_pagerank",  # new r9 (continuation session)
-    "vocab_growth_curve",  # new r9 (continuation session)
-    "crawl_budget_apportionment",  # new r9 (continuation session)
-    "embedding_covariance",  # new r9 (continuation session)
-    "knn_label_eval",  # new r9 (continuation session)
-    "fim_span_prep",  # new r9 (continuation session)
-    "source_token_drift",  # new r9 (continuation session)
-    "langid_confusion",  # new r9 (continuation session)
-    "tokenizer_fertility_by_lang",  # new r9 (continuation session)
-    "shingle_containment_pairs",  # new r9 (continuation session)
-    "curriculum_phases",  # new r9 (continuation session)
-    "embedding_standardize",  # new r9 (continuation session)
-    "canonical_url_dedup",  # r08, re-staled by this round's urlnorm fix
-    "json_extract_props",  # r08, masking.py helper touched
-    "struct_field_mask",  # r08, masking.py helper touched
-    "struct_to_json",  # r08, masking.py helper touched
-    "contamination_spread",  # r04
-    "near_dup_triangles",  # r04
-    "q10_returned_items",  # r05
-    "q3_shipping_priority",  # r05
-    "regex_part_filter",  # r05
-    "rollup_status_priority",  # r05
-    "top_k_orders",  # r05
-    "top_spender_subquery_agg",  # r05
-    "union_pipeline_summary",  # r05
-    "update_join_propagate",  # r05
-    "rolling_active_users",  # r05
-    "top_event_paths",  # r05
-    "cluster_size_histogram",  # r05
-    "cross_source_overlap",  # r05
-    "dedup_materialize_canonical",  # r05
-    "minhash_incremental_near_dup",  # r05
-    "normalized_exact_dedup",  # r05
-    "count_min_heavy_hitters",  # r05
-    "join_cardinality_estimate",  # r05
-    "kmv_distinct_by_day",  # r05
-    "media_pixel_stats",  # r05
-    "q22_idle_customers",  # r05
-    "top_parts_per_brand",  # r05
-    "concat_runid_format",  # r06
-    "q1_pricing_summary",  # r07 (flagship — kept in-cap)
-    # -- slots 51+: rows displaced by the continuation session's
-    # fourteen new queries, then the remaining r07 stale rows (the
-    # driver cap is 50); they ride the committed VERIFY_LOCAL record at
-    # HEAD until the round-10 rotation.
-    "filename_parse_lineage",  # r06
-    "pii_mask_constant",  # r06
-    "q5_local_supplier_volume",  # r06
-    "self_join_sibling_success",  # r06
-    "session_duration_secs",  # r06
-    "substring_truncate",  # r06
-    "gap_fill_hourly_locf",  # r06
-    "histogram_quantiles",  # r06
-    "quantiles_by_event_type",  # r06
-    "tumbling_window_counts",  # r06
-    "value_histogram_events",  # r06
-    "anti_join_no_orders",  # r07
-    "broadcast_brand_revenue",  # r07
-    "bulk_update_requeue",  # r07
-    "dedup_keep_newest",  # r07
-    "duplicate_extra_rows",  # r07
-    "semi_join_failed_retry",  # r07
-    "state_machine_summary",  # r07
-    "work_queue_dequeue",  # r07
-    "event_gaps_lag",  # r07
-    "m4_downsample_events",  # r07
-    "ntile_customer_quartiles",  # r07
-    "percent_rank_part_prices",  # r07
-    "session_window_stats",  # r07
-    "sliding_window_counts",  # r07
+    "knn_label_eval_ivf",  # new r10
+    "filename_parse_lineage",  # r06, file-stale
+    "pii_mask_constant",  # r06, file-stale
+    "q5_local_supplier_volume",  # r06, file-stale
+    "self_join_sibling_success",  # r06, file-stale
+    "session_duration_secs",  # r06, file-stale
+    "substring_truncate",  # r06, file-stale
+    "gap_fill_hourly_locf",  # r06, file-stale
+    "histogram_quantiles",  # r06, file-stale
+    "quantiles_by_event_type",  # r06, file-stale
+    "tumbling_window_counts",  # r06, file-stale
+    "value_histogram_events",  # r06, file-stale
+    "anti_join_no_orders",  # r07, file-stale
+    "broadcast_brand_revenue",  # r07, file-stale
+    "bulk_update_requeue",  # r07, file-stale
+    "dedup_keep_newest",  # r07, file-stale
+    "duplicate_extra_rows",  # r07, file-stale
+    "semi_join_failed_retry",  # r07, file-stale
+    "state_machine_summary",  # r07, file-stale
+    "work_queue_dequeue",  # r07, file-stale
+    "event_gaps_lag",  # r07, file-stale
+    "m4_downsample_events",  # r07, file-stale
+    "ntile_customer_quartiles",  # r07, file-stale
+    "percent_rank_part_prices",  # r07, file-stale
+    "session_window_stats",  # r07, file-stale
+    "sliding_window_counts",  # r07, file-stale
+    "bm25_topk",  # r09, file-stale
+    "hybrid_rrf_fusion",  # r09, file-stale
+    "embedding_covariance",  # r09, file-stale
+    "embedding_standardize",  # r09, file-stale
+    "knn_label_eval",  # r09, file-stale
+    "langid_confusion",  # r09, file-stale
+    "shingle_containment_pairs",  # r09, file-stale
+    "source_token_drift",  # r09, file-stale
+    "tokenizer_fertility_by_lang",  # r09, file-stale
+    "vocab_growth_curve",  # r09, file-stale
+    "global_shuffle_rank",  # r05, helper-stale
+    "span_dedup_reassemble",  # r05, helper-stale
+    "asof_last_click",  # r06, helper-stale
+    "asof_nearest_click",  # r06, helper-stale
+    "asof_next_click",  # r06, helper-stale
+    "cosine_topk",  # r06, helper-stale
+    "embedding_near_dup_ivf",  # r06, helper-stale
+    "embedding_near_dup_lsh",  # r06, helper-stale
+    "hard_negative_mining",  # r06, helper-stale
+    "ivf_topk_neighbors",  # r06, helper-stale
+    "ivfpq_topk_neighbors",  # r06, helper-stale
+    "label_centroids",  # r06, helper-stale
+    "percentile_price_by_priority",  # r06, helper-stale
+    # -- slots 51+: the remaining helper-stale rows (driver cap is 50);
+    # they ride the committed VERIFY_LOCAL record at HEAD until the
+    # round-11 rotation.
+    "pq_topk_adc",  # r06, helper-stale
+    "semantic_dedup_survivors",  # r06, helper-stale
+    "sq8_quantized_topk",  # r06, helper-stale
+    "fuzzy_part_match",  # r06, helper-stale
+    "minhash_estimate_calibration",  # r06, helper-stale
+    "pivot_status_by_priority",  # r07, helper-stale
+    "range_join_ship_periods",  # r07, helper-stale
+    "count_distinct_users",  # r08, helper-stale
+    "cube_status_priority",  # r08, helper-stale
+    "date_validation_split",  # r08, helper-stale
+    "distinct_status_priority",  # r08, helper-stale
+    "except_open_not_failed",  # r08, helper-stale
+    "intersect_repeat_customers",  # r08, helper-stale
+    "minmax_priority_window",  # r08, helper-stale
+    "notin_priority_counts",  # r08, helper-stale
+    "null_normalization",  # r08, helper-stale
+    "salted_skew_counts",  # r08, helper-stale
 ]
 
 
