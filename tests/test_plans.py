@@ -41,6 +41,19 @@ def queries():
     return entry_mod.queries()
 
 
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    """Plan assertions pin the COLD plan. Earlier tests in a full-suite
+    run may have persisted frames whose logical plans match a subtree
+    here — Spark's CacheManager then substitutes InMemoryTableScan and
+    (with cache-known stats) flips join strategies, so the same query
+    text yields a different plan. Clearing the DataFrame cache (never
+    checkpointed RDDs — the similarity session memos hold those) makes
+    every assertion order-independent."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_topk_plans_take_ordered(spark, queries):
     for name in ("top_k_orders", "work_queue_dequeue", "top_spender_subquery_agg",
                  "token_frequency_topk", "cosine_topk",
@@ -150,6 +163,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         "embedding_standardize",
         # 1-row max-doc_id scalar broadcast (corpus-derived twin offset)
         "shingle_containment_pairs",
+        # 1-row total-mass + base-sum scalar broadcasts (the same
+        # largest-remainder machinery as crawl_budget_apportionment)
+        "temperature_mixture_alloc",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
