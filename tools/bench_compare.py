@@ -16,15 +16,85 @@ bimodality cannot trip the gate.
 
 Exit code 1 if any query fails; prints the over-gate list (or the top
 movers when all pass).
+
+## Cache-semantics epoch (round 10)
+
+Mid-round-9, bench._run_once gained a per-rep cache release (commit
+6de9b42): before it, a query's SECOND rep rode the persisted frames its
+first rep left behind, so any query that persists corpus-derived
+intermediates in its timed path (the IVF assign table, MinHash shingle
+sets, the BM25 tf index, …) recorded a min that measures CACHED-reads,
+not the query. Records r04–r09 fold runs from both semantics. Round 10
+proved the old mins unreachable under the new semantics with IDENTICAL
+code: re-running round-9's exact HEAD (54b8f20) against the same
+parquet gives 1.5–1.9 s for ivf_topk_neighbors / hard_negative_mining /
+rerank_topk_ivf / ngram_jaccard_capped, whose r04–r09 recorded mins are
+0.41–0.59 s. For the persist-coupled queries (CACHE_COUPLED, derived by
+static inspection of each query's timed path for persist()/
+localCheckpoint) the baseline therefore uses only records from
+CACHE_EPOCH (r10) onward — comparing a cold-cache candidate against a
+cached-read historical min would flag phantom regressions forever.
 """
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 GATE = float(os.environ.get("SPARK_GRAFT_BENCH_GATE", "2.0"))
 FLOOR = 0.1  # seconds: noise floor for tiny baselines
+
+#: first round whose records are entirely per-rep-cache-release runs.
+CACHE_EPOCH = 10
+#: queries whose timed path persists/checkpoints corpus-derived frames
+#: (static inspection, tools note above) — their pre-epoch mins measured
+#: cached reads and are not comparable.
+CACHE_COUPLED = frozenset(
+    {
+        "bm25_topk",
+        "char_lm_surprise",
+        "cluster_size_histogram",
+        "contamination_spread",
+        "crawl_budget_apportionment",
+        "cross_source_overlap",
+        "crosslingual_near_dup",
+        "dedup_materialize_canonical",
+        "duplicate_clusters",
+        "embedding_near_dup_ivf",
+        "embedding_near_dup_lsh",
+        "hard_negative_mining",
+        "host_pagerank",
+        "hybrid_rrf_fusion",
+        "ivf_topk_neighbors",
+        "ivfpq_topk_neighbors",
+        "knn_label_eval_ivf",
+        "leakage_safe_split",
+        "minhash_estimate_calibration",
+        "minhash_incremental_near_dup",
+        "minhash_lsh_near_dup",
+        "near_dup_triangles",
+        "ngram_jaccard_capped",
+        "ngram_jaccard_pairs",
+        "pq_topk_adc",
+        "quality_gate_training",
+        "repeated_substring_spans",
+        "rerank_topk_ivf",
+        "semantic_dedup_survivors",
+        "sequence_packing",
+        "shingle_containment_pairs",
+        "source_token_drift",
+        "token_cooccurrence_lift",
+        "trained_gate_calibration",
+    }
+)
+
+
+def record_round(path: str) -> int:
+    """Round number parsed from a BENCH_LOCAL_r{N}.json filename (0 if
+    the name carries none — treated as pre-epoch)."""
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
 
 
 def query_mins(path: str) -> dict[str, float]:
@@ -48,7 +118,10 @@ def main() -> None:
     cand = query_mins(cand_path)
     baseline: dict[str, float] = {}
     for p in hist_paths:
+        pre_epoch = record_round(p) < CACHE_EPOCH
         for name, sec in query_mins(p).items():
+            if pre_epoch and name in CACHE_COUPLED:
+                continue  # cached-read-era min: not comparable
             if name not in baseline or sec < baseline[name]:
                 baseline[name] = sec
     rows = []
