@@ -134,3 +134,29 @@ def test_staleness_helper_deps_sees_streaming_and_siblings(tmp_path):
     assert f"{pkg.name}/functions/cleansing.py" in deps
     assert f"{pkg.name}/functions/masking.py" in deps
     assert f"{pkg.name}/operators/dedup.py" in deps
+
+
+def test_bench_compare_cache_epoch_ignores_preepoch_coupled_baselines(tmp_path):
+    """Persist-coupled queries' r04-r09 mins measured cached reads (the
+    round-10 cache-semantics epoch): a pre-epoch record must not supply
+    their baseline, while non-coupled queries keep their full history."""
+    pre = tmp_path / "BENCH_LOCAL_r09.json"
+    pre.write_text(json.dumps(
+        {"queries": {"ivf_topk_neighbors": 0.4, "plain": 0.5}}))
+    post = tmp_path / "BENCH_LOCAL_r10.json"
+    post.write_text(json.dumps(
+        {"queries": {"ivf_topk_neighbors": 1.5, "plain": 0.5}}))
+    cand = tmp_path / "BENCH_LOCAL_r11.json"
+    cand.write_text(json.dumps(
+        {"queries": {"ivf_topk_neighbors": 1.6, "plain": 0.55}}))
+
+    # with a post-epoch record present: 1.6 gates against 1.5, not 0.4
+    p = _run(f"{TOOLS}/bench_compare.py", str(cand), str(pre), str(post))
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "PASS" in p.stdout
+
+    # history = pre-epoch only: the coupled query has no baseline and is
+    # skipped; the plain query still compares
+    p2 = _run(f"{TOOLS}/bench_compare.py", str(cand), str(pre))
+    assert p2.returncode == 0, p2.stdout + p2.stderr
+    assert "1 shared queries" in p2.stdout
