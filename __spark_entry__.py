@@ -47,6 +47,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     relational,  # noqa: F401
     reranking,  # noqa: F401
     retrieval,  # noqa: F401
+    selection,  # noqa: F401
     semistructured,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
@@ -76,20 +77,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # prior-round row only while the file is untouched).
 #
 # Round-10 allocation — the verbatim tools/staleness.py order at HEAD
-# (37 file-stale + 30 helper-import-stale of 188 queries). Slots 1-2:
-# the two queries ADDED this round (no driver row). Slots 3-27: the
+# (37 file-stale + 30 helper-import-stale of 188 queries, before the
+# selection module landed). Slots 1-3: the three queries ADDED this
+# round (no driver row). Next: the
 # r06/r07 tail the round-9 cap displaced (relational/timeseries/windows
 # — files untouched, oldest rows; closes verdict item 1's burn-down).
 # Slots 28-37: rows RE-STALED by this round's own edits (retrieval.py
 # BM25 broadcast scoping + streaming-index refactor; embeval.py IVF kNN;
 # corpus_stats.py drift persist parameter; containment.py twin-offset
-# fix). Slots 38-50: the head of the helper-import-stale queue in tool
-# order (r05 corpus.py rows via text_analysis.py, then r06 asof/
+# fix). Remaining slots: the head of the helper-import-stale queue in
+# tool order (r05 corpus.py rows via text_analysis.py, then r06 asof/
 # similarity rows via cleansing.py). q1_pricing_summary's row is r09-
 # fresh with its file untouched, so the flagship needs no slot this
-# round. The 17 remaining helper-stale rows queue at 51+.
+# round. The 18 remaining helper-stale rows queue at 51+.
 _PRIORITY_FIRST = [
     "temperature_mixture_alloc",  # new r10
+    "budget_quality_selection",  # new r10
     "knn_label_eval_ivf",  # new r10
     "filename_parse_lineage",  # r06, file-stale
     "pii_mask_constant",  # r06, file-stale
@@ -138,10 +141,11 @@ _PRIORITY_FIRST = [
     "ivf_topk_neighbors",  # r06, helper-stale
     "ivfpq_topk_neighbors",  # r06, helper-stale
     "label_centroids",  # r06, helper-stale
-    "percentile_price_by_priority",  # r06, helper-stale
-    # -- slots 51+: the remaining helper-stale rows (driver cap is 50);
+    # -- slots 51+: the remaining helper-stale rows (driver cap is 50;
+    # budget_quality_selection displaced percentile_price_by_priority);
     # they ride the committed VERIFY_LOCAL record at HEAD until the
     # round-11 rotation.
+    "percentile_price_by_priority",  # r06, helper-stale
     "pq_topk_adc",  # r06, helper-stale
     "semantic_dedup_survivors",  # r06, helper-stale
     "sq8_quantized_topk",  # r06, helper-stale

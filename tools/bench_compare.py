@@ -53,6 +53,7 @@ CACHE_EPOCH = 10
 CACHE_COUPLED = frozenset(
     {
         "bm25_topk",
+        "budget_quality_selection",
         "char_lm_surprise",
         "cluster_size_histogram",
         "contamination_spread",
