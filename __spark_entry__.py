@@ -42,6 +42,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     matching,  # noqa: F401
     mixture,  # noqa: F401
     multimodal,  # noqa: F401
+    politeness,  # noqa: F401
     preference,  # noqa: F401
     profiling,  # noqa: F401
     relational,  # noqa: F401

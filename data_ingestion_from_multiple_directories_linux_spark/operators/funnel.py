@@ -290,6 +290,26 @@ def training_funnel(spark: SparkSession, sf_dir: str) -> dict:
     train = split.filter(F.col("split") == "train").persist()
     counts["train"] = train.count()
 
+    # empty train pool (tiny/adversarial corpora can filter or split
+    # everything away): the packing stage needs min/max(doc_id) over
+    # train, undefined here — return a schema-stable empty packed frame
+    # with zero totals instead of crashing on int(None)
+    if counts["train"] == 0:
+        empty = train.select(
+            "doc_id",
+            F.lit(1).cast("long").alias("phase"),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("start_offset"),
+            F.lit(0).cast("long").alias("seq_id"),
+        )
+        return {
+            "counts": counts,
+            "weights": w,
+            "tokens_train": 0,
+            "n_sequences": 0,
+            "result": empty,
+        }
+
     # 8 curriculum phases over the train pool: histogram-exact token
     # quartile bounds (≤3 driver-side numbers), no global sort
     hist = train.groupBy("n_tok").agg(F.count("*").cast("long").alias("cnt"))

@@ -116,11 +116,15 @@ def budget_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000.0) * ratio(punct_count("text"), F.length("text"))
         ).cast("long")
     )
+    # two consumers (the band-subtotal collect and the returned plan)
+    # read the scored frame; localCheckpoint materializes the scan ONCE
+    # with a GC-bounded lifetime — an unpersisted cache entry here would
+    # outlive the call in long-lived sessions (round-10 review note)
     s = d.select(
         "doc_id",
         F.coalesce(n_tok, F.lit(0)).cast("long").alias("n_tokens"),
         q_milli.alias("quality_milli"),
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     empty_shape = (
         "doc_id",

@@ -129,15 +129,29 @@ class StreamingBM25Index:
     def topk(self) -> DataFrame:
         """The bm25_topk ranking served from the streamed index — the
         SAME scorer and window the registered batch query runs, so the
-        two surfaces cannot disagree on the same corpus."""
-        scored = bm25_scored_from_index(self.tf(), self.n_docs())
+        two surfaces cannot disagree on the same corpus.
+
+        The scorer persists the merged tf frame it probes (5 internal
+        consumers); this maintainer is LONG-LIVED, so that cache is
+        scoped to THIS call — materialize the (top-K-sized) ranking,
+        then release the frame — or every serve/refresh would leak one
+        corpus-sized cached index (the drift-monitor ``drift()``
+        discipline)."""
+        tf = self.tf()
+        scored = bm25_scored_from_index(tf, self.n_docs())
         rn = F.row_number().over(
             W.partitionBy("query_id").orderBy(
                 F.desc("bm25_micro"), F.asc("doc_id")
             )
         )
-        return (
+        ranked = (
             scored.withColumn("rank", rn.cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "doc_id", "bm25_micro", "n_terms_hit", "rank")
         )
+        try:
+            # the scorer persisted THIS tf plan object (persist()
+            # returns self), so the handle releases the scorer's cache
+            return ranked.localCheckpoint(eager=True)
+        finally:
+            tf.unpersist()

@@ -58,6 +58,11 @@ from pyspark.sql import functions as F
 
 from ..operators.bloomdedup import bloom_bits, probe_bloom
 from ..operators.linkgraph import largest_remainder
+from ..operators.politeness import (
+    CARRY_CAP_TICKS,
+    UNKNOWN_HOST_ALLOWANCE,
+    politeness_tick,
+)
 from ..operators.urlnorm import url_canonicalize
 from ..sources.table_store import TableStore
 
@@ -71,10 +76,9 @@ FRONTIER_DISPATCH = "crawl_frontier_dispatch"
 #: per-tick carry-over state: one row per (tick, host).
 FRONTIER_CARRY = "crawl_frontier_carry"
 #: default fetches per tick, apportioned across hosts by mass.
+#: (CARRY_CAP_TICKS / UNKNOWN_HOST_ALLOWANCE are re-exported from
+#: operators.politeness — the shared per-tick arithmetic.)
 TICK_BUDGET = 64
-#: unused allowance a host may bank, in multiples of its per-tick
-#: apportionment (bounds carry growth for persistently idle hosts).
-CARRY_CAP_TICKS = 2
 
 
 class StreamingCrawlFrontier:
@@ -87,9 +91,18 @@ class StreamingCrawlFrontier:
     apportioned across hosts by largest-remainder (the exact
     crawl_budget_apportionment arithmetic, L147, imported), a host may
     additionally spend allowance it banked in earlier ticks (carry-over,
-    capped at CARRY_CAP_TICKS × its per-tick share), and the oldest
-    pending frontier URLs per host — discovery order, deterministic
-    tiebreaks — are marked dispatched up to that allowance. Dispatch and
+    capped at CARRY_CAP_TICKS × max(its per-tick share, 1) — the floor
+    keeps the bank meaningful for hosts whose apportionment is 0 on a
+    tick), and the oldest pending frontier URLs per host — discovery
+    order, deterministic tiebreaks — are marked dispatched up to that
+    allowance. ``host_masses`` is pinned at construction, so hosts
+    discovered mid-crawl are absent from the apportionment; they drain
+    on ``unknown_host_allowance`` fetches per tick (default 1) instead
+    of starving in the backlog until the mass table is retrained. The
+    per-tick arithmetic is operators.politeness.politeness_tick — the
+    same function the oracle-checked ``frontier_dispatch_tick`` batch
+    twin replays, so the streamed dispatch is driver-verified by proxy.
+    Dispatch and
     carry rows are keyed by (checkpoint scope, tick) and replayed ticks
     purge-then-rewrite their own rows while reading only strictly-older
     carry state, so a crash-replay re-derives the identical dispatch —
@@ -105,6 +118,7 @@ class StreamingCrawlFrontier:
         host_masses: DataFrame | None = None,
         tick_budget: int = TICK_BUDGET,
         carry_cap_ticks: int = CARRY_CAP_TICKS,
+        unknown_host_allowance: int = UNKNOWN_HOST_ALLOWANCE,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -120,6 +134,7 @@ class StreamingCrawlFrontier:
         )
         self.tick_budget = tick_budget
         self.carry_cap_ticks = carry_cap_ticks
+        self.unknown_host_allowance = unknown_host_allowance
 
     def _scope(self) -> str:
         # batch ids restart at 0 when a checkpoint is cleared — scope
@@ -235,50 +250,38 @@ class StreamingCrawlFrontier:
             )
         else:
             cprev = self.spark.createDataFrame([], "host string, carry bigint")
-        allowance = (
-            alloc.join(cprev, "host", "full_outer")
-            .select(
-                "host",
-                F.coalesce("alloc", F.lit(0)).cast("long").alias("alloc"),
-                F.coalesce("carry", F.lit(0)).cast("long").alias("carry_in"),
-            )
-            .withColumn("allow", (F.col("alloc") + F.col("carry_in")))
-        )
-
-        ranked = pending.select(
+        # the shared per-tick arithmetic (operators.politeness — the
+        # oracle-checked frontier_dispatch_tick runs the same function):
+        # allowance = alloc + banked carry, unknown hosts get the floor
+        # allowance, dispatch oldest-discovery-first, bank the capped
+        # remainder
+        hosted = pending.select(
             self._host(F.col("url")).alias("host"), "url", "doc_id", "batch_id"
-        ).withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("host").orderBy("batch_id", "doc_id", "url")
-            ),
         )
-        j = ranked.join(F.broadcast(allowance), "host", "left")
-        disp = j.filter(F.col("rn") <= F.coalesce("allow", F.lit(0))).select(
+        disp_t, carry_t = politeness_tick(
+            hosted,
+            alloc,
+            cprev,
+            ["batch_id", "doc_id", "url"],
+            carry_cap_ticks=self.carry_cap_ticks,
+            unknown_host_allowance=self.unknown_host_allowance,
+            # the dispatch plan reads the DISPATCH table this tick then
+            # overwrites — pin it before any consumer runs post-swap
+            materialize=lambda df: df.localCheckpoint(eager=True),
+        )
+        disp = disp_t.select(
             F.lit(scope).alias("checkpoint"),
             F.lit(tick).cast("long").alias("batch_id"),
             "host",
             "url",
             "doc_id",
         )
-        disp = disp.localCheckpoint(eager=True)  # derives from DISPATCH files
 
-        n_disp = disp.groupBy("host").agg(
-            F.count("*").cast("long").alias("n_disp")
-        )
-        carry_rows = (
-            allowance.join(n_disp, "host", "left")
-            .select(
-                F.lit(scope).alias("checkpoint"),
-                F.lit(tick).cast("long").alias("batch_id"),
-                "host",
-                F.least(
-                    F.col("allow") - F.coalesce("n_disp", F.lit(0)),
-                    F.lit(self.carry_cap_ticks) * F.col("alloc"),
-                )
-                .cast("long")
-                .alias("carry"),
-            )
+        carry_rows = carry_t.select(
+            F.lit(scope).alias("checkpoint"),
+            F.lit(tick).cast("long").alias("batch_id"),
+            "host",
+            "carry",
         )
         carry_rows = carry_rows.localCheckpoint(eager=True)  # reads CARRY
 

@@ -123,3 +123,26 @@ def test_funnel_composed_plan_reuses_persisted_stages(funnel):
     assert "InMemoryTableScan" in head
     assert "FileScan" not in head
     assert "Exchange SinglePartition" not in head
+
+
+def test_funnel_empty_corpus_returns_empty_packed_frame(spark, tmp_path):
+    """An input that drains the train pool (here: an empty documents
+    table) must return zero totals and a schema-stable empty packed
+    frame, not crash in the packing stage's int(min/max) casts."""
+    d = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = training_funnel(spark, d)
+    assert r["counts"]["train"] == 0
+    assert r["tokens_train"] == 0 and r["n_sequences"] == 0
+    assert r["result"].columns == [
+        "doc_id",
+        "phase",
+        "n_tokens",
+        "start_offset",
+        "seq_id",
+    ]
+    assert r["result"].count() == 0

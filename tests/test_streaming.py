@@ -1553,6 +1553,13 @@ def test_streaming_bm25_index_matches_one_shot_batch(spark, tmp_path):
     assert idx.n_docs().collect()[0]["n_docs"] == nd
     assert key(idx.topk().collect()) == batch
 
+    # 4 the long-lived maintainer leaks no cached frames per serve: the
+    # scorer's internal tf persist is scoped to the topk() call
+    spark.catalog.clearCache()
+    idx.topk().collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "topk() left a cached frame behind"
+
 
 def test_streaming_frontier_politeness_budgets_and_carry(spark, tmp_path):
     """Politeness dispatch e2e: per-tick host budgets are the EXACT
