@@ -62,7 +62,12 @@ from .similarity import (
 )
 
 #: every SEED_MOD-th vector keeps its label; the rest are evaluated.
-SEED_MOD = 5
+#: 20 keeps the labeled pool a deterministic 5% sample: the exact audit
+#: is a query×seed cross join, so the seed-pool size is ITS cost knob —
+#: at the bench SF the audit's value (a recall yardstick for the IVF
+#: twin, which shares this split) does not need a 20% pool, and the
+#: brute-force leg is the suite's single most expensive query.
+SEED_MOD = 20
 #: vote width for the kNN label audit.
 KNN_K = 5
 
