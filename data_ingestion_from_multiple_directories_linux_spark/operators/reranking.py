@@ -135,6 +135,29 @@ def rerank_scores_pandas(cand: DataFrame) -> DataFrame:
     return cand.mapInPandas(score_batches, "vec_id long, rerank_n long")
 
 
+def rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1 of retrieve-then-rerank, exposed as the model seam's
+    input contract: the brute cosine top-{N_CAND} candidate frame
+    ``(vec_id, label, v, qv, cosine)`` for the query vector — one
+    corpus scan with the broadcast 1-row query, TakeOrderedAndProject
+    heap, NO shuffle of the corpus. Every stage-2 scorer — the JVM
+    expression, :func:`rerank_scores_pandas`, or a real model swapped
+    in as an Arrow-batched UDF (pytest-pinned e2e) — consumes exactly
+    this frame, so the model choice cannot change what stage 2 costs:
+    {N_CAND} rows per query, independent of corpus size."""
+    e = load_embeddings(spark, sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
+    cos = cosine_q(dot_q("v", "qv"), norm_sq_q("v"), norm_sq_q("qv"))
+    return (
+        scored.select("vec_id", "label", "v", "qv", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(N_CAND)
+    )
+
+
 _SQL_CROSS_SCORE = f"""CAST(list_sum(list_transform(range({EMB_DIM}),
     i -> CAST(floor(((i*37) % 19 - 9) / 10.0
                     * {{q}}[i+1] * {{c}}[i+1] * 1e9) AS BIGINT)
@@ -176,17 +199,7 @@ def rerank_topk_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     second (trivial) top-k. Both LIMITs carry unique vec_id tiebreaks
     so the candidate SET — not just the scores — is engine-identical.
     """
-    e = load_embeddings(spark, sf_dir).select(
-        "vec_id", "label", to_double_array("embedding").alias("v")
-    )
-    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
-    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(qv))
-    cos = cosine_q(dot_q("v", "qv"), norm_sq_q("v"), norm_sq_q("qv"))
-    cand = (
-        scored.select("vec_id", "label", "v", "qv", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(N_CAND)
-    )
+    cand = rerank_candidates(spark, sf_dir)
     return (
         cand.select(
             "vec_id",

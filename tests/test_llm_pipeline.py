@@ -1558,6 +1558,85 @@ def test_rerank_pandas_scorer_bit_identical_to_jvm(spark):
     assert py == jvm and len(py) > 100
 
 
+def test_rerank_model_swap_e2e_shape_unchanged(spark):
+    """The escape-hatch claim, end-to-end: a DIFFERENT deterministic
+    stub "model" (an Arrow-batched mapInPandas scorer standing in for
+    a real transformer cross-encoder) swaps into the rerank pipeline
+    over the module's own stage-1 candidate frame, and nothing else
+    changes — (a) exactly N_CAND rows reach the Python stage, (b)
+    stage 1 keeps the broadcast 1-row query + TakeOrderedAndProject
+    heap (no corpus shuffle below the bound), (c) the Python stage
+    appears exactly once, ABOVE the candidate bound, and (d) the final
+    top-k equals a pure-Python replay of the stub model."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from data_ingestion_from_multiple_directories_linux_spark.operators.reranking import (
+        N_CAND,
+        RERANK_K,
+        rerank_candidates,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+        EMB_DIM,
+    )
+
+    cand = rerank_candidates(spark, SF_SMALL)
+    assert cand.count() == N_CAND  # (a) the model sees the bound, ever
+
+    # the stub model: a pairwise squared-difference scorer with its own
+    # weights — deliberately NOT the module's cross-encoder stand-in
+    w = ((np.arange(EMB_DIM, dtype=np.int64) * 31) % 17) / 10.0
+
+    def stub_model(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["qv"].to_numpy())
+            c = np.vstack(pdf["v"].to_numpy())
+            d = q - c
+            s = np.floor(w * d * d * 1e6).astype(np.int64).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "stub_n": s})
+
+    swapped = (
+        cand.mapInPandas(stub_model, "vec_id long, stub_n long")
+        .orderBy(F.desc("stub_n"), F.asc("vec_id"))
+        .limit(RERANK_K)
+    )
+    got = [(r["vec_id"], r["stub_n"]) for r in swapped.collect()]
+
+    # (b)+(c) plan shape: broadcast query + candidate heap below, one
+    # Python stage above the bound — the tree prints top-down, so the
+    # Python node must appear BEFORE the candidate heap in the string
+    # (AQE prints Final + Initial plans; assert on the Final only)
+    plan = swapped._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    heap = f"TakeOrderedAndProject(limit={N_CAND}"
+    assert heap in final and "BroadcastExchange" in final
+    assert f"TakeOrderedAndProject(limit={RERANK_K}" in final
+    assert final.index("MapInPandas") < final.index(heap)
+    assert "Exchange hashpartitioning" not in final  # no corpus shuffle
+
+    # (d) pure-Python replay of the stub over the same candidates
+    rows = cand.select("vec_id", "v", "qv").collect()
+    replay = []
+    for r in rows:
+        s = sum(
+            math.floor(
+                ((i * 31) % 17) / 10.0
+                * (r["qv"][i] - r["v"][i])
+                * (r["qv"][i] - r["v"][i])
+                * 1e6
+            )
+            for i in range(EMB_DIM)
+        )
+        replay.append((r["vec_id"], s))
+    replay.sort(key=lambda t: (-t[1], t[0]))
+    assert got == replay[:RERANK_K]
+
+
 def test_rerank_topk_ivf_batch_shape(spark):
     """The IVF-staged batch rerank returns exactly RERANK_K_IVF rows
     per query, every neighbor is a cell-mate of its query under the
