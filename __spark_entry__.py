@@ -52,6 +52,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     semistructured,  # noqa: F401
     similarity,  # noqa: F401
     sketches,  # noqa: F401
+    stratified,  # noqa: F401
     substring_dedup,  # noqa: F401
     text_analysis,  # noqa: F401
     timeseries,  # noqa: F401
@@ -77,93 +78,73 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-10 allocation — the verbatim tools/staleness.py order at HEAD
-# (37 file-stale + 30 helper-import-stale of 188 queries, before the
-# selection module landed). Slots 1-3: the three queries ADDED this
-# round (no driver row). Next: the
-# r06/r07 tail the round-9 cap displaced (relational/timeseries/windows
-# — files untouched, oldest rows; closes verdict item 1's burn-down).
-# Slots 28-37: rows RE-STALED by this round's own edits (retrieval.py
-# BM25 broadcast scoping + streaming-index refactor; embeval.py IVF kNN;
-# corpus_stats.py drift persist parameter; containment.py twin-offset
-# fix). Remaining slots: the head of the helper-import-stale queue in
-# tool order (r05 corpus.py rows via text_analysis.py, then r06 asof/
-# similarity rows via cleansing.py). q1_pricing_summary's row is r09-
-# fresh with its file untouched, so the flagship needs no slot this
-# round. The 18 remaining helper-stale rows queue at 51+.
+# Round-11 allocation — the verbatim tools/staleness.py order at HEAD.
+# Slots 1-8: the round's own new/re-staled rows (the new politeness
+# twin; reranking.py stage-1 refactor; embeval.py SEED_MOD change;
+# selection.py checkpoint-lifetime change). Slots 9-26: the 18
+# helper-import-stale rows the round-10 cap displaced (verdict item 1's
+# burn-down — asof/similarity/matching/dedup via their helpers, the ten
+# r08 relational rows via functions/masking.py). Remaining slots: the
+# oldest green rows with untouched files (r06 profiling/grouping/
+# sketches/tpch, r07 corpus/text_analysis/dedup), so no row ages past
+# ~4 rounds. q1_pricing_summary's row is r09-fresh with its file
+# untouched — the flagship needs no slot this round. Everything past
+# the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
-    "temperature_mixture_alloc",  # new r10
-    "budget_quality_selection",  # new r10
-    "knn_label_eval_ivf",  # new r10
-    "filename_parse_lineage",  # r06, file-stale
-    "pii_mask_constant",  # r06, file-stale
-    "q5_local_supplier_volume",  # r06, file-stale
-    "self_join_sibling_success",  # r06, file-stale
-    "session_duration_secs",  # r06, file-stale
-    "substring_truncate",  # r06, file-stale
-    "gap_fill_hourly_locf",  # r06, file-stale
-    "histogram_quantiles",  # r06, file-stale
-    "quantiles_by_event_type",  # r06, file-stale
-    "tumbling_window_counts",  # r06, file-stale
-    "value_histogram_events",  # r06, file-stale
-    "anti_join_no_orders",  # r07, file-stale
-    "broadcast_brand_revenue",  # r07, file-stale
-    "bulk_update_requeue",  # r07, file-stale
-    "dedup_keep_newest",  # r07, file-stale
-    "duplicate_extra_rows",  # r07, file-stale
-    "semi_join_failed_retry",  # r07, file-stale
-    "state_machine_summary",  # r07, file-stale
-    "work_queue_dequeue",  # r07, file-stale
-    "event_gaps_lag",  # r07, file-stale
-    "m4_downsample_events",  # r07, file-stale
-    "ntile_customer_quartiles",  # r07, file-stale
-    "percent_rank_part_prices",  # r07, file-stale
-    "session_window_stats",  # r07, file-stale
-    "sliding_window_counts",  # r07, file-stale
-    "bm25_topk",  # r09, file-stale
-    "hybrid_rrf_fusion",  # r09, file-stale
-    "embedding_covariance",  # r09, file-stale
-    "embedding_standardize",  # r09, file-stale
-    "knn_label_eval",  # r09, file-stale
-    "langid_confusion",  # r09, file-stale
-    "shingle_containment_pairs",  # r09, file-stale
-    "source_token_drift",  # r09, file-stale
-    "tokenizer_fertility_by_lang",  # r09, file-stale
-    "vocab_growth_curve",  # r09, file-stale
-    "global_shuffle_rank",  # r05, helper-stale
-    "span_dedup_reassemble",  # r05, helper-stale
-    "asof_last_click",  # r06, helper-stale
-    "asof_nearest_click",  # r06, helper-stale
-    "asof_next_click",  # r06, helper-stale
-    "cosine_topk",  # r06, helper-stale
-    "embedding_near_dup_ivf",  # r06, helper-stale
-    "embedding_near_dup_lsh",  # r06, helper-stale
-    "hard_negative_mining",  # r06, helper-stale
-    "ivf_topk_neighbors",  # r06, helper-stale
-    "ivfpq_topk_neighbors",  # r06, helper-stale
-    "label_centroids",  # r06, helper-stale
-    # -- slots 51+: the remaining helper-stale rows (driver cap is 50;
-    # budget_quality_selection displaced percentile_price_by_priority);
-    # they ride the committed VERIFY_LOCAL record at HEAD until the
-    # round-11 rotation.
-    "percentile_price_by_priority",  # r06, helper-stale
-    "pq_topk_adc",  # r06, helper-stale
-    "semantic_dedup_survivors",  # r06, helper-stale
-    "sq8_quantized_topk",  # r06, helper-stale
-    "fuzzy_part_match",  # r06, helper-stale
-    "minhash_estimate_calibration",  # r06, helper-stale
-    "pivot_status_by_priority",  # r07, helper-stale
-    "range_join_ship_periods",  # r07, helper-stale
-    "count_distinct_users",  # r08, helper-stale
-    "cube_status_priority",  # r08, helper-stale
-    "date_validation_split",  # r08, helper-stale
-    "distinct_status_priority",  # r08, helper-stale
-    "except_open_not_failed",  # r08, helper-stale
-    "intersect_repeat_customers",  # r08, helper-stale
-    "minmax_priority_window",  # r08, helper-stale
-    "notin_priority_counts",  # r08, helper-stale
-    "null_normalization",  # r08, helper-stale
-    "salted_skew_counts",  # r08, helper-stale
+    "stratified_sample_exact",  # new r11 (no driver row)
+    "frontier_dispatch_tick",  # new r11 (no driver row)
+    "rerank_topk_cross",  # r08, re-staled by r11 edits
+    "rerank_topk_ivf",  # r08, re-staled by r11 edits
+    "embedding_covariance",  # r10, re-staled by r11 edits
+    "embedding_standardize",  # r10, re-staled by r11 edits
+    "knn_label_eval",  # r10, re-staled by r11 edits
+    "knn_label_eval_ivf",  # r10, re-staled by r11 edits
+    "budget_quality_selection",  # r10, re-staled by r11 edits
+    "percentile_price_by_priority",  # r06, helper-stale (verdict item 1 queue)
+    "pq_topk_adc",  # r06, helper-stale (verdict item 1 queue)
+    "semantic_dedup_survivors",  # r06, helper-stale (verdict item 1 queue)
+    "sq8_quantized_topk",  # r06, helper-stale (verdict item 1 queue)
+    "fuzzy_part_match",  # r06, helper-stale (verdict item 1 queue)
+    "minhash_estimate_calibration",  # r06, helper-stale (verdict item 1 queue)
+    "pivot_status_by_priority",  # r07, helper-stale (verdict item 1 queue)
+    "range_join_ship_periods",  # r07, helper-stale (verdict item 1 queue)
+    "count_distinct_users",  # r08, helper-stale (verdict item 1 queue)
+    "cube_status_priority",  # r08, helper-stale (verdict item 1 queue)
+    "date_validation_split",  # r08, helper-stale (verdict item 1 queue)
+    "distinct_status_priority",  # r08, helper-stale (verdict item 1 queue)
+    "except_open_not_failed",  # r08, helper-stale (verdict item 1 queue)
+    "intersect_repeat_customers",  # r08, helper-stale (verdict item 1 queue)
+    "minmax_priority_window",  # r08, helper-stale (verdict item 1 queue)
+    "notin_priority_counts",  # r08, helper-stale (verdict item 1 queue)
+    "null_normalization",  # r08, helper-stale (verdict item 1 queue)
+    "salted_skew_counts",  # r08, helper-stale (verdict item 1 queue)
+    "table_profile_orders",  # r06, oldest-row renewal
+    "table_profile_orders_sketch",  # r06, oldest-row renewal
+    "exact_moment_correlation",  # r06, oldest-row renewal
+    "kmv_distinct_users",  # r06, oldest-row renewal
+    "q12_delay_priority_classes",  # r06, oldest-row renewal
+    "q16_supplier_part_variety",  # r06, oldest-row renewal
+    "q17_small_quantity_revenue",  # r06, oldest-row renewal
+    "q2_regional_best_supplier",  # r06, oldest-row renewal
+    "q7_nation_volume",  # r06, oldest-row renewal
+    "q8_market_share",  # r06, oldest-row renewal
+    "user_event_type_arrays",  # r06, oldest-row renewal
+    "variant_props_metrics",  # r06, oldest-row renewal
+    "benchmark_decontamination",  # r07, oldest-row renewal
+    "dataset_split_assign",  # r07, oldest-row renewal
+    "doc_token_stats",  # r07, oldest-row renewal
+    "document_chunks",  # r07, oldest-row renewal
+    "duplicate_clusters",  # r07, oldest-row renewal
+    "exact_dedup_documents",  # r07, oldest-row renewal
+    "language_id_ngram",  # r07, oldest-row renewal
+    "length_bucketed_batches",  # r07, oldest-row renewal
+    "media_binary_stats",  # r07, oldest-row renewal
+    "minhash_lsh_near_dup",  # r07, oldest-row renewal
+    "mixture_schedule",  # r07, oldest-row renewal
+    # -- slot 51 (driver cap is 50): the one renewal the second new
+    # query displaced; its r07 row is green with dedup.py untouched and
+    # it rides the committed VERIFY_LOCAL_r11 record until round 12.
+    "ngram_jaccard_capped",  # r07, oldest-row renewal
 ]
 
 

@@ -64,19 +64,66 @@ def _release_leftover_blocks(spark) -> None:
     spark.catalog.clearCache()
 
 
-def _run_once(fn, spark) -> float:
+def _stage_metrics(spark) -> list[tuple[int, int, int]] | None:
+    """[(stageId, shuffleReadBytes, shuffleWriteBytes)] from the JVM
+    AppStatusStore (works with the UI disabled — the in-memory status
+    listener always populates it). Returns None if the py4j surface
+    ever changes; the bench must not die on a metrics probe."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm, gw = sc._jvm, sc._gateway
+        lst = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = []
+        it = lst.iterator()
+        while it.hasNext():
+            s = it.next()
+            out.append(
+                (
+                    int(s.stageId()),
+                    int(s.shuffleReadBytes()),
+                    int(s.shuffleWriteBytes()),
+                )
+            )
+        return out
+    except Exception:
+        return None
+
+
+def _run_once(fn, spark) -> tuple[float, dict | None]:
     """Time plan construction + full materialization (noop sink). The
     construction must sit inside the timer: iterative operators (e.g.
     duplicate_clusters' label propagation) do eager checkpointed work
     while the plan is being built, not at write time. After the timer
     stops, leftover cached/checkpoint blocks are released so queries
-    cannot degrade each other across the serial pass."""
+    cannot degrade each other across the serial pass.
+
+    Also returns the run's total shuffle read/write bytes (stages
+    created during THIS run, diffed by stage id against the status
+    store — created-this-run stages are always still retained): the
+    scale evidence that is immune to cache semantics and host load.
+    """
+    before = _stage_metrics(spark)
+    mark = max((sid for sid, _, _ in before), default=-1) if before is not None else -1
     t0 = time.perf_counter()
     df = fn(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
+    shuffle = None
+    after = _stage_metrics(spark)
+    if before is not None and after is not None:
+        shuffle = {
+            "read": sum(r for sid, r, _ in after if sid > mark),
+            "write": sum(w for sid, _, w in after if sid > mark),
+        }
     _release_leftover_blocks(spark)
-    return dt
+    return dt, shuffle
 
 
 #: Arrow-batched Python-worker queries (mapInPandas / UDTF paths): their
@@ -98,13 +145,21 @@ PY_WORKER_QUERIES = frozenset(
 )
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+def bench_queries(
+    spark,
+) -> tuple[dict[str, float], dict[str, dict], dict[str, dict]]:
     import __spark_entry__ as entry_mod
 
     out: dict[str, float] = {}
     cold_warm: dict[str, dict] = {}
+    shuffle_bytes: dict[str, dict] = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        times = [_run_once(fn, spark) for _ in range(max(1, REPS))]
+        runs = [_run_once(fn, spark) for _ in range(max(1, REPS))]
+        times = [t for t, _ in runs]
+        # shuffle volume from the LAST rep (steady state: no cold-start
+        # retries); byte counts are load/cache-independent per plan
+        if runs[-1][1] is not None:
+            shuffle_bytes[name] = runs[-1][1]
         if name in PY_WORKER_QUERIES:
             # cold = first run (worker spawn + plan warm-up); warm =
             # best of the rest (steady state). With REPS=1 both equal
@@ -117,7 +172,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
             out[name] = round(warm, 4)
         else:
             out[name] = round(min(times), 4)
-    return out, cold_warm
+    return out, cold_warm, shuffle_bytes
 
 
 #: the pair-generating / iterative ops whose scaling behavior carries the
@@ -501,18 +556,61 @@ def bench_pipeline(spark) -> dict:
         training_funnel,
     )
 
-    _release_leftover_blocks(spark)
-    t0 = time.time()
-    r = training_funnel(spark, SF_DIR)
-    r["result"].write.format("noop").mode("overwrite").save()
-    wall = round(time.time() - t0, 4)
-    _release_leftover_blocks(spark)
+    def run(sf_dir: str) -> tuple[float, dict]:
+        _release_leftover_blocks(spark)
+        t0 = time.time()
+        r = training_funnel(spark, sf_dir)
+        r["result"].write.format("noop").mode("overwrite").save()
+        wall = round(time.time() - t0, 4)
+        _release_leftover_blocks(spark)
+        return wall, r
+
+    wall, r = run(SF_DIR)
+    # scale curve for the COMPOSITION: the individual stages have
+    # measured decade/100x ratios, but a composed lineage can hide a
+    # superlinear stage behind a fixed-overhead one — the small-SF point
+    # exposes the growth law of the whole DAG (data grows 10x between
+    # the default SFs' documents tables; a linear composition should
+    # grow well under 10x wall)
+    wall_small, r_small = run(SCALE_SMALL_DIR)
+    amp_point = None
+    if os.environ.get("SPARK_GRAFT_PIPELINE_AMP") == "1":
+        # optional third point (~10x SF_DIR documents via the cipher
+        # amplifier): off by default — it multiplies the whole funnel's
+        # cost — run it when the growth law itself is in question
+        tmp = tempfile.mkdtemp(prefix="bench_funnel_amp_")
+        try:
+            amp_dir = _amplified_dir(spark, tmp)
+            wall_amp, r_amp = run(amp_dir)
+            amp_point = {
+                "amp_copies": AMP_COPIES,
+                "amp_sec": wall_amp,
+                "amp_tokens_train": r_amp["tokens_train"],
+                "amp_counts": r_amp["counts"],
+                "wall_ratio_vs_big": round(wall_amp / wall, 2) if wall else None,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return {
         "wall_sec": wall,
         "counts": r["counts"],
         "tokens_train": r["tokens_train"],
         "n_sequences": r["n_sequences"],
         "tokens_per_sec": round(r["tokens_train"] / wall, 1),
+        "scale": {
+            "small_sf": _sf_of(SCALE_SMALL_DIR),
+            "small_sec": wall_small,
+            "small_tokens_train": r_small["tokens_train"],
+            "small_counts": r_small["counts"],
+            "big_sec": wall,
+            "wall_ratio": round(wall / wall_small, 2) if wall_small else None,
+            "tokens_ratio": round(
+                r["tokens_train"] / r_small["tokens_train"], 2
+            )
+            if r_small["tokens_train"]
+            else None,
+            "amp": amp_point,
+        },
     }
 
 
@@ -591,7 +689,7 @@ def main() -> None:
     from data_ingestion_from_multiple_directories_linux_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=CPUS)
-    queries, cold_warm = bench_queries(spark)
+    queries, cold_warm, shuffle_bytes = bench_queries(spark)
     scale = bench_scale(spark, queries)
     scale_100x = bench_scale_100x(spark, scale)
     skew = bench_skew_guard(spark)
@@ -620,6 +718,7 @@ def main() -> None:
                 "skew_guard": skew,
                 "ingest": ingest,
                 "pipeline": pipeline,
+                "shuffle_bytes": shuffle_bytes,
             }
         )
     )
@@ -631,6 +730,13 @@ def main() -> None:
     slowest = dict(
         sorted(queries.items(), key=lambda kv: -kv[1])[:5]
     )
+    # shuffle volume for the 10 heaviest queries — the compact line's
+    # scale-evidence channel (full per-query map rides the line above)
+    shuffle_top = {
+        name: shuffle_bytes[name]
+        for name, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:10]
+        if name in shuffle_bytes
+    }
     print(
         json.dumps(
             {
@@ -653,7 +759,10 @@ def main() -> None:
                 "pipeline": {
                     "wall_sec": pipeline["wall_sec"],
                     "tokens_per_sec": pipeline["tokens_per_sec"],
+                    "scale_wall_ratio": pipeline["scale"]["wall_ratio"],
+                    "scale_tokens_ratio": pipeline["scale"]["tokens_ratio"],
                 },
+                "shuffle_bytes_top10": shuffle_top,
             }
         )
     )
