@@ -28,6 +28,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     attribution,  # noqa: F401
     bloomdedup,  # noqa: F401
     calibration,  # noqa: F401
+    cluster_weights,  # noqa: F401
     containment,  # noqa: F401
     corpus,  # noqa: F401
     corpus_stats,  # noqa: F401
@@ -91,6 +92,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
+    "cluster_sampling_weights",  # new r11 (no driver row)
     "stratified_sample_exact",  # new r11 (no driver row)
     "frontier_dispatch_tick",  # new r11 (no driver row)
     "rerank_topk_cross",  # r08, re-staled by r11 edits
@@ -140,10 +142,11 @@ _PRIORITY_FIRST = [
     "length_bucketed_batches",  # r07, oldest-row renewal
     "media_binary_stats",  # r07, oldest-row renewal
     "minhash_lsh_near_dup",  # r07, oldest-row renewal
+    # -- slots 51+ (driver cap is 50): the renewals the two extra new
+    # queries displaced; their r07 rows are green with their files
+    # untouched and they ride the committed VERIFY_LOCAL_r11 record
+    # until round 12.
     "mixture_schedule",  # r07, oldest-row renewal
-    # -- slot 51 (driver cap is 50): the one renewal the second new
-    # query displaced; its r07 row is green with dedup.py untouched and
-    # it rides the committed VERIFY_LOCAL_r11 record until round 12.
     "ngram_jaccard_capped",  # r07, oldest-row renewal
 ]
 
