@@ -160,3 +160,22 @@ def test_bench_compare_cache_epoch_ignores_preepoch_coupled_baselines(tmp_path):
     p2 = _run(f"{TOOLS}/bench_compare.py", str(cand), str(pre))
     assert p2.returncode == 0, p2.stdout + p2.stderr
     assert "1 shared queries" in p2.stdout
+
+
+def test_stage_metrics_probe_attributes_shuffle_bytes(spark):
+    """bench._stage_metrics reads the JVM status store (UI disabled)
+    and the _run_once diff-by-stage-id convention attributes a known
+    shuffle to the run that caused it: a groupBy over fresh stages must
+    show nonzero write and read bytes."""
+    import bench
+
+    before = bench._stage_metrics(spark)
+    assert before is not None  # the probe works in this Spark build
+    mark = max((sid for sid, _, _ in before), default=-1)
+    spark.range(0, 200_000).selectExpr("id % 13 AS k", "id AS v").groupBy(
+        "k"
+    ).sum("v").collect()
+    after = bench._stage_metrics(spark)
+    read = sum(r for sid, r, _ in after if sid > mark)
+    write = sum(w for sid, _, w in after if sid > mark)
+    assert write > 0 and read > 0
