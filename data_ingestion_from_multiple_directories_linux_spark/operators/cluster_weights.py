@@ -92,6 +92,10 @@ def cluster_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+    # two consumers (the size aggregate and the returned join) read the
+    # labels frame; pin it once — a 2-column (doc_id, cluster_id) frame
+    # is the artifact a dedup pipeline persists anyway, and leaving it
+    # lazy re-runs the corpus scan + label join per consumer
     lab = (
         corpus.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -99,6 +103,7 @@ def cluster_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
         )
+        .localCheckpoint(eager=True)
     )
     sz = lab.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size")

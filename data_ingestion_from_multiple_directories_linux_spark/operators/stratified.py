@@ -103,7 +103,14 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", F.coalesce("lang", F.lit("")).alias("stratum"))
     )
-    counts = d.groupBy("stratum").agg(F.count("*").cast("long").alias("mass"))
+    # the apportionment consumes the count frame three times (total,
+    # base-sum, ranking) — pin the stratum-count-sized aggregate once or
+    # each internal consumer re-scans the corpus
+    counts = (
+        d.groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("mass"))
+        .localCheckpoint(eager=True)
+    )
     quota = largest_remainder(
         counts.select(F.col("stratum").alias("host"), "mass"), SAMPLE_TOTAL
     ).select(F.col("host").alias("stratum"), F.col("alloc").alias("quota"))

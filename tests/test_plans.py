@@ -705,3 +705,43 @@ def test_language_id_score_is_unconditional(spark, queries):
     assert "CASE WHEN" not in seg, "en_score regressed to a conditional"
     assert "greatest(length(coalesce(text" in seg
     assert "coalesce(text" in seg
+
+
+def test_stratified_sample_single_scan_broadcast_quota(spark, queries):
+    """stratified_sample_exact reads the corpus ONCE (the stratum-count
+    aggregate is checkpointed before the apportionment fans out over
+    it), joins the quota table by broadcast, and every Exchange
+    SinglePartition in the plan sits over the checkpointed stratum-
+    count frame (bounded by the language domain), never the corpus —
+    no corpus-wide sort or single-partition window."""
+    df = queries["stratified_sample_exact"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1  # one corpus scan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the per-stratum ranking window is hash-partitioned by stratum
+    assert "hashpartitioning(stratum" in plan
+
+
+def test_cluster_weights_reuses_checkpointed_labels(spark, queries):
+    """cluster_sampling_weights' final plan reads the checkpointed
+    labels frame (the CC labeling ran once, eagerly) — zero parquet
+    rescans, no single-partition funnel; the size join keys on
+    cluster_id (hash-shuffled, cluster-count-sized build side)."""
+    df = queries["cluster_sampling_weights"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "FileScan" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frontier_dispatch_tick_bounded_state_plan(spark, queries):
+    """frontier_dispatch_tick's final plan unions four checkpointed
+    host/dispatch-sized frames — the cross-tick state a crawler
+    persists; zero parquet rescans and no single-partition funnel at
+    the top level."""
+    df = queries["frontier_dispatch_tick"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "FileScan" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
