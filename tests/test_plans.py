@@ -166,6 +166,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         # 1-row total-mass + base-sum scalar broadcasts (the same
         # largest-remainder machinery as crawl_budget_apportionment)
         "temperature_mixture_alloc",
+        # ditto, over the checkpointed stratum-count frame (the corpus
+        # itself is scanned once — pinned by the single-scan plan test)
+        "stratified_sample_exact",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
