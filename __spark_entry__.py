@@ -43,6 +43,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     matching,  # noqa: F401
     mixture,  # noqa: F401
     multimodal,  # noqa: F401
+    novelty,  # noqa: F401
     politeness,  # noqa: F401
     preference,  # noqa: F401
     profiling,  # noqa: F401
@@ -92,6 +93,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
+    "shingle_novelty_scores",  # new r11 (no driver row)
     "cluster_sampling_weights",  # new r11 (no driver row)
     "stratified_sample_exact",  # new r11 (no driver row)
     "frontier_dispatch_tick",  # new r11 (no driver row)
@@ -141,11 +143,11 @@ _PRIORITY_FIRST = [
     "language_id_ngram",  # r07, oldest-row renewal
     "length_bucketed_batches",  # r07, oldest-row renewal
     "media_binary_stats",  # r07, oldest-row renewal
-    "minhash_lsh_near_dup",  # r07, oldest-row renewal
-    # -- slots 51+ (driver cap is 50): the renewals the two extra new
+    # -- slots 51+ (driver cap is 50): the renewals the extra new
     # queries displaced; their r07 rows are green with their files
     # untouched and they ride the committed VERIFY_LOCAL_r11 record
     # until round 12.
+    "minhash_lsh_near_dup",  # r07, oldest-row renewal
     "mixture_schedule",  # r07, oldest-row renewal
     "ngram_jaccard_capped",  # r07, oldest-row renewal
 ]
