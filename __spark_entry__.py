@@ -41,6 +41,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     linkgraph,  # noqa: F401
     maintenance,  # noqa: F401
     matching,  # noqa: F401
+    matryoshka,  # noqa: F401
     mixture,  # noqa: F401
     multimodal,  # noqa: F401
     novelty,  # noqa: F401
@@ -81,9 +82,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # prior-round row only while the file is untouched).
 #
 # Round-11 allocation — the verbatim tools/staleness.py order at HEAD.
-# Slots 1-8: the round's own new/re-staled rows (the new politeness
-# twin; reranking.py stage-1 refactor; embeval.py SEED_MOD change;
-# selection.py checkpoint-lifetime change). Slots 9-26: the 18
+# Slots 1-12: the round's own new/re-staled rows (5 new queries —
+# matryoshka/novelty/cluster-weights/stratified/politeness-twin; the
+# reranking.py stage-1 refactor; embeval.py SEED_MOD change;
+# selection.py checkpoint-lifetime change). Slots 13-30: the 18
 # helper-import-stale rows the round-10 cap displaced (verdict item 1's
 # burn-down — asof/similarity/matching/dedup via their helpers, the ten
 # r08 relational rows via functions/masking.py). Remaining slots: the
@@ -93,6 +95,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
+    "matryoshka_recall_eval",  # new r11 (no driver row)
     "shingle_novelty_scores",  # new r11 (no driver row)
     "cluster_sampling_weights",  # new r11 (no driver row)
     "stratified_sample_exact",  # new r11 (no driver row)
@@ -142,11 +145,11 @@ _PRIORITY_FIRST = [
     "exact_dedup_documents",  # r07, oldest-row renewal
     "language_id_ngram",  # r07, oldest-row renewal
     "length_bucketed_batches",  # r07, oldest-row renewal
-    "media_binary_stats",  # r07, oldest-row renewal
     # -- slots 51+ (driver cap is 50): the renewals the extra new
     # queries displaced; their r07 rows are green with their files
     # untouched and they ride the committed VERIFY_LOCAL_r11 record
     # until round 12.
+    "media_binary_stats",  # r07, oldest-row renewal
     "minhash_lsh_near_dup",  # r07, oldest-row renewal
     "mixture_schedule",  # r07, oldest-row renewal
     "ngram_jaccard_capped",  # r07, oldest-row renewal
