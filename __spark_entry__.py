@@ -48,6 +48,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     politeness,  # noqa: F401
     preference,  # noqa: F401
     profiling,  # noqa: F401
+    rankblend,  # noqa: F401
     relational,  # noqa: F401
     reranking,  # noqa: F401
     retrieval,  # noqa: F401
@@ -95,6 +96,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
+    "quality_rank_blend",  # new r11 (no driver row)
     "matryoshka_recall_eval",  # new r11 (no driver row)
     "shingle_novelty_scores",  # new r11 (no driver row)
     "cluster_sampling_weights",  # new r11 (no driver row)
@@ -144,11 +146,11 @@ _PRIORITY_FIRST = [
     "duplicate_clusters",  # r07, oldest-row renewal
     "exact_dedup_documents",  # r07, oldest-row renewal
     "language_id_ngram",  # r07, oldest-row renewal
-    "length_bucketed_batches",  # r07, oldest-row renewal
     # -- slots 51+ (driver cap is 50): the renewals the extra new
     # queries displaced; their r07 rows are green with their files
     # untouched and they ride the committed VERIFY_LOCAL_r11 record
     # until round 12.
+    "length_bucketed_batches",  # r07, oldest-row renewal
     "media_binary_stats",  # r07, oldest-row renewal
     "minhash_lsh_near_dup",  # r07, oldest-row renewal
     "mixture_schedule",  # r07, oldest-row renewal

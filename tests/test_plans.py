@@ -169,6 +169,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         # ditto, over the checkpointed stratum-count frame (the corpus
         # itself is scanned once — pinned by the single-scan plan test)
         "stratified_sample_exact",
+        # 1-row n_docs scalar onto the checkpointed signal frame (the
+        # rank histograms join back as broadcast hash joins)
+        "quality_rank_blend",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
