@@ -97,6 +97,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
 _PRIORITY_FIRST = [
+    "ivf_recall_eval_nprobe2",  # new r11 (no driver row)
     "ivf_recall_eval",  # new r11 (no driver row)
     "quality_rank_blend",  # new r11 (no driver row)
     "matryoshka_recall_eval",  # new r11 (no driver row)
@@ -146,11 +147,11 @@ _PRIORITY_FIRST = [
     "doc_token_stats",  # r07, oldest-row renewal
     "document_chunks",  # r07, oldest-row renewal
     "duplicate_clusters",  # r07, oldest-row renewal
-    "exact_dedup_documents",  # r07, oldest-row renewal
     # -- slots 51+ (driver cap is 50): the renewals the extra new
     # queries displaced; their r07 rows are green with their files
     # untouched and they ride the committed VERIFY_LOCAL_r11 record
     # until round 12.
+    "exact_dedup_documents",  # r07, oldest-row renewal
     "language_id_ngram",  # r07, oldest-row renewal
     "length_bucketed_batches",  # r07, oldest-row renewal
     "media_binary_stats",  # r07, oldest-row renewal

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_q, dot_q, sql_cosine_q, sql_dot_q
 from .registry import query
 from .similarity import (
+    LLOYD_ROUNDS,
     TOPK_NEIGHBORS,
     TOPK_QUERY_MOD,
     _assign_cells,
@@ -36,6 +37,9 @@ from .similarity import (
     _trained_centroids,
     _vec_corpus,
 )
+
+#: runner-up cells probed by the recovery twin.
+NPROBE_RECOVER = 2
 
 
 def _recall_oracle_sql() -> str:
@@ -121,6 +125,141 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.drop("cell_c"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            ivf.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(hit).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(
+                f"CAST((1000 * n_overlap) DIV {TOPK_NEIGHBORS} AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+    )
+
+
+def _recall_nprobe2_oracle_sql() -> str:
+    cos = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
+    assign_cos = sql_cosine_q(
+        sql_dot_q("corpus.v", "k.cv"), "corpus.nv", "k.ncv"
+    )
+    return f"""
+    {_ivf_train_assign_ctes()},
+    probed AS (
+        SELECT vec_id, v, nv, cell FROM (
+            SELECT corpus.vec_id, corpus.v, corpus.nv, k.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+                                      ORDER BY {assign_cos} DESC, k.cid)
+                       AS rn
+            FROM corpus, cent{LLOYD_ROUNDS} k)
+        WHERE rn <= {NPROBE_RECOVER}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos} AS cosine
+        FROM probed q JOIN probed c
+          ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id)
+                       AS rnk
+            FROM cand
+        ) WHERE rnk <= {TOPK_NEIGHBORS}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {cos} DESC, c.vec_id) AS rnk
+            FROM corpus q JOIN corpus c ON c.vec_id != q.vec_id
+            WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+        ) WHERE rnk <= {TOPK_NEIGHBORS}
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST((1000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END)) // {TOPK_NEIGHBORS}
+                AS BIGINT) AS recall_permille
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query("ivf_recall_eval_nprobe2", oracle=_recall_nprobe2_oracle_sql())
+def ivf_recall_eval_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recovery twin of ``ivf_recall_eval``: the same recall@K
+    measurement with each vector probed into its {NPROBE_RECOVER} best
+    cells (``_assign_cells(nprobe=2)`` — vectors near a Voronoi face
+    meet their neighbors across it). Candidate (query, neighbor) pairs
+    that share both probed cells are deduplicated before ranking.
+    Read next to ``ivf_recall_eval``: the recall lift between the two
+    rows IS the measured boundary-loss recovery nprobe buys, at ~2×
+    pair-stage cost — the knob a production deployment tunes."""
+    corpus = _vec_corpus(spark, sf_dir)
+    centroids = _trained_centroids(spark, sf_dir)
+    probed = _assign_cells(
+        corpus, centroids, nprobe=NPROBE_RECOVER
+    ).localCheckpoint(eager=True)
+
+    q = probed.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        "cell",
+    )
+    c = probed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"),
+        F.col("cell").alias("cell_c"),
+    )
+    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    )
+    ivf = (
+        q.join(
+            c,
+            (F.col("cell") == F.col("cell_c"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()  # a pair sharing both probed cells scores once
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
+    )
+
+    eq = corpus.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    ec = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"),
+    )
+    exact = (
+        F.broadcast(eq)
+        .crossJoin(ec)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
     )
     hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
     return (

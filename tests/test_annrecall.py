@@ -75,3 +75,24 @@ def test_exact_arm_broadcasts_bounded_queries(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast query arm
     assert "Exchange SinglePartition" not in plan
+
+
+def test_nprobe2_recovers_recall(spark):
+    """The recovery claim, measured: probing each vector's 2 best cells
+    never hurts any query's recall and strictly lifts the aggregate
+    (vectors near a Voronoi face meet their neighbors across it)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.annrecall import (
+        ivf_recall_eval_nprobe2,
+    )
+
+    r1 = {
+        r["query_id"]: r["n_overlap"]
+        for r in ivf_recall_eval(spark, SF).collect()
+    }
+    r2 = {
+        r["query_id"]: r["n_overlap"]
+        for r in ivf_recall_eval_nprobe2(spark, SF).collect()
+    }
+    assert set(r1) == set(r2)
+    assert all(r2[q] >= r1[q] for q in r1)
+    assert sum(r2.values()) > sum(r1.values())
