@@ -172,6 +172,12 @@ def test_no_accidental_cartesian_products(spark, queries):
         # 1-row n_docs scalar onto the checkpointed signal frame (the
         # rank histograms join back as broadcast hash joins)
         "quality_rank_blend",
+        # bounded anchor-query frame broadcast onto the corpus scan —
+        # the cosine_topk pattern (full-dim + truncated cosines per row)
+        "matryoshka_recall_eval",
+        # same: the exact ground-truth arm broadcasts the anchor frame
+        "ivf_recall_eval",
+        "ivf_recall_eval_nprobe2",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
