@@ -36,6 +36,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     crosslingual,  # noqa: F401
     dedup,  # noqa: F401
     embeval,  # noqa: F401
+    frontier_dedup,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
     leakage_split,  # noqa: F401

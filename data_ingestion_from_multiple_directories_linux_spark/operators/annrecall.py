@@ -11,12 +11,19 @@ the cost IVF pays for scanning O(corpus/K_cells) candidates — show up
 as recall < 1000; raising nprobe recovers them, and this is the
 operator that tells you whether you need to.
 
-Scale shape: the exact arm broadcasts the BOUNDED anchor-query frame
-onto one corpus scan (cosine_topk shape — at 100 TB the ground-truth
-arm runs on a sampled anchor set exactly like this, never all queries);
-the IVF arm joins cell-mates only; both rankings are per-query windows
-with unique tiebreaks, compared by a left join on (query, neighbor) —
+Scale shape: anchors are a FIXED COUNT (anchors.ANCHOR_COUNT md5-rank
+sampled ids — not a corpus fraction), so the exact ground-truth arm is
+O(ANCHOR_COUNT · corpus): it broadcasts the bounded anchor-query frame
+onto one corpus scan (cosine_topk shape — the audit a 100 TB
+deployment actually runs, its cost constant in corpus size); the IVF
+arm joins cell-mates only; both rankings are per-query windows with
+unique tiebreaks, compared by a left join on (query, neighbor) —
 K-sized frames per query, never corpus-sized.
+
+Recall denominator: per-query exact-arm count, not the constant K —
+on a corpus smaller than K+1 the exact arm yields fewer than K
+neighbors and dividing by K would under-report recall (round-11
+advice); at any real scale the two are identical.
 
 Reference parity: none; SURVEY §2.12a additive (L170).
 """
@@ -27,11 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_q, dot_q, sql_cosine_q, sql_dot_q
+from .anchors import anchor_vec_ids, sql_anchor_cte
 from .registry import query
 from .similarity import (
     LLOYD_ROUNDS,
     TOPK_NEIGHBORS,
-    TOPK_QUERY_MOD,
     _assign_cells,
     _ivf_train_assign_ctes,
     _trained_centroids,
@@ -46,6 +53,7 @@ def _recall_oracle_sql() -> str:
     cos = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
     return f"""
     {_ivf_train_assign_ctes()},
+    anchors AS ({sql_anchor_cte('corpus')}),
     ivf AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -53,7 +61,7 @@ def _recall_oracle_sql() -> str:
                                       ORDER BY {cos} DESC, c.vec_id) AS rnk
             FROM assigned q JOIN assigned c
               ON q.cell = c.cell AND c.vec_id != q.vec_id
-            WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+            WHERE q.vec_id IN (SELECT vec_id FROM anchors)
         ) WHERE rnk <= {TOPK_NEIGHBORS}
     ),
     exact AS (
@@ -62,14 +70,14 @@ def _recall_oracle_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {cos} DESC, c.vec_id) AS rnk
             FROM assigned q JOIN assigned c ON c.vec_id != q.vec_id
-            WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+            WHERE q.vec_id IN (SELECT vec_id FROM anchors)
         ) WHERE rnk <= {TOPK_NEIGHBORS}
     )
     SELECT e.query_id,
            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_overlap,
            CAST((1000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
-                                 THEN 1 ELSE 0 END)) // {TOPK_NEIGHBORS}
+                                 THEN 1 ELSE 0 END)) // COUNT(*)
                 AS BIGINT) AS recall_permille
     FROM exact e LEFT JOIN ivf i
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
@@ -84,12 +92,16 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ground truth, per anchor query. The IVF arm and the trained
     assignment are byte-identical to ``ivf_topk_neighbors``; the exact
     arm is the ``cosine_topk`` shape over the same query set, so this
-    measures ONLY the index's cell-boundary loss."""
+    measures ONLY the index's cell-boundary loss. Anchors are the
+    fixed-count md5-rank sample (anchors.py) — audit cost is
+    O(ANCHOR_COUNT · corpus) at any scale."""
     corpus = _vec_corpus(spark, sf_dir)
     centroids = _trained_centroids(spark, sf_dir)
     assigned = _assign_cells(corpus, centroids).localCheckpoint(eager=True)
+    # ≤ANCHOR_COUNT rows, consumed by both arms via q — pin once
+    anchors = anchor_vec_ids(corpus).localCheckpoint(eager=True)
 
-    q = assigned.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+    q = assigned.join(F.broadcast(anchors), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("qn"),
@@ -134,13 +146,18 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .groupBy("query_id")
-        .agg(F.sum(hit).cast("long").alias("n_overlap"))
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            # exact-arm size: == K at any real scale, < K only on a
+            # corpus smaller than K+1 (per-query denominator, r11 advice)
+            F.count("*").cast("long").alias("n_exact"),
+        )
         .select(
             "query_id",
             "n_overlap",
-            F.expr(
-                f"CAST((1000 * n_overlap) DIV {TOPK_NEIGHBORS} AS BIGINT)"
-            ).alias("recall_permille"),
+            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
+                "recall_permille"
+            ),
         )
     )
 
@@ -152,6 +169,7 @@ def _recall_nprobe2_oracle_sql() -> str:
     )
     return f"""
     {_ivf_train_assign_ctes()},
+    anchors AS ({sql_anchor_cte('corpus')}),
     probed AS (
         SELECT vec_id, v, nv, cell FROM (
             SELECT corpus.vec_id, corpus.v, corpus.nv, k.cid AS cell,
@@ -166,7 +184,7 @@ def _recall_nprobe2_oracle_sql() -> str:
                {cos} AS cosine
         FROM probed q JOIN probed c
           ON q.cell = c.cell AND c.vec_id != q.vec_id
-        WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+        WHERE q.vec_id IN (SELECT vec_id FROM anchors)
     ),
     ivf AS (
         SELECT query_id, neighbor_id FROM (
@@ -182,14 +200,14 @@ def _recall_nprobe2_oracle_sql() -> str:
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {cos} DESC, c.vec_id) AS rnk
             FROM corpus q JOIN corpus c ON c.vec_id != q.vec_id
-            WHERE q.vec_id % {TOPK_QUERY_MOD} = 0
+            WHERE q.vec_id IN (SELECT vec_id FROM anchors)
         ) WHERE rnk <= {TOPK_NEIGHBORS}
     )
     SELECT e.query_id,
            CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_overlap,
            CAST((1000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL
-                                 THEN 1 ELSE 0 END)) // {TOPK_NEIGHBORS}
+                                 THEN 1 ELSE 0 END)) // COUNT(*)
                 AS BIGINT) AS recall_permille
     FROM exact e LEFT JOIN ivf i
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
@@ -212,8 +230,10 @@ def ivf_recall_eval_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = _assign_cells(
         corpus, centroids, nprobe=NPROBE_RECOVER
     ).localCheckpoint(eager=True)
+    # fixed-count anchor sample, shared by the IVF and exact arms
+    anchors = anchor_vec_ids(corpus).localCheckpoint(eager=True)
 
-    q = probed.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+    q = probed.join(F.broadcast(anchors), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("qn"),
@@ -242,7 +262,7 @@ def ivf_recall_eval_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    eq = corpus.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0).select(
+    eq = corpus.join(F.broadcast(anchors), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("qn"),
@@ -269,12 +289,17 @@ def ivf_recall_eval_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .groupBy("query_id")
-        .agg(F.sum(hit).cast("long").alias("n_overlap"))
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            # exact-arm size: == K at any real scale, < K only on a
+            # corpus smaller than K+1 (per-query denominator, r11 advice)
+            F.count("*").cast("long").alias("n_exact"),
+        )
         .select(
             "query_id",
             "n_overlap",
-            F.expr(
-                f"CAST((1000 * n_overlap) DIV {TOPK_NEIGHBORS} AS BIGINT)"
-            ).alias("recall_permille"),
+            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
+                "recall_permille"
+            ),
         )
     )

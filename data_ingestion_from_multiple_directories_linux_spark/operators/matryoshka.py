@@ -9,12 +9,15 @@ full ranking finds. That "if" is an empirical, corpus-specific number
 between the full-dim cosine top-K and the prefix-dim cosine top-K
 (recall@K of truncated search against the full-dim ground truth).
 
-One pass: the bounded anchor-query frame broadcasts onto the corpus
-scan (the cosine_topk shape — queries ≪ corpus, corpus never
-shuffles), both quantized cosines are computed per pair from the same
-row, and two per-query ranking windows produce the two top-K sets
-side by side; overlap is a conditional count, no second scan and no
-join between the rankings.
+One pass: the bounded anchor-query frame — a FIXED-count md5-rank
+sample (anchors.py), so the eval costs O(ANCHOR_COUNT · corpus) at
+any scale — broadcasts onto the corpus scan (the cosine_topk shape:
+queries ≪ corpus, corpus never shuffles), both quantized cosines are
+computed per pair from the same row, and two per-query ranking
+windows produce the two top-K sets side by side; overlap is a
+conditional count, no second scan and no join between the rankings.
+The recall denominator is the per-query full-dim top-K count (== K
+except on a corpus smaller than K+1; round-11 advice).
 
 Determinism: quantized integer cosines (functions/vectors), unique
 vec_id tiebreaks in both windows, truncation is an exact list prefix
@@ -37,8 +40,9 @@ from ..functions.vectors import (
     sql_norm_sq_q,
     to_double_array,
 )
+from .anchors import anchor_vec_ids, sql_anchor_cte
 from .registry import query
-from .similarity import E_SQL, TOPK_QUERY_MOD, load_embeddings
+from .similarity import E_SQL, load_embeddings
 
 #: ranking depth the recall is measured at.
 MRL_K = 10
@@ -50,9 +54,10 @@ MRL_TRUNC_DIM = 16
     "matryoshka_recall_eval",
     oracle=f"""
     WITH e AS ({E_SQL}),
+    anchors AS ({sql_anchor_cte('e')}),
     q AS (
         SELECT vec_id AS qid, v AS qv, list_slice(v, 1, {MRL_TRUNC_DIM}) AS qt
-        FROM e WHERE vec_id % {TOPK_QUERY_MOD} = 0
+        FROM e WHERE vec_id IN (SELECT vec_id FROM anchors)
     ),
     pair AS (
         SELECT q.qid, e.vec_id,
@@ -78,7 +83,9 @@ MRL_TRUNC_DIM = 16
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
            CAST((1000 * SUM(CASE WHEN rn_full <= {MRL_K}
                                   AND rn_trunc <= {MRL_K}
-                            THEN 1 ELSE 0 END)) // {MRL_K} AS BIGINT)
+                            THEN 1 ELSE 0 END))
+                // SUM(CASE WHEN rn_full <= {MRL_K} THEN 1 ELSE 0 END)
+                AS BIGINT)
                AS recall_permille
     FROM ranked GROUP BY qid
     """,
@@ -95,7 +102,7 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.select("vec_id", "v", F.slice("v", 1, MRL_TRUNC_DIM).alias("vt"))
     q = (
-        e.filter(F.col("vec_id") % TOPK_QUERY_MOD == 0)
+        e.join(F.broadcast(anchor_vec_ids(e)), "vec_id")
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
@@ -127,14 +134,20 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = (rn_full <= MRL_K) & (rn_trunc <= MRL_K)
     return (
         pair.select(
-            "qid", F.when(hit, 1).otherwise(0).alias("_hit")
+            "qid",
+            F.when(hit, 1).otherwise(0).alias("_hit"),
+            # full-dim top-K size — the per-query recall denominator
+            F.when(rn_full <= MRL_K, 1).otherwise(0).alias("_ex"),
         )
         .groupBy(F.col("qid").alias("query_id"))
-        .agg(F.sum("_hit").cast("long").alias("n_overlap"))
+        .agg(
+            F.sum("_hit").cast("long").alias("n_overlap"),
+            F.sum("_ex").cast("long").alias("n_exact"),
+        )
         .select(
             "query_id",
             "n_overlap",
-            F.expr(f"CAST((1000 * n_overlap) DIV {MRL_K} AS BIGINT)").alias(
+            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
                 "recall_permille"
             ),
         )

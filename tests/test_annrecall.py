@@ -2,61 +2,86 @@
 
 from __future__ import annotations
 
+import hashlib
 import math
 
-from pyspark.sql import functions as F
-
+from data_ingestion_from_multiple_directories_linux_spark.operators.anchors import (
+    ANCHOR_COUNT,
+)
 from data_ingestion_from_multiple_directories_linux_spark.operators.annrecall import (
     ivf_recall_eval,
 )
 from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
     TOPK_NEIGHBORS,
-    TOPK_QUERY_MOD,
+    _assign_cells,
+    _trained_centroids,
     _vec_corpus,
-    ivf_topk_neighbors,
 )
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_recall_matches_cross_check_of_existing_queries(spark):
-    """The eval must equal what you'd get by intersecting the REGISTERED
-    IVF top-k query's output with an exact top-k computed locally over
-    the same shared vector corpus — the two arms are the existing
-    machinery, so the recall number is fully determined by them."""
-    ivf = {}
-    for r in ivf_topk_neighbors(spark, SF).collect():
-        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+def anchor_ids(ids):
+    """Pure-Python replay of anchors.anchor_vec_ids: the ANCHOR_COUNT
+    ids whose md5 hex sorts lowest (id tiebreak)."""
+    return set(
+        sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:ANCHOR_COUNT]
+    )
 
-    vecs = {
-        r["vec_id"]: ([float(x) for x in r["v"]], int(r["nv"]))
-        for r in _vec_corpus(spark, SF).collect()
+
+def test_recall_matches_pure_python_replay(spark):
+    """The eval must equal a pure-Python replay over the SAME trained
+    cell assignment the registered IVF queries use (collected once):
+    per md5-rank anchor, intersect the in-cell IVF top-K with the exact
+    brute-force top-K — the two arms are the existing machinery, so the
+    recall number is fully determined by them."""
+    corpus = _vec_corpus(spark, SF)
+    assigned = {
+        r["vec_id"]: (
+            [float(x) for x in r["v"]],
+            int(r["nv"]),
+            int(r["cell"]),
+        )
+        for r in _assign_cells(
+            corpus, _trained_centroids(spark, SF)
+        ).collect()
     }
+    anchors = anchor_ids(assigned.keys())
 
     def cos(a, b):
         dot = sum(math.floor(x * y * 1e9) for x, y in zip(a[0], b[0]))
         return float(dot) / math.sqrt(float(a[1]) * float(b[1]))
 
     expect = {}
-    for qid, qv in vecs.items():
-        if qid % TOPK_QUERY_MOD != 0:
-            continue
-        ranked = sorted(
-            ((-cos(v, qv), vid) for vid, v in vecs.items() if vid != qid)
+    for qid in anchors:
+        qv = assigned[qid]
+        exact_ranked = sorted(
+            ((-cos(v, qv), vid) for vid, v in assigned.items() if vid != qid)
         )[:TOPK_NEIGHBORS]
-        exact = {vid for _, vid in ranked}
-        n = len(exact & ivf.get(qid, set()))
-        expect[qid] = (n, 1000 * n // TOPK_NEIGHBORS)
+        exact = {vid for _, vid in exact_ranked}
+        ivf = {
+            vid
+            for _, vid in sorted(
+                (
+                    (-cos(v, qv), vid)
+                    for vid, v in assigned.items()
+                    if vid != qid and v[2] == qv[2]
+                )
+            )[:TOPK_NEIGHBORS]
+        }
+        n = len(exact & ivf)
+        expect[qid] = (n, 1000 * n // len(exact))
 
     got = {
         r["query_id"]: (r["n_overlap"], r["recall_permille"])
         for r in ivf_recall_eval(spark, SF).collect()
     }
-    assert got == expect and got
+    assert got == expect and len(got) == ANCHOR_COUNT
     # the metric is informative: IVF pays real cell-boundary loss at
-    # this tiny SF (nprobe=1, 32 cells over ~600 vectors — measured
-    # ~30% recall, exactly the honest number the eval exists to show)
-    # while still finding a nonzero share of the true neighbors
+    # this tiny SF (nprobe=1, 32 cells over ~600 vectors) while still
+    # finding a nonzero share of the true neighbors
     vals = [n for n, _ in got.values()]
     assert any(v < TOPK_NEIGHBORS for v in vals)
     assert sum(vals) > 0
@@ -96,3 +121,11 @@ def test_nprobe2_recovers_recall(spark):
     assert set(r1) == set(r2)
     assert all(r2[q] >= r1[q] for q in r1)
     assert sum(r2.values()) > sum(r1.values())
+
+
+def test_anchor_count_fixed_not_corpus_fraction(spark):
+    """The 100 TB contract: the anchor set is a fixed COUNT — a corpus
+    twice the size still audits ANCHOR_COUNT queries, so the exact
+    ground-truth arm's cost is O(ANCHOR_COUNT · corpus), linear."""
+    rows = ivf_recall_eval(spark, SF).collect()
+    assert len(rows) == ANCHOR_COUNT

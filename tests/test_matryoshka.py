@@ -10,9 +10,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.matryoshka i
     MRL_TRUNC_DIM,
     matryoshka_recall_eval,
 )
-from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
-    TOPK_QUERY_MOD,
-)
+from test_annrecall import anchor_ids
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,9 +31,8 @@ def test_matches_pure_python_replay(spark):
         and all(x is not None and math.isfinite(x) for x in r["embedding"])
     }
     expect = {}
-    for qid, qv in vecs.items():
-        if qid % TOPK_QUERY_MOD != 0:
-            continue
+    for qid in anchor_ids(vecs.keys()):
+        qv = vecs[qid]
         qt = qv[:MRL_TRUNC_DIM]
         full, trunc = [], []
         for vid, v in vecs.items():
@@ -46,7 +43,7 @@ def test_matches_pure_python_replay(spark):
         top_full = {vid for _, vid in sorted(full)[:MRL_K]}
         top_trunc = {vid for _, vid in sorted(trunc)[:MRL_K]}
         n = len(top_full & top_trunc)
-        expect[qid] = (n, 1000 * n // MRL_K)
+        expect[qid] = (n, 1000 * n // len(top_full))
 
     got = {
         r["query_id"]: (r["n_overlap"], r["recall_permille"])

@@ -138,6 +138,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         "rerank_topk_ivf",
         # 1-row bloom-bits scalar broadcast (once per union branch)
         "bloom_url_dedup",
+        # same 1-row bloom-bits scalar broadcast (probe_bloom), over
+        # canonicalized keys — the L140 batch twin
+        "frontier_dedup_batch",
         # 1-row counts x 1-row fill scalar join over the same machinery
         "bloom_fp_audit",
         # 1-row n_docs/n_tok corpus scalars (same pattern as tf_idf)
