@@ -29,6 +29,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     attribution,  # noqa: F401
     bloomdedup,  # noqa: F401
     calibration,  # noqa: F401
+    cellbalance,  # noqa: F401
     cluster_weights,  # noqa: F401
     containment,  # noqa: F401
     corpus,  # noqa: F401

@@ -1,0 +1,195 @@
+"""Streaming IVF assignment maintainer (streaming/ivf_stream.py, L172)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_from_multiple_directories_linux_spark.operators.cellbalance import (
+    ivf_cell_balance,
+)
+from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
+    _assign_cells,
+    _trained_centroids,
+    _vec_corpus,
+    ivf_topk_neighbors,
+    load_ivf_centroids,
+    save_ivf_centroids,
+)
+from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+    TableStore,
+)
+from data_ingestion_from_multiple_directories_linux_spark.streaming.ivf_stream import (
+    StreamingIvfIndex,
+)
+
+SF = "/root/testdata/sf0.001"
+CENT = "_test_ivf_stream_centroids"
+
+
+def _setup(spark, tmp_path, waves):
+    """Persist the trained centroids, write the shared vector corpus as
+    JSON waves, return a ready maintainer."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    save_ivf_centroids(store, CENT, _trained_centroids(spark, SF))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = _vec_corpus(spark, SF).select("vec_id", "v").collect()
+    for name, pred in waves:
+        with open(os.path.join(str(src), name), "w") as f:
+            for r in rows:
+                if pred(r["vec_id"]):
+                    f.write(
+                        json.dumps(
+                            {
+                                "vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["v"]],
+                            }
+                        )
+                        + "\n"
+                    )
+    return StreamingIvfIndex(
+        spark, store, str(src), str(tmp_path / "ck"), CENT
+    )
+
+
+def _one_shot(spark, store):
+    """The batch assignment over the same corpus and the SAME persisted
+    centroids the stream loads."""
+    return _assign_cells(
+        _vec_corpus(spark, SF), load_ivf_centroids(store, CENT)
+    )
+
+
+def test_two_wave_ingest_equals_one_shot_assignment(spark, tmp_path):
+    """Assignment is a pure function of (vector, persisted centroids):
+    streaming the corpus in two waves must produce the byte-identical
+    (vec_id, nv, cell) set as one batch assignment — batch boundaries
+    can never move a vector's cell."""
+    fr = _setup(
+        spark,
+        tmp_path,
+        [("w1.json", lambda i: i % 2 == 0), ("w2.json", lambda i: i % 2 == 1)],
+    )
+    fr.run_available_now()
+
+    got = {
+        (r["vec_id"], r["nv"], r["cell"]) for r in fr.assigned().collect()
+    }
+    want = {
+        (r["vec_id"], r["nv"], r["cell"])
+        for r in _one_shot(spark, fr.store).collect()
+    }
+    assert got == want and got
+
+
+def test_replay_is_idempotent_and_gate_filters(spark, tmp_path):
+    """foreachBatch at-least-once: re-processing a batch with the same
+    batch_id leaves the merged assignment byte-identical (purge-then-
+    rewrite). Malformed vectors (wrong dim) never enter a segment."""
+    fr = _setup(spark, tmp_path, [("w1.json", lambda i: True)])
+    # one malformed vector rides wave 1 — the gate must drop it
+    with open(os.path.join(fr.source_dir, "w1.json"), "a") as f:
+        f.write(json.dumps({"vec_id": 999999, "embedding": [1.0, 2.0]}) + "\n")
+    fr.run_available_now()
+
+    before = sorted(
+        (r["vec_id"], r["nv"], r["cell"]) for r in fr.assigned().collect()
+    )
+    assert all(v != 999999 for v, _, _ in before)
+
+    # manual replay of batch 0 with the same payload (the crash-replay
+    # shape foreachBatch delivers)
+    replay = fr.spark.read.schema(fr.schema).json(fr.source_dir)
+    fr._assign_batch(replay, 0)
+    after = sorted(
+        (r["vec_id"], r["nv"], r["cell"]) for r in fr.assigned().collect()
+    )
+    assert after == before
+
+
+def test_served_topk_equals_registered_batch_query(spark, tmp_path):
+    """One-scorer-two-surfaces, enforced by equality: the maintainer's
+    topk() over the streamed assignment must equal the registered
+    ivf_topk_neighbors query over the same corpus (the in-session
+    trained centroids round-trip the store bit-identically)."""
+    fr = _setup(
+        spark,
+        tmp_path,
+        [("w1.json", lambda i: i % 3 == 0), ("w2.json", lambda i: i % 3 != 0)],
+    )
+    fr.run_available_now()
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in fr.topk().collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivf_topk_neighbors(spark, SF).collect()
+    }
+    assert got == want and got
+
+
+def test_cell_balance_matches_registered_report(spark, tmp_path):
+    """The streamed cell-balance report (the retrain trigger) must
+    equal the oracle-checked ivf_cell_balance query over the same
+    corpus, and its totals must account for every ingested vector."""
+    fr = _setup(
+        spark,
+        tmp_path,
+        [("w1.json", lambda i: i % 2 == 0), ("w2.json", lambda i: i % 2 == 1)],
+    )
+    fr.run_available_now()
+
+    got = sorted(map(tuple, fr.cell_balance().collect()))
+    want = sorted(map(tuple, ivf_cell_balance(spark, SF).collect()))
+    assert got == want and got
+
+    n_total = fr.assigned().count()
+    assert sum(r[1] for r in got) == n_total
+    # the report is informative: some cell is over its fair share
+    assert max(r[3] for r in got) > 1000
+    bal = fr.cell_balance()
+    assert bal.columns == [
+        "cell",
+        "n_vecs",
+        "share_permille",
+        "imbalance_permille",
+    ]
+
+
+def test_checkpoint_skips_processed_files(spark, tmp_path):
+    """availableNow + checkpoint: a second run with no new files adds
+    nothing; a new file afterwards lands as a new segment."""
+    fr = _setup(spark, tmp_path, [("w1.json", lambda i: i % 2 == 0)])
+    fr.run_available_now()
+    n1 = fr.assigned().count()
+    fr.run_available_now()  # no new files
+    assert fr.assigned().count() == n1
+
+    rows = _vec_corpus(spark, SF).select("vec_id", "v").collect()
+    with open(os.path.join(fr.source_dir, "w2.json"), "w") as f:
+        for r in rows:
+            if r["vec_id"] % 2 == 1:
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["v"]],
+                        }
+                    )
+                    + "\n"
+                )
+    fr.run_available_now()
+    assert fr.assigned().count() == len(rows)
+    assert (
+        fr.store.read("ivf_assign_segments")
+        .select("batch_id")
+        .distinct()
+        .count()
+        == 2
+    )

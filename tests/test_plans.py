@@ -127,6 +127,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         "q15_top_revenue_supplier",  # 1-row MAX(revenue) scalar broadcast
         # 1-row scale-array + 1-row query-code broadcasts (SQ8)
         "sq8_quantized_topk",
+        # same ≤32-row centroid broadcast as embedding_near_dup_ivf,
+        # plus the 1-row occupancy-total scalar broadcast
+        "ivf_cell_balance",
         # same ≤32-row centroid broadcast as embedding_near_dup_ivf
         "semantic_dedup_survivors",
         "ivfpq_topk_neighbors",
