@@ -40,6 +40,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     frontier_dedup,  # noqa: F401
     graphs,  # noqa: F401
     grouping,  # noqa: F401
+    ivf_autok,  # noqa: F401
     leakage_split,  # noqa: F401
     linkgraph,  # noqa: F401
     maintenance,  # noqa: F401

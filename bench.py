@@ -106,8 +106,12 @@ def _run_once(fn, spark) -> tuple[float, dict | None]:
 
     Also returns the run's total shuffle read/write bytes (stages
     created during THIS run, diffed by stage id against the status
-    store — created-this-run stages are always still retained): the
-    scale evidence that is immune to cache semantics and host load.
+    store): the scale evidence that is immune to cache semantics and
+    host load. The status store retains only spark.ui.retainedStages
+    stages — a run creating more than that would silently undercount,
+    so the sample carries ``"truncated": true`` when the store is at
+    its retention limit instead of reporting a confident number
+    (round-11 advice).
     """
     before = _stage_metrics(spark)
     mark = max((sid for sid, _, _ in before), default=-1) if before is not None else -1
@@ -122,6 +126,12 @@ def _run_once(fn, spark) -> tuple[float, dict | None]:
             "read": sum(r for sid, r, _ in after if sid > mark),
             "write": sum(w for sid, _, w in after if sid > mark),
         }
+        try:
+            retained = int(spark.conf.get("spark.ui.retainedStages", "1000"))
+        except Exception:
+            retained = 1000
+        if len(after) >= retained:
+            shuffle["truncated"] = True
     _release_leftover_blocks(spark)
     return dt, shuffle
 
@@ -209,6 +219,10 @@ SCALE_OPS = (
     "bm25_topk",
     "host_pagerank",
     "embedding_covariance",
+    # round-12 addition — the production auto-K IVF configuration
+    # (K=choose_k(n)≈√n): its decade ratios ARE the measured √n rule,
+    # replacing the retired hand-rolled scaledK one-off
+    "embedding_near_dup_ivf_autok",
 )
 SCALE_SMALL_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_SMALL_DIR", "/root/testdata/sf0.01"
@@ -342,86 +356,11 @@ def bench_scale_100x(spark, small: dict) -> dict:
                 "amp_sec": round(dt, 4),
                 "ratio_100x": round(dt / small_sec, 2) if small_sec > 0 else None,
             }
-        # the registered IVF query keeps K=32 at every scale (oracle
-        # exactness), so on the amplified corpus its cells are 10x
-        # bigger and the in-cell pair stage inflates — measure the
-        # PRODUCTION configuration too: K scaled ~sqrt(n) with the same
-        # trained pipeline, which is the claim "K grows with corpus
-        # size" as a number
-        try:
-            from pyspark.sql import functions as F
-
-            from data_ingestion_from_multiple_directories_linux_spark.catalog import (
-                load_table,
-            )
-            from data_ingestion_from_multiple_directories_linux_spark.functions.vectors import (
-                norm_sq_q,
-                to_double_array,
-            )
-            from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
-                NEAR_DUP_COSINE,
-                _assign_cells,
-                cosine_q,
-                dot_q,
-                train_ivf_centroids,
-            )
-
-            from data_ingestion_from_multiple_directories_linux_spark.operators.similarity import (
-                choose_k,
-            )
-
-            e = load_table(spark, amp, "embeddings").select(
-                "vec_id", to_double_array("embedding").alias("v")
-            )
-            mut = e.filter(F.col("vec_id") % 5 == 0).select(
-                (F.col("vec_id") + 10_000_000).alias("vec_id"),
-                F.transform(
-                    "v",
-                    lambda x, i: x + F.lit(0.02) * (i % 7 - 3).cast("double"),
-                ).alias("v"),
-            )
-            base = e.withColumn("nv", norm_sq_q("v"))
-            corpus = e.unionByName(mut).withColumn("nv", norm_sq_q("v"))
-            # the production auto-K rule (√n) at the amplified corpus —
-            # ~245 at 60k vectors, recorded in the output line. Counted
-            # BEFORE the timer starts: the timed window measures the
-            # train+assign+pair pipeline, comparable with prior rounds
-            # (review finding)
-            k_scaled = choose_k(corpus.count())
-            t0 = time.perf_counter()
-            cent = train_ivf_centroids(base, k=k_scaled)
-            assigned = _assign_cells(corpus, cent).persist()
-            a = assigned.select(
-                F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                F.col("nv").alias("na"), "cell",
-            )
-            b = assigned.select(
-                F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                F.col("nv").alias("nb"), F.col("cell").alias("cell_b"),
-            )
-            cos = cosine_q(dot_q("va", "vb"), F.col("na"), F.col("nb"))
-            pairs = (
-                a.join(
-                    b,
-                    (F.col("cell") == F.col("cell_b"))
-                    & (F.col("id_a") < F.col("id_b")),
-                )
-                .select("id_a", "id_b", cos.alias("cosine"))
-                .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-            )
-            pairs.write.format("noop").mode("overwrite").save()
-            assigned.unpersist()
-            dt = time.perf_counter() - t0
-            small_sec = small.get("embedding_near_dup_ivf", {}).get(
-                "small_sec", 0
-            )
-            out["embedding_near_dup_ivf_scaledK"] = {
-                "amp_sec": round(dt, 4),
-                "k": k_scaled,
-                "ratio_100x": round(dt / small_sec, 2) if small_sec else None,
-            }
-        except Exception as ex:  # never let the extra point kill the bench
-            out["embedding_near_dup_ivf_scaledK"] = {"error": str(ex)[:200]}
+        # the production auto-K (~sqrt(n)) configuration is the
+        # REGISTERED query embedding_near_dup_ivf_autok (L173) — it
+        # rides the generic SCALE_OPS path above, so the sqrt(n) rule is
+        # measured at sf0.01 / sf0.1 / ~100x with no special case here
+        # (round-11 verdict item 8 retired the hand-rolled one-off).
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -685,6 +624,39 @@ def bench_ingest(spark, rows_per_file: int = 200) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: probe widths of the measured recall/cost curve (L170's machinery
+#: parameterized — the production nprobe knob as a 4-point curve, not
+#: the two registered samples; round-11 verdict item 6).
+ANN_RECALL_NPROBES = (1, 2, 3, 4)
+
+
+def bench_ann_recall_curve(spark) -> dict:
+    """recall@K vs nprobe, measured per round: for each probe width,
+    the mean/min recall_permille over the fixed anchor set and the
+    wall time of the full eval (train memoized after the first point —
+    the marginal cost of a wider probe is the pair stage, which is the
+    number a deployment trades recall against)."""
+    from data_ingestion_from_multiple_directories_linux_spark.operators.annrecall import (
+        ivf_recall_frame,
+    )
+
+    out: dict[str, dict] = {}
+    for nprobe in ANN_RECALL_NPROBES:
+        t0 = time.perf_counter()
+        rows = ivf_recall_frame(spark, SF_DIR, nprobe=nprobe).collect()
+        dt = time.perf_counter() - t0
+        _release_leftover_blocks(spark)
+        if rows:
+            rec = [r["recall_permille"] for r in rows]
+            out[f"nprobe{nprobe}"] = {
+                "recall_permille_mean": round(sum(rec) / len(rec), 1),
+                "recall_permille_min": min(rec),
+                "n_queries": len(rows),
+                "sec": round(dt, 4),
+            }
+    return out
+
+
 def main() -> None:
     from data_ingestion_from_multiple_directories_linux_spark.session import get_spark
 
@@ -693,6 +665,7 @@ def main() -> None:
     scale = bench_scale(spark, queries)
     scale_100x = bench_scale_100x(spark, scale)
     skew = bench_skew_guard(spark)
+    ann_curve = bench_ann_recall_curve(spark)
     ingest = bench_ingest(spark)
     pipeline = bench_pipeline(spark)
     total = round(sum(queries.values()), 4)
@@ -716,6 +689,7 @@ def main() -> None:
                     "ops_100x": scale_100x,
                 },
                 "skew_guard": skew,
+                "ann_recall_curve": ann_curve,
                 "ingest": ingest,
                 "pipeline": pipeline,
                 "shuffle_bytes": shuffle_bytes,
@@ -754,6 +728,10 @@ def main() -> None:
                 "skew_guard_growth": {
                     k: skew.get(k)
                     for k in ("copies_growth", "uncapped_growth", "capped_growth")
+                },
+                "ann_recall_curve": {
+                    k: v["recall_permille_mean"]
+                    for k, v in ann_curve.items()
                 },
                 "ingest": ingest,
                 "pipeline": {

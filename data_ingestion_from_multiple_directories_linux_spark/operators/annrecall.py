@@ -49,6 +49,101 @@ from .similarity import (
 NPROBE_RECOVER = 2
 
 
+def ivf_recall_frame(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
+    """recall@K of IVF search at any probe width — the shared
+    implementation behind the two registered queries (nprobe 1 and
+    {NPROBE_RECOVER}) and bench.py's ``ann_recall_curve`` section,
+    which records the recall/cost curve over nprobe 1..4 every round
+    so the production knob has a measured curve, not two samples.
+
+    (query_id, n_overlap, recall_permille) per fixed-count md5-rank
+    anchor; the IVF arm joins probed cell-mates (pairs sharing several
+    probed cells dedupe before ranking), the exact arm broadcasts the
+    anchor frame onto one corpus scan; recall divides by the per-query
+    exact-arm count."""
+    corpus = _vec_corpus(spark, sf_dir)
+    centroids = _trained_centroids(spark, sf_dir)
+    probed = _assign_cells(
+        corpus, centroids, nprobe=nprobe
+    ).localCheckpoint(eager=True)
+    # ≤ANCHOR_COUNT rows, consumed by both arms — pin once
+    anchors = anchor_vec_ids(corpus).localCheckpoint(eager=True)
+
+    q = probed.join(F.broadcast(anchors), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        "cell",
+    )
+    c = probed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"),
+        F.col("cell").alias("cell_c"),
+    )
+    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    )
+    ivf = q.join(
+        c,
+        (F.col("cell") == F.col("cell_c"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select("query_id", "neighbor_id", cos.alias("cosine"))
+    if nprobe > 1:
+        # a pair sharing several probed cells scores once
+        ivf = ivf.distinct()
+    ivf = (
+        ivf.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
+    )
+
+    eq = corpus.join(F.broadcast(anchors), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+    )
+    ec = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv_"),
+        F.col("nv").alias("cn"),
+    )
+    exact = (
+        F.broadcast(eq)
+        .crossJoin(ec)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
+        .select("query_id", "neighbor_id")
+    )
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            ivf.withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(hit).cast("long").alias("n_overlap"),
+            # exact-arm size: == K at any real scale, < K only on a
+            # corpus smaller than K+1 (per-query denominator, r11 advice)
+            F.count("*").cast("long").alias("n_exact"),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
+                "recall_permille"
+            ),
+        )
+    )
+
+
 def _recall_oracle_sql() -> str:
     cos = sql_cosine_q(sql_dot_q("q.v", "c.v"), "q.nv", "c.nv")
     return f"""
@@ -95,71 +190,7 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures ONLY the index's cell-boundary loss. Anchors are the
     fixed-count md5-rank sample (anchors.py) — audit cost is
     O(ANCHOR_COUNT · corpus) at any scale."""
-    corpus = _vec_corpus(spark, sf_dir)
-    centroids = _trained_centroids(spark, sf_dir)
-    assigned = _assign_cells(corpus, centroids).localCheckpoint(eager=True)
-    # ≤ANCHOR_COUNT rows, consumed by both arms via q — pin once
-    anchors = anchor_vec_ids(corpus).localCheckpoint(eager=True)
-
-    q = assigned.join(F.broadcast(anchors), "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-        "cell",
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv_"),
-        F.col("nv").alias("cn"),
-        F.col("cell").alias("cell_c"),
-    )
-    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
-    rnk = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    )
-
-    def topk(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rnk", rnk)
-            .filter(F.col("rnk") <= TOPK_NEIGHBORS)
-            .select("query_id", "neighbor_id")
-        )
-
-    ivf = topk(
-        q.join(
-            c,
-            (F.col("cell") == F.col("cell_c"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        ).select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    exact = topk(
-        F.broadcast(q.drop("cell"))
-        .crossJoin(c.drop("cell_c"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
-    return (
-        exact.join(
-            ivf.withColumn("_hit", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum(hit).cast("long").alias("n_overlap"),
-            # exact-arm size: == K at any real scale, < K only on a
-            # corpus smaller than K+1 (per-query denominator, r11 advice)
-            F.count("*").cast("long").alias("n_exact"),
-        )
-        .select(
-            "query_id",
-            "n_overlap",
-            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
-                "recall_permille"
-            ),
-        )
-    )
+    return ivf_recall_frame(spark, sf_dir, nprobe=1)
 
 
 def _recall_nprobe2_oracle_sql() -> str:
@@ -225,81 +256,4 @@ def ivf_recall_eval_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Read next to ``ivf_recall_eval``: the recall lift between the two
     rows IS the measured boundary-loss recovery nprobe buys, at ~2×
     pair-stage cost — the knob a production deployment tunes."""
-    corpus = _vec_corpus(spark, sf_dir)
-    centroids = _trained_centroids(spark, sf_dir)
-    probed = _assign_cells(
-        corpus, centroids, nprobe=NPROBE_RECOVER
-    ).localCheckpoint(eager=True)
-    # fixed-count anchor sample, shared by the IVF and exact arms
-    anchors = anchor_vec_ids(corpus).localCheckpoint(eager=True)
-
-    q = probed.join(F.broadcast(anchors), "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-        "cell",
-    )
-    c = probed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv_"),
-        F.col("nv").alias("cn"),
-        F.col("cell").alias("cell_c"),
-    )
-    cos = cosine_q(dot_q("qv", "cv_"), F.col("qn"), F.col("cn"))
-    rnk = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    )
-    ivf = (
-        q.join(
-            c,
-            (F.col("cell") == F.col("cell_c"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .distinct()  # a pair sharing both probed cells scores once
-        .withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
-        .select("query_id", "neighbor_id")
-    )
-
-    eq = corpus.join(F.broadcast(anchors), "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-    )
-    ec = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv_"),
-        F.col("nv").alias("cn"),
-    )
-    exact = (
-        F.broadcast(eq)
-        .crossJoin(ec)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= TOPK_NEIGHBORS)
-        .select("query_id", "neighbor_id")
-    )
-    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
-    return (
-        exact.join(
-            ivf.withColumn("_hit", F.lit(1)),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum(hit).cast("long").alias("n_overlap"),
-            # exact-arm size: == K at any real scale, < K only on a
-            # corpus smaller than K+1 (per-query denominator, r11 advice)
-            F.count("*").cast("long").alias("n_exact"),
-        )
-        .select(
-            "query_id",
-            "n_overlap",
-            F.expr("CAST((1000 * n_overlap) DIV n_exact AS BIGINT)").alias(
-                "recall_permille"
-            ),
-        )
-    )
+    return ivf_recall_frame(spark, sf_dir, nprobe=NPROBE_RECOVER)

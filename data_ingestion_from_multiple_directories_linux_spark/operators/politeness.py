@@ -22,7 +22,14 @@ Dispatch rules (each engine-portable — integer arithmetic only):
   (default 1) per tick instead of silently starving forever: the mass
   table is pinned when a crawl starts, so hosts discovered mid-crawl
   would otherwise never drain (they earn no carry either — the floor
-  allowance is their whole budget until the mass table is retrained);
+  allowance is their whole budget until the mass table is retrained).
+  The AGGREGATE unknown-host spend is capped at ``unknown_host_cap``
+  hosts per tick (round-11 verdict: a crawl discovering 10k new hosts
+  in one tick must not dispatch 10k fetches over the tick budget) —
+  the served subset rotates deterministically by md5(host ‖ ':' ‖ tick)
+  so a capped backlog drains fairly across ticks instead of starving
+  lexicographically-late hosts; ``unknown_host_cap=None`` restores the
+  uncapped floor;
 * **dispatch** the per-host oldest ``allow`` pending rows
   (deterministic total order supplied by the caller);
 * **carry** = min(allow − dispatched, max(alloc, 1) × cap_ticks).
@@ -50,13 +57,19 @@ from .registry import query
 #: per-tick allowance for hosts absent from the mass/carry state (see
 #: module docstring — prevents mid-crawl-discovered hosts starving).
 UNKNOWN_HOST_ALLOWANCE = 1
+#: max unknown hosts served per tick — bounds the aggregate over-budget
+#: spend at cap × allowance; the served subset rotates by
+#: md5(host:tick). None = uncapped.
+UNKNOWN_HOST_CAP = 16
 #: unused allowance a host may bank, in multiples of max(alloc, 1).
 CARRY_CAP_TICKS = 2
-#: batch-twin knobs: fetches per tick, host-bucket modulus, and how
-#: many buckets carry mass (buckets 8,9 exercise the unknown-host path).
+#: batch-twin knobs: fetches per tick, host-bucket modulus, how many
+#: buckets carry mass (buckets 8,9 exercise the unknown-host path), and
+#: a deliberately tight unknown cap so the oracle replays the rotation.
 DISPATCH_BUDGET = 40
 HOST_MOD = 10
 KNOWN_HOSTS = 8
+UNKNOWN_TWIN_CAP = 1
 
 
 def politeness_tick(
@@ -66,6 +79,8 @@ def politeness_tick(
     order_cols: list[str],
     carry_cap_ticks: int = CARRY_CAP_TICKS,
     unknown_host_allowance: int = UNKNOWN_HOST_ALLOWANCE,
+    unknown_host_cap: int | None = UNKNOWN_HOST_CAP,
+    tick: int = 0,
     materialize=None,
 ) -> tuple[DataFrame, DataFrame]:
     """One politeness tick over ``pending(host, *payload)``.
@@ -73,10 +88,14 @@ def politeness_tick(
     ``alloc(host, alloc)`` is the tick's apportionment,
     ``carry_prev(host, carry)`` the banked allowance from the newest
     strictly-older tick. Returns ``(dispatched, carry)``: the dispatched
-    subset of ``pending`` (payload columns intact, per-host oldest-first
-    by ``order_cols``) and the new per-host carry state for every host
-    the allowance table knows (unknown hosts never bank — their floor
-    allowance is per-tick only).
+    subset of ``pending`` (exactly the caller's columns, per-host
+    oldest-first by ``order_cols`` — internal working columns use the
+    reserved ``__pt_`` prefix, so any other payload name is safe) and
+    the new per-host carry state for every host the allowance table
+    knows (unknown hosts never bank — their floor allowance is per-tick
+    only, served to at most ``unknown_host_cap`` hosts rotated by
+    md5(host:``tick``); pass the tick/batch id so the rotation
+    advances).
 
     ``materialize`` (e.g. ``lambda df: df.localCheckpoint(eager=True)``)
     is applied to the dispatched frame BEFORE the carry derivation
@@ -84,37 +103,67 @@ def politeness_tick(
     unmaterialized dispatch would be computed twice — and a caller whose
     dispatch plan reads mutable state (the streaming maintainer's
     dispatch-log table, which the same tick then overwrites) MUST pin it
-    here. Both frames are host/dispatch-sized, never corpus-sized."""
+    here. Both frames are host/dispatch-sized, never corpus-sized (the
+    one global rotation window runs over the DISTINCT unknown-host
+    frame — host-count rows, the documented bounded-frame allowance)."""
     allowance = (
         alloc.join(carry_prev, "host", "full_outer")
         .select(
             "host",
-            F.coalesce("alloc", F.lit(0)).cast("long").alias("alloc"),
-            F.coalesce("carry", F.lit(0)).cast("long").alias("carry_in"),
+            F.coalesce("alloc", F.lit(0)).cast("long").alias("__pt_alloc"),
+            F.coalesce("carry", F.lit(0)).cast("long").alias("__pt_carry_in"),
         )
-        .withColumn("allow", (F.col("alloc") + F.col("carry_in")))
+        .withColumn("__pt_allow", F.col("__pt_alloc") + F.col("__pt_carry_in"))
+    )
+    # unknown hosts: pending but absent from the mass/carry universe —
+    # the floor allowance, capped in aggregate and rotated across ticks
+    unknown = (
+        pending.select("host")
+        .distinct()
+        .join(allowance.select("host"), "host", "left_anti")
+    )
+    if unknown_host_cap is not None:
+        urn = F.row_number().over(
+            W.orderBy(
+                F.md5(
+                    F.concat(
+                        F.col("host"), F.lit(f":{int(tick)}")
+                    ).cast("binary")
+                ),
+                "host",
+            )
+        )
+        unknown = (
+            unknown.withColumn("__pt_urn", urn)
+            .filter(F.col("__pt_urn") <= unknown_host_cap)
+            .drop("__pt_urn")
+        )
+    dispatch_allow = allowance.select("host", "__pt_allow").unionByName(
+        unknown.select(
+            "host",
+            F.lit(unknown_host_allowance).cast("long").alias("__pt_allow"),
+        )
     )
     ranked = pending.withColumn(
-        "rn",
+        "__pt_rn",
         F.row_number().over(W.partitionBy("host").orderBy(*order_cols)),
     )
     dispatched = (
-        ranked.join(F.broadcast(allowance), "host", "left")
-        .filter(
-            F.col("rn") <= F.coalesce("allow", F.lit(unknown_host_allowance))
-        )
-        .drop("rn", "alloc", "carry_in", "allow")
+        ranked.join(F.broadcast(dispatch_allow), "host", "left")
+        .filter(F.col("__pt_rn") <= F.coalesce("__pt_allow", F.lit(0)))
+        .select(*pending.columns)
     )
     if materialize is not None:
         dispatched = materialize(dispatched)
     n_disp = dispatched.groupBy("host").agg(
-        F.count("*").cast("long").alias("n_disp")
+        F.count("*").cast("long").alias("__pt_n_disp")
     )
     carry = allowance.join(n_disp, "host", "left").select(
         "host",
         F.least(
-            F.col("allow") - F.coalesce("n_disp", F.lit(0)),
-            F.greatest(F.col("alloc"), F.lit(1)) * F.lit(carry_cap_ticks),
+            F.col("__pt_allow") - F.coalesce("__pt_n_disp", F.lit(0)),
+            F.greatest(F.col("__pt_alloc"), F.lit(1))
+            * F.lit(carry_cap_ticks),
         )
         .cast("long")
         .alias("carry"),
@@ -172,10 +221,21 @@ def _host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
            FROM p0),
     aw0 AS (SELECT host, alloc, alloc AS allow FROM alloc),
+    unk0 AS (
+        SELECT host FROM (
+            SELECT host,
+                   row_number() OVER (ORDER BY md5(host || ':0'), host)
+                       AS urn
+            FROM (SELECT DISTINCT host FROM p0
+                  WHERE host NOT IN (SELECT host FROM aw0)) u0)
+        WHERE urn <= {UNKNOWN_TWIN_CAP}
+    ),
     disp0 AS (
         SELECT r0.host, r0.doc_id
         FROM r0 LEFT JOIN aw0 ON r0.host = aw0.host
-        WHERE r0.rn <= COALESCE(aw0.allow, {UNKNOWN_HOST_ALLOWANCE})
+        WHERE r0.rn <= COALESCE(aw0.allow,
+            CASE WHEN r0.host IN (SELECT host FROM unk0)
+                 THEN {UNKNOWN_HOST_ALLOWANCE} ELSE 0 END)
     ),
     n0 AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_disp
            FROM disp0 GROUP BY host),
@@ -203,10 +263,21 @@ def _host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS allow
         FROM alloc a FULL OUTER JOIN carry0 c ON a.host = c.host
     ),
+    unk1 AS (
+        SELECT host FROM (
+            SELECT host,
+                   row_number() OVER (ORDER BY md5(host || ':1'), host)
+                       AS urn
+            FROM (SELECT DISTINCT host FROM p1
+                  WHERE host NOT IN (SELECT host FROM aw1)) u1)
+        WHERE urn <= {UNKNOWN_TWIN_CAP}
+    ),
     disp1 AS (
         SELECT r1.host, r1.doc_id
         FROM r1 LEFT JOIN aw1 ON r1.host = aw1.host
-        WHERE r1.rn <= COALESCE(aw1.allow, {UNKNOWN_HOST_ALLOWANCE})
+        WHERE r1.rn <= COALESCE(aw1.allow,
+            CASE WHEN r1.host IN (SELECT host FROM unk1)
+                 THEN {UNKNOWN_HOST_ALLOWANCE} ELSE 0 END)
     ),
     n1 AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_disp
            FROM disp1 GROUP BY host),
@@ -242,13 +313,17 @@ def frontier_dispatch_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     {HOST_MOD})``; hosts 0..{KNOWN_HOSTS}-1 carry mass (Σ n_chars — the
     stand-in for the pinned host_pagerank mass table), buckets 8,9 are
     mid-crawl-discovered hosts absent from the mass table and drain on
-    the unknown-host floor allowance. Tick 0 sees the even doc_ids,
-    tick 1 the backlog plus the odd ones — so the oracle replays, end
-    to end: the largest-remainder apportionment, oldest-pending-first
-    dispatch, the banked-carry spend at tick 1, the carry cap's
-    max(alloc, 1) floor, and the unknown-host path. ``kind``
-    distinguishes dispatched URLs (val = doc_id) from per-host carry
-    state (val = banked allowance), so both outputs hash-check."""
+    the unknown-host floor allowance — deliberately capped at
+    UNKNOWN_TWIN_CAP=1 host per tick here, so the oracle replays the
+    aggregate-spend cap AND its md5(host:tick) rotation (a different
+    unknown host may be served each tick). Tick 0 sees the even
+    doc_ids, tick 1 the backlog plus the odd ones — so the oracle
+    replays, end to end: the largest-remainder apportionment,
+    oldest-pending-first dispatch, the banked-carry spend at tick 1,
+    the carry cap's max(alloc, 1) floor, and the capped/rotated
+    unknown-host path. ``kind`` distinguishes dispatched URLs (val =
+    doc_id) from per-host carry state (val = banked allowance), so
+    both outputs hash-check."""
     d = _host_docs(spark, sf_dir)
     masses = (
         d.filter(F.col("doc_id") % HOST_MOD < KNOWN_HOSTS)
@@ -267,7 +342,13 @@ def frontier_dispatch_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = d.filter(F.col("doc_id") % 2 == 0).select("host", "doc_id")
     no_carry = spark.createDataFrame([], "host string, carry bigint")
     disp0, carry0 = politeness_tick(
-        p0, alloc, no_carry, ["doc_id"], materialize=ckpt
+        p0,
+        alloc,
+        no_carry,
+        ["doc_id"],
+        unknown_host_cap=UNKNOWN_TWIN_CAP,
+        tick=0,
+        materialize=ckpt,
     )
     carry0 = ckpt(carry0)
 
@@ -283,7 +364,13 @@ def frontier_dispatch_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     disp1, carry1 = politeness_tick(
-        p1, alloc, carry0, ["disc", "doc_id"], materialize=ckpt
+        p1,
+        alloc,
+        carry0,
+        ["disc", "doc_id"],
+        unknown_host_cap=UNKNOWN_TWIN_CAP,
+        tick=1,
+        materialize=ckpt,
     )
 
     def rows(df: DataFrame, kind: str, tick: int, val) -> DataFrame:

@@ -61,6 +61,7 @@ from ..operators.linkgraph import largest_remainder
 from ..operators.politeness import (
     CARRY_CAP_TICKS,
     UNKNOWN_HOST_ALLOWANCE,
+    UNKNOWN_HOST_CAP,
     politeness_tick,
 )
 from ..operators.urlnorm import url_canonicalize
@@ -102,11 +103,25 @@ class StreamingCrawlFrontier:
     per-tick arithmetic is operators.politeness.politeness_tick — the
     same function the oracle-checked ``frontier_dispatch_tick`` batch
     twin replays, so the streamed dispatch is driver-verified by proxy.
-    Dispatch and
+    Unknown-host spend is additionally CAPPED in aggregate
+    (``unknown_host_cap`` hosts per tick, md5(host:tick)-rotated — a
+    batch discovering 10k new hosts cannot dispatch 10k over-budget
+    fetches in one tick; the rotation drains the capped backlog fairly
+    across ticks). Dispatch and
     carry rows are keyed by (checkpoint scope, tick) and replayed ticks
     purge-then-rewrite their own rows while reading only strictly-older
     carry state, so a crash-replay re-derives the identical dispatch —
-    the same at-least-once discipline as the frontier emission itself."""
+    the same at-least-once discipline as the frontier emission itself.
+
+    CROSS-VERSION replay caveat: the per-tick arithmetic has evolved
+    (round 11 added the unknown-host floor and the max(alloc, 1) carry
+    floor; round 12 added the aggregate unknown-host cap + rotation).
+    Replay-identical holds within one code version — a tick replayed
+    AFTER an upgrade may re-derive a different dispatch than the rows
+    downstream consumers saw pre-upgrade. When upgrading a live
+    deployment, start a fresh checkpoint scope (new checkpoint_dir) so
+    upgraded arithmetic begins at tick 0 of its own state rather than
+    rewriting history recorded under the old rules."""
 
     def __init__(
         self,
@@ -119,6 +134,7 @@ class StreamingCrawlFrontier:
         tick_budget: int = TICK_BUDGET,
         carry_cap_ticks: int = CARRY_CAP_TICKS,
         unknown_host_allowance: int = UNKNOWN_HOST_ALLOWANCE,
+        unknown_host_cap: int | None = UNKNOWN_HOST_CAP,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -135,6 +151,7 @@ class StreamingCrawlFrontier:
         self.tick_budget = tick_budget
         self.carry_cap_ticks = carry_cap_ticks
         self.unknown_host_allowance = unknown_host_allowance
+        self.unknown_host_cap = unknown_host_cap
 
     def _scope(self) -> str:
         # batch ids restart at 0 when a checkpoint is cleared — scope
@@ -265,6 +282,8 @@ class StreamingCrawlFrontier:
             ["batch_id", "doc_id", "url"],
             carry_cap_ticks=self.carry_cap_ticks,
             unknown_host_allowance=self.unknown_host_allowance,
+            unknown_host_cap=self.unknown_host_cap,
+            tick=tick,
             # the dispatch plan reads the DISPATCH table this tick then
             # overwrites — pin it before any consumer runs post-swap
             materialize=lambda df: df.localCheckpoint(eager=True),

@@ -130,6 +130,9 @@ def test_no_accidental_cartesian_products(spark, queries):
         # same ≤32-row centroid broadcast as embedding_near_dup_ivf,
         # plus the 1-row occupancy-total scalar broadcast
         "ivf_cell_balance",
+        # ≤√n-row trained-centroid broadcast + the 1-row max-id offset
+        # scalar (corpus-derived twin offset, as shingle_containment)
+        "embedding_near_dup_ivf_autok",
         # same ≤32-row centroid broadcast as embedding_near_dup_ivf
         "semantic_dedup_survivors",
         "ivfpq_topk_neighbors",

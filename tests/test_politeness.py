@@ -11,6 +11,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators.politeness i
     DISPATCH_BUDGET,
     HOST_MOD,
     KNOWN_HOSTS,
+    UNKNOWN_TWIN_CAP,
     frontier_dispatch_tick,
     politeness_tick,
 )
@@ -117,9 +118,9 @@ def test_frontier_dispatch_tick_invariants(spark):
             else 0
         )
         assert known_n <= DISPATCH_BUDGET + banked
-        # unknown hosts (buckets 8,9) drain exactly the floor each tick
-        # while they have backlog
-        assert unknown_n <= 2
+        # unknown hosts (buckets 8,9) drain on the floor allowance,
+        # capped in AGGREGATE at UNKNOWN_TWIN_CAP hosts per tick
+        assert unknown_n <= UNKNOWN_TWIN_CAP
     for r in carry:
         assert r["val"] >= 0
         assert r["host"] in known  # unknown hosts never bank
@@ -155,12 +156,27 @@ def test_frontier_dispatch_tick_matches_pure_python(spark):
         h: base[h] + (1 if i < extra else 0) for i, h in enumerate(order)
     }
 
-    def tick(pending, allow_of):
-        """pending: {host: [doc_id in rank order]}."""
+    def tick(pending, allow_of, t):
+        """pending: {host: [doc_id in rank order]}; t rotates the
+        capped unknown-host subset (md5(host:t) rank)."""
+        import hashlib
+
+        unknown = sorted(
+            (h for h in pending if h not in allow_of),
+            key=lambda h: (
+                hashlib.md5(f"{h}:{t}".encode()).hexdigest(),
+                h,
+            ),
+        )
+        served_unknown = set(unknown[:UNKNOWN_TWIN_CAP])
         disp, carry = {}, {}
         for h, q in pending.items():
-            a = allow_of.get(h)
-            take = a if a is not None else 1
+            if h in allow_of:
+                take = allow_of[h]
+            elif h in served_unknown:
+                take = 1
+            else:
+                take = 0
             disp[h] = q[: max(0, take)]
         for h, a in allow_of.items():
             carry[h] = min(
@@ -174,7 +190,7 @@ def test_frontier_dispatch_tick_matches_pure_python(spark):
     p0 = {}
     for d in evens:
         p0.setdefault(host(d), []).append(d)
-    disp0, carry0 = tick(p0, dict(alloc))
+    disp0, carry0 = tick(p0, dict(alloc), 0)
 
     taken0 = {d for q in disp0.values() for d in q}
     p1 = {}
@@ -184,7 +200,7 @@ def test_frontier_dispatch_tick_matches_pure_python(spark):
     for d in odds:
         p1.setdefault(host(d), []).append(d)
     allow1 = {h: alloc[h] + carry0.get(h, 0) for h in alloc}
-    disp1, carry1 = tick(p1, allow1)
+    disp1, carry1 = tick(p1, allow1, 1)
 
     expect = set()
     for t, dd in ((0, disp0), (1, disp1)):
@@ -198,3 +214,38 @@ def test_frontier_dispatch_tick_matches_pure_python(spark):
         for r in frontier_dispatch_tick(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_unknown_host_aggregate_cap_and_rotation(spark):
+    """A tick discovering many unknown hosts dispatches at most
+    unknown_host_cap of them (aggregate over-budget spend bounded);
+    the served subset rotates with the tick id so the backlog drains
+    fairly instead of starving a fixed suffix."""
+    pending = [(f"u{i}", i) for i in range(10)]
+    disp0, _ = _tick(spark, pending, [], [], unknown_host_cap=3, tick=0)
+    disp1, _ = _tick(spark, pending, [], [], unknown_host_cap=3, tick=1)
+    assert len(disp0) == 3 and len(disp1) == 3
+    # rotation: a different tick serves a different subset (md5(h:t)
+    # rank — for these hosts ticks 0 and 1 pick distinct triples)
+    assert {h for h, _ in disp0} != {h for h, _ in disp1}
+    # uncapped escape hatch restores the r11 behavior
+    disp_all, _ = _tick(spark, pending, [], [], unknown_host_cap=None)
+    assert len(disp_all) == 10
+
+
+def test_payload_columns_named_like_internals_survive(spark):
+    """politeness_tick is a shared API: a pending payload whose columns
+    collide with former internal names (rn/alloc/carry_in/allow) must
+    pass through untouched — internals now use the reserved __pt_
+    prefix (round-11 advice)."""
+    pending = spark.createDataFrame(
+        [("h", 1, 7, 8, 9, 10)],
+        "host string, doc_id bigint, rn bigint, alloc bigint, "
+        "carry_in bigint, allow bigint",
+    )
+    alloc = spark.createDataFrame([("h", 2)], "host string, alloc bigint")
+    carry = spark.createDataFrame([], "host string, carry bigint")
+    disp, _ = politeness_tick(pending, alloc, carry, ["doc_id"])
+    rows = disp.collect()
+    assert disp.columns == pending.columns
+    assert [tuple(r) for r in rows] == [("h", 1, 7, 8, 9, 10)]
