@@ -86,74 +86,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-11 allocation — the verbatim tools/staleness.py order at HEAD.
-# Slots 1-12: the round's own new/re-staled rows (5 new queries —
-# matryoshka/novelty/cluster-weights/stratified/politeness-twin; the
-# reranking.py stage-1 refactor; embeval.py SEED_MOD change;
-# selection.py checkpoint-lifetime change). Slots 13-30: the 18
-# helper-import-stale rows the round-10 cap displaced (verdict item 1's
-# burn-down — asof/similarity/matching/dedup via their helpers, the ten
-# r08 relational rows via functions/masking.py). Remaining slots: the
-# oldest green rows with untouched files (r06 profiling/grouping/
-# sketches/tpch, r07 corpus/text_analysis/dedup), so no row ages past
-# ~4 rounds. q1_pricing_summary's row is r09-fresh with its file
+# Round-12 allocation — the verbatim tools/staleness.py order at HEAD.
+# Slots 1-7: the round's own rows (3 new queries — the auto-K IVF
+# variant, the IVF cell-balance report, the frontier-dedup batch twin;
+# 4 re-staled by round-12 edits — the politeness unknown-host cap and
+# the fixed-count anchor sampling in annrecall/matryoshka). Slots 8-50:
+# the oldest green rows with untouched files — the whole r07 block the
+# round-11 cap displaced (text_analysis/corpus/dedup/profiling/
+# grouping/multimodal/sketches) plus the oldest r08 rows
+# (bloomdedup/calibration/windows/timeseries), so no row ages past ~5
+# rounds. q1_pricing_summary's row is r09-fresh with its file
 # untouched — the flagship needs no slot this round. Everything past
-# the cap rides the committed VERIFY_LOCAL_r11 record at HEAD.
+# the cap rides the committed VERIFY_LOCAL_r12 record at HEAD.
 _PRIORITY_FIRST = [
-    "ivf_recall_eval_nprobe2",  # new r11 (no driver row)
-    "ivf_recall_eval",  # new r11 (no driver row)
-    "quality_rank_blend",  # new r11 (no driver row)
-    "matryoshka_recall_eval",  # new r11 (no driver row)
-    "shingle_novelty_scores",  # new r11 (no driver row)
-    "cluster_sampling_weights",  # new r11 (no driver row)
-    "stratified_sample_exact",  # new r11 (no driver row)
-    "frontier_dispatch_tick",  # new r11 (no driver row)
-    "rerank_topk_cross",  # r08, re-staled by r11 edits
-    "rerank_topk_ivf",  # r08, re-staled by r11 edits
-    "embedding_covariance",  # r10, re-staled by r11 edits
-    "embedding_standardize",  # r10, re-staled by r11 edits
-    "knn_label_eval",  # r10, re-staled by r11 edits
-    "knn_label_eval_ivf",  # r10, re-staled by r11 edits
-    "budget_quality_selection",  # r10, re-staled by r11 edits
-    "percentile_price_by_priority",  # r06, helper-stale (verdict item 1 queue)
-    "pq_topk_adc",  # r06, helper-stale (verdict item 1 queue)
-    "semantic_dedup_survivors",  # r06, helper-stale (verdict item 1 queue)
-    "sq8_quantized_topk",  # r06, helper-stale (verdict item 1 queue)
-    "fuzzy_part_match",  # r06, helper-stale (verdict item 1 queue)
-    "minhash_estimate_calibration",  # r06, helper-stale (verdict item 1 queue)
-    "pivot_status_by_priority",  # r07, helper-stale (verdict item 1 queue)
-    "range_join_ship_periods",  # r07, helper-stale (verdict item 1 queue)
-    "count_distinct_users",  # r08, helper-stale (verdict item 1 queue)
-    "cube_status_priority",  # r08, helper-stale (verdict item 1 queue)
-    "date_validation_split",  # r08, helper-stale (verdict item 1 queue)
-    "distinct_status_priority",  # r08, helper-stale (verdict item 1 queue)
-    "except_open_not_failed",  # r08, helper-stale (verdict item 1 queue)
-    "intersect_repeat_customers",  # r08, helper-stale (verdict item 1 queue)
-    "minmax_priority_window",  # r08, helper-stale (verdict item 1 queue)
-    "notin_priority_counts",  # r08, helper-stale (verdict item 1 queue)
-    "null_normalization",  # r08, helper-stale (verdict item 1 queue)
-    "salted_skew_counts",  # r08, helper-stale (verdict item 1 queue)
-    "table_profile_orders",  # r06, oldest-row renewal
-    "table_profile_orders_sketch",  # r06, oldest-row renewal
-    "exact_moment_correlation",  # r06, oldest-row renewal
-    "kmv_distinct_users",  # r06, oldest-row renewal
-    "q12_delay_priority_classes",  # r06, oldest-row renewal
-    "q16_supplier_part_variety",  # r06, oldest-row renewal
-    "q17_small_quantity_revenue",  # r06, oldest-row renewal
-    "q2_regional_best_supplier",  # r06, oldest-row renewal
-    "q7_nation_volume",  # r06, oldest-row renewal
-    "q8_market_share",  # r06, oldest-row renewal
-    "user_event_type_arrays",  # r06, oldest-row renewal
-    "variant_props_metrics",  # r06, oldest-row renewal
-    "benchmark_decontamination",  # r07, oldest-row renewal
-    "dataset_split_assign",  # r07, oldest-row renewal
-    "doc_token_stats",  # r07, oldest-row renewal
-    "document_chunks",  # r07, oldest-row renewal
-    "duplicate_clusters",  # r07, oldest-row renewal
-    # -- slots 51+ (driver cap is 50): the renewals the extra new
-    # queries displaced; their r07 rows are green with their files
-    # untouched and they ride the committed VERIFY_LOCAL_r11 record
-    # until round 12.
+    "embedding_near_dup_ivf_autok",  # new r12 (no driver row)
+    "ivf_cell_balance",  # new r12 (no driver row)
+    "frontier_dedup_batch",  # new r12 (no driver row)
+    "frontier_dispatch_tick",  # r11 row, re-staled by r12 edits
+    "ivf_recall_eval",  # r11 row, re-staled by r12 edits
+    "ivf_recall_eval_nprobe2",  # r11 row, re-staled by r12 edits
+    "matryoshka_recall_eval",  # r11 row, re-staled by r12 edits
     "exact_dedup_documents",  # r07, oldest-row renewal
     "language_id_ngram",  # r07, oldest-row renewal
     "length_bucketed_batches",  # r07, oldest-row renewal
@@ -161,6 +113,42 @@ _PRIORITY_FIRST = [
     "minhash_lsh_near_dup",  # r07, oldest-row renewal
     "mixture_schedule",  # r07, oldest-row renewal
     "ngram_jaccard_capped",  # r07, oldest-row renewal
+    "ngram_jaccard_pairs",  # r07, oldest-row renewal
+    "pii_redact_text",  # r07, oldest-row renewal
+    "quality_filter_pipeline",  # r07, oldest-row renewal
+    "repetition_ratio",  # r07, oldest-row renewal
+    "rolling_hash_fingerprint",  # r07, oldest-row renewal
+    "sequence_packing",  # r07, oldest-row renewal
+    "simhash_fingerprint",  # r07, oldest-row renewal
+    "source_capped_sample",  # r07, oldest-row renewal
+    "text_quality_scores",  # r07, oldest-row renewal
+    "tf_idf_scores",  # r07, oldest-row renewal
+    "token_cooccurrence_lift",  # r07, oldest-row renewal
+    "token_frequency_topk",  # r07, oldest-row renewal
+    "maintenance_report_tables",  # r07, oldest-row renewal
+    "key_skew_profile",  # r07, oldest-row renewal
+    "stratified_sample_docs",  # r07, oldest-row renewal
+    "dense_rank_order_values",  # r07, oldest-row renewal
+    "grouping_sets_status_priority",  # r07, oldest-row renewal
+    "media_audio_stats",  # r07, oldest-row renewal
+    "media_dimensions",  # r07, oldest-row renewal
+    "media_video_stats",  # r07, oldest-row renewal
+    "table_fingerprint",  # r07, oldest-row renewal
+    "bloom_fp_audit",  # r08, oldest-row renewal
+    "bloom_url_dedup",  # r08, oldest-row renewal
+    "classifier_auc_exact",  # r08, oldest-row renewal
+    "quality_calibration_bins",  # r08, oldest-row renewal
+    "quality_threshold_metrics",  # r08, oldest-row renewal
+    "event_transition_matrix",  # r08, oldest-row renewal
+    "funnel_conversion",  # r08, oldest-row renewal
+    "incremental_rollup_merge",  # r08, oldest-row renewal
+    "moving_avg_user_value",  # r08, oldest-row renewal
+    "multires_rollup_events",  # r08, oldest-row renewal
+    "peak_concurrency_daily",  # r08, oldest-row renewal
+    "time_weighted_avg_value",  # r08, oldest-row renewal
+    "user_value_outliers",  # r08, oldest-row renewal
+    "bpe_merge_pair_counts",  # r08, oldest-row renewal
+    "char_lm_surprise",  # r08, oldest-row renewal
 ]
 
 

@@ -160,11 +160,15 @@ def _recall_oracle_sql() -> str:
         ) WHERE rnk <= {TOPK_NEIGHBORS}
     ),
     exact AS (
+        -- ground truth reads CORPUS, not the assignment: on a corpus
+        -- whose training sample is empty (single-row sweep) the index
+        -- is empty but the exact arm still ranks — recall 0, not "no
+        -- rows" (matches the Spark arm and the nprobe2 twin)
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {cos} DESC, c.vec_id) AS rnk
-            FROM assigned q JOIN assigned c ON c.vec_id != q.vec_id
+            FROM corpus q JOIN corpus c ON c.vec_id != q.vec_id
             WHERE q.vec_id IN (SELECT vec_id FROM anchors)
         ) WHERE rnk <= {TOPK_NEIGHBORS}
     )

@@ -27,10 +27,14 @@ round-11 verdict):
 * ``cell_balance()`` reports per-cell occupancy through the SAME
   :func:`operators.cellbalance.cell_occupancy` the oracle-checked
   batch twin (L172, ``ivf_cell_balance``) runs — max
-  ``imbalance_permille`` is the retrain trigger: when drift
-  concentrates new vectors into few cells, re-run
-  ``train_ivf_centroids`` on a fresh sample and start a new index
-  generation.
+  ``imbalance_permille`` is the retrain trigger, and
+  ``retrain_if_drifted()`` pulls it: retrain on the full merged corpus
+  (auto-K √n rule), atomic-swap the centroids table to the new
+  generation, rebuild the segments against it with their
+  (checkpoint, batch_id) keys preserved — the complete
+  drift→retrain→cutover lifecycle (pytest: a planted drift cluster
+  trips the trigger; the retrain strictly reduces the imbalance and
+  serving continues).
 
 Contract: cross-batch vector identity is upstream's job (ingest each
 vec_id once); this maintainer guarantees replay idempotency per batch.
@@ -55,7 +59,10 @@ from ..operators.similarity import (
     TOPK_NEIGHBORS,
     TOPK_QUERY_MOD,
     _assign_cells,
+    choose_k,
     load_ivf_centroids,
+    save_ivf_centroids,
+    train_ivf_centroids,
 )
 from ..sources.table_store import TableStore
 
@@ -188,5 +195,63 @@ class StreamingIvfIndex:
         merged assignment — the continuously-updated form of the
         oracle-checked ``ivf_cell_balance`` report (same function).
         Retrain when max imbalance_permille crosses the deployment's
-        threshold."""
+        threshold (:meth:`retrain_if_drifted` pulls that trigger)."""
         return cell_occupancy(self.assigned())
+
+    def max_imbalance_permille(self) -> int | None:
+        """Max per-cell imbalance (1000 = perfectly balanced) — THE
+        retrain-trigger scalar; None while the index is empty."""
+        row = self.cell_balance().agg(
+            F.max("imbalance_permille").alias("m")
+        ).collect()
+        return None if not row else row[0]["m"]
+
+    def retrain_if_drifted(
+        self, threshold_permille: int = 3000
+    ) -> bool:
+        """Pull the retrain trigger: when the merged assignment's max
+        cell imbalance crosses ``threshold_permille`` (a drifting
+        corpus — new topics, new languages — concentrating into few
+        cells), retrain centroids on the FULL merged corpus
+        (``train_ivf_centroids``'s own md5 sampling + the production
+        auto-K √n rule, so K grows with the corpus the maintainer has
+        actually accumulated), persist them as the new generation of
+        the centroids table (atomic swap — every later batch and every
+        serve call reads the new generation), and rebuild the existing
+        assignment segments against it in one pass, preserving each
+        row's (checkpoint, batch_id) key so the replay discipline
+        survives the cutover. Returns True iff a retrain ran.
+
+        At 100 TB: training samples (25% md5 rule inside
+        train_ivf_centroids — swap in a steeper sample upstream if the
+        corpus outgrows it); the rebuild is the same broadcast map-only
+        assignment every batch pays, over the segment table once."""
+        m = self.max_imbalance_permille()
+        if m is None or m < threshold_permille:
+            return False
+        # pin the segments: the rebuild below overwrites the table the
+        # plan reads (the read-modify-write rule every maintainer here
+        # follows)
+        seg = self.store.read(IVF_ASSIGN_SEGMENTS).localCheckpoint(
+            eager=True
+        )
+        base = seg.select("vec_id", "v", "nv")
+        cent = train_ivf_centroids(base, k=choose_k(base.count()))
+        save_ivf_centroids(self.store, self.centroids_table, cent)
+        newcells = _assign_cells(
+            base, load_ivf_centroids(self.store, self.centroids_table)
+        ).select("vec_id", F.col("cell").alias("__new_cell"))
+        rebuilt = (
+            seg.drop("cell")
+            .join(newcells, "vec_id")
+            .select(
+                "checkpoint",
+                "batch_id",
+                "vec_id",
+                "v",
+                "nv",
+                F.col("__new_cell").alias("cell"),
+            )
+        )
+        self.store.overwrite(IVF_ASSIGN_SEGMENTS, rebuilt)
+        return True

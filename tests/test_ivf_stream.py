@@ -193,3 +193,56 @@ def test_checkpoint_skips_processed_files(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_retrain_trigger_fires_on_drift_and_rebalances(spark, tmp_path):
+    """The complete drift->retrain->cutover lifecycle: a planted drift
+    cluster (a tight bundle of vectors unlike the training corpus)
+    concentrates into few cells and trips the imbalance trigger;
+    retrain_if_drifted retrains on the merged corpus (auto-K), swaps
+    the centroids generation, rebuilds every segment with its
+    (checkpoint, batch_id) key preserved, strictly reduces the max
+    imbalance, and serving continues against the new generation."""
+    fr = _setup(spark, tmp_path, [("w1.json", lambda i: True)])
+    fr.run_available_now()
+
+    # below-threshold: no retrain, centroids untouched
+    cent_before = sorted(
+        map(tuple, load_ivf_centroids(fr.store, CENT).collect())
+    )
+    assert fr.retrain_if_drifted(threshold_permille=10**9) is False
+    assert (
+        sorted(map(tuple, load_ivf_centroids(fr.store, CENT).collect()))
+        == cent_before
+    )
+
+    # wave 2: a drift cluster — 300 near-identical vectors far from the
+    # base distribution, all landing in one Voronoi cell
+    with open(os.path.join(fr.source_dir, "w2.json"), "w") as f:
+        for i in range(300):
+            v = [50.0 + 0.001 * i] + [0.0] * 63
+            f.write(
+                json.dumps({"vec_id": 1_000_000 + i, "embedding": v}) + "\n"
+            )
+    fr.run_available_now()
+
+    before = fr.max_imbalance_permille()
+    n_before = fr.assigned().count()
+    keys_before = sorted(
+        (r["checkpoint"], r["batch_id"], r["vec_id"])
+        for r in fr.store.read("ivf_assign_segments").collect()
+    )
+    assert before > 3000  # the cluster tripped the trigger
+
+    assert fr.retrain_if_drifted(threshold_permille=3000) is True
+    after = fr.max_imbalance_permille()
+    assert after < before  # retrain strictly rebalanced
+    # rebuild preserved every row and its replay key
+    assert fr.assigned().count() == n_before
+    keys_after = sorted(
+        (r["checkpoint"], r["batch_id"], r["vec_id"])
+        for r in fr.store.read("ivf_assign_segments").collect()
+    )
+    assert keys_after == keys_before
+    # serving continues against the new generation
+    assert fr.topk().count() > 0
