@@ -52,6 +52,7 @@ from data_ingestion_from_multiple_directories_linux_spark.operators import (  # 
     politeness,  # noqa: F401
     preference,  # noqa: F401
     profiling,  # noqa: F401
+    quantrecall,  # noqa: F401
     rankblend,  # noqa: F401
     relational,  # noqa: F401
     reranking,  # noqa: F401
@@ -99,6 +100,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r12 record at HEAD.
 _PRIORITY_FIRST = [
+    "pq_recall_eval",  # new r12 (no driver row)
+    "sq8_recall_eval",  # new r12 (no driver row)
     "embedding_near_dup_ivf_autok",  # new r12 (no driver row)
     "ivf_cell_balance",  # new r12 (no driver row)
     "frontier_dedup_batch",  # new r12 (no driver row)

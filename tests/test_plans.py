@@ -187,6 +187,10 @@ def test_no_accidental_cartesian_products(spark, queries):
         # same: the exact ground-truth arm broadcasts the anchor frame
         "ivf_recall_eval",
         "ivf_recall_eval_nprobe2",
+        # anchor-frame broadcast exact arm + (pq) the A·M·K lookup-table
+        # broadcast / (sq8) the 1-row scales scalar broadcast
+        "pq_recall_eval",
+        "sq8_recall_eval",
     }
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF_SMALL))
