@@ -24,9 +24,11 @@ dedup. Segments merge by addition (SUM per (doc_id, term)), the same
 law the drift cells follow.
 
 At 100 TB: each batch tokenizes only its own documents; the segment
-table is append-shaped and compacts on the count-min partials' cadence;
-serving cost is the batch scorer's (index probe bounded by query
-terms — never a corpus rescan).
+table is append-shaped and :meth:`StreamingBM25Index.compact` folds
+settled segments on the count-min partials' cadence (scope-isolated,
+highest batch kept un-folded for replay repair — sketch_stream's two
+safety rules); serving cost is the batch scorer's (index probe bounded
+by query terms — never a corpus rescan).
 """
 
 from __future__ import annotations
@@ -109,6 +111,49 @@ class StreamingBM25Index:
             .start()
         )
         q.awaitTermination()
+
+    def compact(self) -> None:
+        """Fold THIS scope's settled index segments into one
+        (batch_id −1) segment per table — the maintenance sweep once
+        history fragments. tf rows merge by SUM per (doc_id, term) and
+        doc cells by SUM (the same union law :meth:`tf`/:meth:`n_docs`
+        apply on read, so serving output is bit-identical before and
+        after — pytest-pinned). Safety rules shared with
+        ``StreamingCountMin.compact``: only this checkpoint scope's
+        rows fold, and the scope's HIGHEST batch_id segment stays
+        un-folded — it is the only batch that can still crash-replay,
+        and its replay repairs by purging its own (scope, batch_id)
+        rows, which folding away would break."""
+        plans = (
+            (BM25_TF_PARTIALS, ["doc_id", "term"], "tf"),
+            (BM25_DOC_PARTIALS, [], "n_docs"),
+        )
+        for table, keys, val in plans:
+            if not self.store.exists(table):
+                continue
+            cur = self.store.read(table)
+            mine = cur.filter(F.col("checkpoint") == self._scope())
+            others = cur.filter(F.col("checkpoint") != self._scope())
+            last = mine.agg(F.max("batch_id")).first()[0]
+            if last is None:
+                continue
+            folded = (
+                mine.filter(F.col("batch_id") != last)
+                .groupBy(*keys)
+                .agg(F.sum(val).cast("long").alias(val))
+                # groupBy() over zero settled rows yields one NULL row
+                .filter(F.col(val).isNotNull())
+                .select(
+                    F.lit(self._scope()).alias("checkpoint"),
+                    F.lit(-1).cast("long").alias("batch_id"),
+                    *keys,
+                    val,
+                )
+            )
+            keep_last = mine.filter(F.col("batch_id") == last)
+            self.store.overwrite(
+                table, others.unionByName(folded).unionByName(keep_last)
+            )
 
     def tf(self) -> DataFrame:
         """Merged (doc_id, term, tf) index over everything ingested."""

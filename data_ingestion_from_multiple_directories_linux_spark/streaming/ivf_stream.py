@@ -147,6 +147,40 @@ class StreamingIvfIndex:
         )
         q.awaitTermination()
 
+    def compact(self) -> None:
+        """Fold THIS scope's settled assignment segments into one
+        (batch_id −1) segment — the maintenance sweep once history
+        fragments. Assignment rows are per-vector facts (no merge law
+        needed): the fold is a key rewrite, so :meth:`assigned` —
+        and therefore serving and the balance report — is row-identical
+        before and after (pytest-pinned). Safety rules shared with
+        ``StreamingCountMin.compact``: only this checkpoint scope's
+        rows fold, and the scope's HIGHEST batch_id segment stays
+        un-folded — the only batch that can still crash-replay repairs
+        by purging its own (scope, batch_id) rows, which folding away
+        would break."""
+        if not self.store.exists(IVF_ASSIGN_SEGMENTS):
+            return
+        cur = self.store.read(IVF_ASSIGN_SEGMENTS)
+        mine = cur.filter(F.col("checkpoint") == self._scope())
+        others = cur.filter(F.col("checkpoint") != self._scope())
+        last = mine.agg(F.max("batch_id")).first()[0]
+        if last is None:
+            return
+        folded = mine.filter(F.col("batch_id") != last).select(
+            F.lit(self._scope()).alias("checkpoint"),
+            F.lit(-1).cast("long").alias("batch_id"),
+            "vec_id",
+            "v",
+            "nv",
+            "cell",
+        )
+        keep_last = mine.filter(F.col("batch_id") == last)
+        self.store.overwrite(
+            IVF_ASSIGN_SEGMENTS,
+            others.unionByName(folded).unionByName(keep_last),
+        )
+
     def assigned(self) -> DataFrame:
         """Merged (vec_id, v, nv, cell) assignment over everything
         ingested — the same shape ``_assign_cells`` returns, so every

@@ -246,3 +246,70 @@ def test_retrain_trigger_fires_on_drift_and_rebalances(spark, tmp_path):
     assert keys_after == keys_before
     # serving continues against the new generation
     assert fr.topk().count() > 0
+
+
+def test_compact_folds_settled_segments_preserving_everything(spark, tmp_path):
+    """compact() folds settled segments into batch_id -1 while the
+    merged assignment (and so serving + the balance report) stays
+    row-identical, the highest batch stays un-folded so its replay
+    still repairs, and foreign checkpoint scopes are untouched."""
+    fr = _setup(spark, tmp_path, [("w1.json", lambda i: i % 3 == 0)])
+    fr.run_available_now()
+    rows = _vec_corpus(spark, SF).select("vec_id", "v").collect()
+    for k, name in ((1, "w2.json"), (2, "w3.json")):
+        with open(os.path.join(fr.source_dir, name), "w") as f:
+            for r in rows:
+                if r["vec_id"] % 3 == k:
+                    f.write(
+                        json.dumps(
+                            {
+                                "vec_id": r["vec_id"],
+                                "embedding": [float(x) for x in r["v"]],
+                            }
+                        )
+                        + "\n"
+                    )
+        fr.run_available_now()
+    before = sorted(
+        (r["vec_id"], r["nv"], r["cell"]) for r in fr.assigned().collect()
+    )
+    # a foreign scope's segment rides the same table — compact must not
+    # touch it (another instance's replays still need to find it)
+    foreign = (
+        fr.store.read("ivf_assign_segments")
+        .limit(1)
+        .select(
+            F.lit("other-ckpt").alias("checkpoint"),
+            F.lit(7).cast("long").alias("batch_id"),
+            F.lit(-12345).cast("long").alias("vec_id"),
+            "v",
+            "nv",
+            "cell",
+        )
+    )
+    fr.store.append("ivf_assign_segments", foreign)
+
+    fr.compact()
+    seg = fr.store.read("ivf_assign_segments")
+    mine = seg.filter(F.col("checkpoint") == fr.checkpoint_dir)
+    assert {
+        r["batch_id"] for r in mine.select("batch_id").distinct().collect()
+    } == {-1, 2}
+    assert sorted(
+        (r["vec_id"], r["nv"], r["cell"])
+        for r in mine.collect()
+    ) == before
+    other = seg.filter(F.col("checkpoint") == "other-ckpt").collect()
+    assert len(other) == 1 and other[0]["batch_id"] == 7
+
+    # the kept (highest) batch still crash-replays as a no-op
+    replay = fr.spark.read.schema(fr.schema).json(
+        os.path.join(fr.source_dir, "w3.json")
+    )
+    fr._assign_batch(replay, 2)
+    mine2 = fr.store.read("ivf_assign_segments").filter(
+        F.col("checkpoint") == fr.checkpoint_dir
+    )
+    assert sorted(
+        (r["vec_id"], r["nv"], r["cell"]) for r in mine2.collect()
+    ) == before

@@ -1787,3 +1787,92 @@ def test_streaming_drift_monitor_matches_batch_dashboard(spark, tmp_path):
     before = cell_dict(mon.cells())
     mon._merge_batch(one_batch, batch_id=1)
     assert cell_dict(mon.cells()) == before
+
+
+def test_streaming_bm25_compact_preserves_index_and_serving(spark, tmp_path):
+    """compact() folds settled tf/doc segments into batch_id -1 with
+    SUM-merge (the same law the read path applies), so the merged
+    index, the doc count and the served ranking are bit-identical
+    before and after; the highest batch stays un-folded and its replay
+    still repairs; foreign scopes are untouched."""
+    import json as _json
+    import os
+
+    from data_ingestion_from_multiple_directories_linux_spark.catalog import (
+        load_table,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.sources.table_store import (
+        TableStore,
+    )
+    from data_ingestion_from_multiple_directories_linux_spark.streaming.bm25_stream import (
+        BM25_DOC_PARTIALS,
+        BM25_TF_PARTIALS,
+        StreamingBM25Index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = StreamingBM25Index(
+        spark,
+        TableStore(spark, str(tmp_path / "wh")),
+        str(src),
+        str(tmp_path / "ckpt"),
+    )
+    last_wave = None
+    for k in range(3):
+        wave = [(d, t) for d, t in rows if d % 3 == k]
+        with open(os.path.join(str(src), f"w{k}.json"), "w") as f:
+            for d, t in wave:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        idx.run_available_now()
+        last_wave = wave
+
+    # a foreign scope's cell rides both tables — compact must keep it
+    idx.store.append(
+        BM25_DOC_PARTIALS,
+        spark.createDataFrame(
+            [("other-ckpt", 9, 42)],
+            "checkpoint string, batch_id bigint, n_docs bigint",
+        ),
+    )
+
+    tf_before = {(r["doc_id"], r["term"]): r["tf"] for r in idx.tf().collect()}
+    nd_before = idx.n_docs().collect()[0]["n_docs"]
+    topk_before = sorted(map(tuple, idx.topk().collect()))
+
+    idx.compact()
+    for table in (BM25_TF_PARTIALS, BM25_DOC_PARTIALS):
+        mine = idx.store.read(table).filter(
+            F.col("checkpoint") == idx.checkpoint_dir
+        )
+        got = {
+            r["batch_id"]
+            for r in mine.select("batch_id").distinct().collect()
+        }
+        assert got == {-1, 2}, (table, got)
+    assert {
+        (r["doc_id"], r["term"]): r["tf"] for r in idx.tf().collect()
+    } == tf_before
+    # the foreign doc cell still counts into the shared-read total and
+    # survived the fold untouched
+    assert idx.n_docs().collect()[0]["n_docs"] == nd_before
+    other = idx.store.read(BM25_DOC_PARTIALS).filter(
+        F.col("checkpoint") == "other-ckpt"
+    ).collect()
+    assert len(other) == 1 and other[0]["batch_id"] == 9
+    assert sorted(map(tuple, idx.topk().collect())) == topk_before
+
+    # the kept (highest) batch still crash-replays as a no-op
+    replay = spark.createDataFrame(last_wave, "doc_id long, text string")
+    idx._merge_batch(replay, 2)
+    assert {
+        (r["doc_id"], r["term"]): r["tf"] for r in idx.tf().collect()
+    } == tf_before
+    assert idx.n_docs().collect()[0]["n_docs"] == nd_before
