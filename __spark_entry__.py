@@ -88,10 +88,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # prior-round row only while the file is untouched).
 #
 # Round-12 allocation — the verbatim tools/staleness.py order at HEAD.
-# Slots 1-7: the round's own rows (3 new queries — the auto-K IVF
-# variant, the IVF cell-balance report, the frontier-dedup batch twin;
-# 4 re-staled by round-12 edits — the politeness unknown-host cap and
-# the fixed-count anchor sampling in annrecall/matryoshka). Slots 8-50:
+# Slots 1-9: the round's own rows (5 new queries — the PQ/SQ8 recall
+# evals, the auto-K IVF variant, the IVF cell-balance report, the
+# frontier-dedup batch twin; 4 re-staled by round-12 edits — the
+# politeness unknown-host cap and the fixed-count anchor sampling in
+# annrecall/matryoshka). Slots 10-50:
 # the oldest green rows with untouched files — the whole r07 block the
 # round-11 cap displaced (text_analysis/corpus/dedup/profiling/
 # grouping/multimodal/sketches) plus the oldest r08 rows
