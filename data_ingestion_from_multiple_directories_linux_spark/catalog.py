@@ -33,9 +33,119 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: tables below this size are broadcast-side dimensions — rebalancing
+#: them only adds an exchange in front of a broadcast build
+_REBALANCE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_REBALANCE_MIN_BYTES", str(64 * 1024))
+)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _parse_size(s: str) -> int:
+    """'128m'/'134217728b'/'1g' → bytes (SparkConf size-string subset)."""
+    s = s.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+        if s.endswith(suf + "b"):
+            s, mult = s[: -len(suf) - 1], m
+            break
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    else:
+        if s.endswith("b"):
+            s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _path_layout(path: str) -> tuple[int, list[str]]:
+    """(total data bytes, data file paths) under ``path``."""
+    if os.path.isfile(path):
+        return os.path.getsize(path), [path]
+    total = 0
+    paths: list[str] = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                p = os.path.join(root, f)
+                try:
+                    total += os.path.getsize(p)
+                except OSError:
+                    continue
+                paths.append(p)
+    return total, paths
+
+
+def _row_group_units(files: list[str], cap: int) -> int:
+    """Row groups across ``files``, counting stops once ``cap`` reached.
+
+    Parquet scan parallelism is capped by row-group count (a byte-range
+    split with no row-group start yields zero rows), so THIS — not file
+    count or bytes — is the real ceiling on scan-stage tasks. Footer
+    reads are ~ms each and at most ``cap`` files are touched.
+    """
+    import pyarrow.parquet as pq
+
+    units = 0
+    for p in files:
+        try:
+            units += pq.ParquetFile(p).metadata.num_row_groups
+        except Exception:
+            units += 1  # unreadable footer: assume one unit
+        if units >= cap:
+            break
+    return units
+
+
+def _rebalance_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spread a scan that cannot fill the cluster on its own.
+
+    Parquet assigns each ROW GROUP to one task, so a table written as
+    few large row groups (the test corpus: one row group per file) caps
+    scan-stage parallelism at the file count no matter how many cores
+    exist — every pre-shuffle map cost (hashing, tokenization, shingle
+    explosion, vector arithmetic) then runs serially. When the scan's
+    natural split count (bytes / maxPartitionBytes) cannot reach the
+    cluster's parallelism AND the table is small enough that one extra
+    exchange of it is trivial, round-robin it across the cores.
+
+    Scale behavior: at warehouse scale natural splits >> cores, so this
+    is a no-op — the rule derives from input size (guide §2), it is not
+    a local[32] constant. Predicate pushdown and column pruning both
+    travel through the Repartition node (plan-tested), so the exchange
+    carries only pruned columns.
+
+    Parallelism is estimated from the layout, cheapest signal first:
+    enough byte-range splits (huge files) → no-op without touching
+    footers; enough data files (Spark shrinks split size to fill
+    ``defaultParallelism`` when files allow — maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))) →
+    no-op; otherwise count ROW GROUPS, the true task ceiling for a
+    parquet scan, and rebalance only when they cannot fill the cores.
+    """
+    try:
+        nbytes, files = _path_layout(path)
+    except OSError:
+        return df
+    if nbytes < _REBALANCE_MIN_BYTES:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        maxpb = _parse_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except ValueError:
+        maxpb = 128 * 1024 * 1024
+    if nbytes // maxpb + 1 >= cores:
+        return df
+    if len(files) >= cores:
+        return df
+    if _row_group_units(files, cores) >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -77,8 +187,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 ),
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _rebalance_scan(spark, df, table_path(sf_dir, name))
+    return _rebalance_scan(
+        spark,
+        spark.read.parquet(table_path(sf_dir, name)),
+        table_path(sf_dir, name),
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -45,6 +45,31 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan CACHED subtrees too (off by default): persist()
+        # is the engine's index/serving idiom (tf index, IVF assignment,
+        # CC edge frames), and with the default every cached plan pins
+        # the static shuffle-partition count for itself AND every stage
+        # reading it — measured 500+ tasks per persist-heavy query on
+        # megabyte inputs where AQE coalescing elsewhere yields 1-3.
+        # Cluster-safe: output partitioning of a cached plan may change,
+        # which only affects exchange reuse, not results. Env-gated so
+        # the two global levers can be A/B'd independently.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_REPLAN", "true"),
+        )
+        # AQE coalescing is SIZE-based and compute-blind: with the 1m
+        # default a small-bytes/heavy-compute frame (IVF cell codes,
+        # shingle keys) coalesces to bytes/1MB ≈ 1-3 partitions and its
+        # downstream compute serializes (measured: embedding_near_dup_ivf
+        # 12→27 s at the bench's ~100× point). A lower floor lets tiny
+        # frames keep ~defaultParallelism partitions; at warehouse scale
+        # bytes/parallelism >> 1MB decides, so this only changes
+        # small-frame behavior.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_COALESCE_MIN_PART", "64k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Python-worker memory on the multimodal path: working set
