@@ -148,8 +148,17 @@ def _rebalance_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df.repartition(cores)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one test table. Parquet scan → Catalyst gets pushdown + pruning.
+
+    ``spread=True`` opts the read into :func:`_rebalance_scan` — for
+    operators whose map-side work (shingling, vector math, multi-column
+    Expand) dominates the scan. It is opt-in because the exchange is a
+    measured ~0.2-0.6 s fixed tax per query at test scale: applied
+    globally it doubled every cheap scan→agg query (A/B matrix in
+    OPTIMIZATION_r12.md) while only compute-dense queries won it back.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; ``get_spark`` sets
@@ -187,12 +196,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 ),
             )
-        return _rebalance_scan(spark, df, table_path(sf_dir, name))
-    return _rebalance_scan(
-        spark,
-        spark.read.parquet(table_path(sf_dir, name)),
-        table_path(sf_dir, name),
-    )
+        if spread:
+            df = _rebalance_scan(spark, df, table_path(sf_dir, name))
+        return df
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if spread:
+        df = _rebalance_scan(spark, df, table_path(sf_dir, name))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

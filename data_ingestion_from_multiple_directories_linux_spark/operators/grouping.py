@@ -218,7 +218,7 @@ def exact_moment_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     also the mergeable-statistics pattern: per-shard moment frames can
     be summed later (incremental_rollup_merge's algebra) and the
     correlation re-derived without touching raw data."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(

@@ -424,7 +424,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     migration (table_fingerprint's use case) or an ingest contract
     check reads first; at 100 TB the exact distincts would swap for the
     KMV sketch (operators/sketches.py) column-by-column."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=True)
     aggs = [F.count("*").alias("n_rows")]
     for c in PROFILE_COLS:
         if c in _PROFILE_DOUBLE_COLS:
@@ -550,7 +550,7 @@ def table_profile_orders_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, and the single double division + 1e-6 quantization is
     bit-identical cross-engine, so the ORACLE CHECKS THE ESTIMATES
     EXACTLY."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=True)
     # one md5-derived base hash per column, computed once per row;
     # double columns hash their canonical string form so NaN/±Inf/±0
     # hash identically in both engines (_canon_dbl)

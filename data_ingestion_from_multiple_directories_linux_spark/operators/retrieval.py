@@ -230,7 +230,7 @@ def bm25_scored_from_index(tf: DataFrame, nd: DataFrame) -> DataFrame:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scan path: build the tf index + doc count from the
     documents table, then serve through the shared index scorer."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     nd = d.select(F.count("*").cast("long").alias("n_docs"))
     return bm25_scored_from_index(build_tf_index(d.select("doc_id", "text")), nd)
 

@@ -99,7 +99,7 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity query loads through this."""
     from ..functions.cleansing import DBL_MAX
 
-    return load_table(spark, sf_dir, "embeddings").filter(
+    return load_table(spark, sf_dir, "embeddings", spread=True).filter(
         (F.size("embedding") == EMB_DIM)
         & ~F.exists(
             "embedding",

@@ -431,7 +431,7 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the engines' ``greatest`` disagree (Spark SKIPS NULL args
     and would fabricate one md5(NULL) window; DuckDB propagates).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     w = F.expr(
         "CASE WHEN text IS NOT NULL THEN"
         " transform(sequence(1, greatest(length(text) - 15, 1), 4),"
