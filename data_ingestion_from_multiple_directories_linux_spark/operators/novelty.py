@@ -75,7 +75,7 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     document count and df == 1 means corpus-unique. NULL doc_ids are
     filtered (they cannot carry a per-doc score)."""
     corpus = (
-        load_table(spark, sf_dir, "documents", spread=True)
+        load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id", "text")
     )
