@@ -62,7 +62,7 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(mut)
 
 
-def _shingle_sets(corpus: DataFrame, n: int) -> DataFrame:
+def _shingle_sets(corpus: DataFrame, n: int, pin_width: bool = False) -> DataFrame:
     """(doc_id, sh: array<string> distinct shingles, n_sh) — docs shorter
     than n tokens have no shingles and drop out (same WHERE in oracle).
 
@@ -71,10 +71,26 @@ def _shingle_sets(corpus: DataFrame, n: int) -> DataFrame:
     per-row expression (higher-order functions are interpreted, not
     codegen'd) — without the repartition the whole pass runs on a single
     core (measured 15s vs <1s at sf0.1). At 100 TB the scan has thousands
-    of partitions and this is a cheap narrow re-balance."""
+    of partitions and this is a cheap narrow re-balance.
+
+    ``pin_width=True`` gives that exchange an explicit partition count
+    (cluster parallelism), which AQE never coalesces — for callers that
+    PERSIST the result and then run heavy per-shingle compute in the map
+    stage reading the cache: with cached-plan re-planning on (session.py)
+    a kilobyte-scale cached frame otherwise materializes at a handful of
+    partitions and the consumer's CPU work serializes. Same exchange,
+    same bytes, just a pinned width — callers whose downstream is
+    shuffle-bound rather than map-CPU-bound keep the coalescible default."""
+    dist = (
+        corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col("doc_id"),
+        )
+        if pin_width
+        else corpus.repartition(F.col("doc_id"))
+    )
     tokd = (
-        corpus.repartition(F.col("doc_id"))
-        .select("doc_id", tokens("text").alias("toks"))
+        dist.select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") >= n)
     )
     return tokd.select("doc_id", shingles("toks", n).alias("sh")).withColumn(
@@ -1176,7 +1192,14 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir).filter(
         (F.col("doc_id") >= 10000) | (F.col("doc_id") % 7 == 0)
     )
-    sh = _shingle_sets(corpus, CAL_SHINGLE_N).persist()
+    # pin_width: the 64 md5 hashes per shingle — this query's dominant
+    # CPU cost — run in the partial-MIN map stage, i.e. at whatever
+    # width the CACHED sh frame materialized at. Un-pinned, AQE's
+    # cached-plan re-planning coalesces the kilobyte-scale frame to a
+    # handful of partitions and the hash work serializes (measured
+    # 3.4→8.3 s depending on the coalesce floor; decomposition in
+    # plans/r12/subset_ab_decomposition.json).
+    sh = _shingle_sets(corpus, CAL_SHINGLE_N, pin_width=True).persist()
     ex = _explode_shingles(sh.select("doc_id", "sh"), [])
     sig = (
         ex.groupBy("doc_id")

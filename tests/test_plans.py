@@ -770,3 +770,17 @@ def test_frontier_dispatch_tick_bounded_state_plan(spark, queries):
     assert "FileScan" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_calibration_signature_width_is_pinned(spark, queries):
+    """The 64 md5 MINs — the calibration query's dominant CPU — run in
+    the map stage reading the cached shingle frame, so that frame's
+    exchange must be REPARTITION_BY_NUM (explicit count, never touched
+    by AQE cached-plan re-planning), not the coalescible
+    REPARTITION_BY_COL the other _shingle_sets callers keep."""
+    df = queries["minhash_estimate_calibration"](spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "REPARTITION_BY_NUM" in plan
+    # the default (coalescible) shape elsewhere is untouched
+    jac = queries["minhash_lsh_near_dup"](spark, SF_SMALL)
+    assert "REPARTITION_BY_NUM" not in plan_of(jac)
