@@ -101,58 +101,56 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # untouched — the flagship needs no slot this round. Everything past
 # the cap rides the committed VERIFY_LOCAL_r12 record at HEAD.
 _PRIORITY_FIRST = [
-    "pq_recall_eval",  # new r12 (no driver row)
-    "sq8_recall_eval",  # new r12 (no driver row)
-    "embedding_near_dup_ivf_autok",  # new r12 (no driver row)
-    "ivf_cell_balance",  # new r12 (no driver row)
-    "frontier_dedup_batch",  # new r12 (no driver row)
-    "frontier_dispatch_tick",  # r11 row, re-staled by r12 edits
-    "ivf_recall_eval",  # r11 row, re-staled by r12 edits
-    "ivf_recall_eval_nprobe2",  # r11 row, re-staled by r12 edits
-    "matryoshka_recall_eval",  # r11 row, re-staled by r12 edits
-    "exact_dedup_documents",  # r07, oldest-row renewal
-    "language_id_ngram",  # r07, oldest-row renewal
-    "length_bucketed_batches",  # r07, oldest-row renewal
-    "media_binary_stats",  # r07, oldest-row renewal
-    "minhash_lsh_near_dup",  # r07, oldest-row renewal
-    "mixture_schedule",  # r07, oldest-row renewal
-    "ngram_jaccard_capped",  # r07, oldest-row renewal
-    "ngram_jaccard_pairs",  # r07, oldest-row renewal
-    "pii_redact_text",  # r07, oldest-row renewal
-    "quality_filter_pipeline",  # r07, oldest-row renewal
-    "repetition_ratio",  # r07, oldest-row renewal
-    "rolling_hash_fingerprint",  # r07, oldest-row renewal
-    "sequence_packing",  # r07, oldest-row renewal
-    "simhash_fingerprint",  # r07, oldest-row renewal
-    "source_capped_sample",  # r07, oldest-row renewal
-    "text_quality_scores",  # r07, oldest-row renewal
-    "tf_idf_scores",  # r07, oldest-row renewal
-    "token_cooccurrence_lift",  # r07, oldest-row renewal
-    "token_frequency_topk",  # r07, oldest-row renewal
-    "maintenance_report_tables",  # r07, oldest-row renewal
-    "key_skew_profile",  # r07, oldest-row renewal
-    "stratified_sample_docs",  # r07, oldest-row renewal
-    "dense_rank_order_values",  # r07, oldest-row renewal
-    "grouping_sets_status_priority",  # r07, oldest-row renewal
-    "media_audio_stats",  # r07, oldest-row renewal
-    "media_dimensions",  # r07, oldest-row renewal
-    "media_video_stats",  # r07, oldest-row renewal
-    "table_fingerprint",  # r07, oldest-row renewal
-    "bloom_fp_audit",  # r08, oldest-row renewal
-    "bloom_url_dedup",  # r08, oldest-row renewal
-    "classifier_auc_exact",  # r08, oldest-row renewal
-    "quality_calibration_bins",  # r08, oldest-row renewal
-    "quality_threshold_metrics",  # r08, oldest-row renewal
-    "event_transition_matrix",  # r08, oldest-row renewal
-    "funnel_conversion",  # r08, oldest-row renewal
-    "incremental_rollup_merge",  # r08, oldest-row renewal
-    "moving_avg_user_value",  # r08, oldest-row renewal
-    "multires_rollup_events",  # r08, oldest-row renewal
-    "peak_concurrency_daily",  # r08, oldest-row renewal
-    "time_weighted_avg_value",  # r08, oldest-row renewal
-    "user_value_outliers",  # r08, oldest-row renewal
-    "bpe_merge_pair_counts",  # r08, oldest-row renewal
-    "char_lm_surprise",  # r08, oldest-row renewal
+    "embedding_near_dup_ivf_autok",  # r00 ivf_autok.py
+    "frontier_dedup_batch",  # r00 frontier_dedup.py
+    "ivf_cell_balance",  # r00 cellbalance.py
+    "pq_recall_eval",  # r00 quantrecall.py
+    "sq8_recall_eval",  # r00 quantrecall.py
+    "minhash_lsh_near_dup",  # r07 dedup.py
+    "ngram_jaccard_capped",  # r07 dedup.py
+    "ngram_jaccard_pairs",  # r07 dedup.py
+    "dense_rank_order_values",  # r07 grouping.py
+    "exact_dedup_documents",  # r07 text_analysis.py
+    "grouping_sets_status_priority",  # r07 grouping.py
+    "key_skew_profile",  # r07 profiling.py
+    "language_id_ngram",  # r07 text_analysis.py
+    "media_binary_stats",  # r07 text_analysis.py
+    "quality_filter_pipeline",  # r07 text_analysis.py
+    "rolling_hash_fingerprint",  # r07 text_analysis.py
+    "simhash_fingerprint",  # r07 text_analysis.py
+    "stratified_sample_docs",  # r07 profiling.py
+    "text_quality_scores",  # r07 text_analysis.py
+    "tf_idf_scores",  # r07 text_analysis.py
+    "token_frequency_topk",  # r07 text_analysis.py
+    "bpe_merge_pair_counts",  # r08 text_analysis.py
+    "char_lm_surprise",  # r08 text_analysis.py
+    "vocab_dense_ids",  # r08 text_analysis.py
+    "cluster_size_histogram",  # r09 dedup.py
+    "cross_source_overlap",  # r09 dedup.py
+    "dedup_materialize_canonical",  # r09 dedup.py
+    "minhash_incremental_near_dup",  # r09 dedup.py
+    "count_min_heavy_hitters",  # r09 profiling.py
+    "join_cardinality_estimate",  # r09 profiling.py
+    "kmv_distinct_by_day",  # r09 profiling.py
+    "normalized_exact_dedup",  # r09 text_analysis.py
+    "cosine_topk",  # r10 similarity.py
+    "embedding_near_dup_ivf",  # r10 similarity.py
+    "embedding_near_dup_lsh",  # r10 similarity.py
+    "hard_negative_mining",  # r10 similarity.py
+    "ivf_topk_neighbors",  # r10 similarity.py
+    "ivfpq_topk_neighbors",  # r10 similarity.py
+    "label_centroids",  # r10 similarity.py
+    "bm25_topk",  # r10 retrieval.py
+    "hybrid_rrf_fusion",  # r10 retrieval.py
+    "duplicate_clusters",  # r11 dedup.py
+    "minhash_estimate_calibration",  # r11 dedup.py
+    "pq_topk_adc",  # r11 similarity.py
+    "semantic_dedup_survivors",  # r11 similarity.py
+    "shingle_novelty_scores",  # r11 novelty.py
+    "sq8_quantized_topk",  # r11 similarity.py
+    "doc_token_stats",  # r11 text_analysis.py
+    "exact_moment_correlation",  # r11 grouping.py
+    "frontier_dispatch_tick",  # r11 politeness.py
 ]
 
 
