@@ -696,11 +696,15 @@ def main() -> None:
             }
         )
     )
-    # The driver records only the last ~2000 chars of stdout and parses
-    # its FINAL line — the full payload above overflows that window with
-    # 155 per-query timings (BENCH_r02..r04 all show "parsed": null). So
-    # the last line is a compact summary that always fits; the full
-    # per-query map lives in the line above and in BENCH_LOCAL_r{N}.json.
+    # The driver parses the FINAL stdout line for its round-over-round
+    # per-query comparison and 8-vs-32-core scaling block; round 11's
+    # final line lacked the per-query map, so PERF_r12 had n_common=0
+    # and an empty scaling block (VERDICT r12 item 2). The final line
+    # therefore carries the FULL ``queries`` map — the declared bench
+    # contract — rounded to 10 ms and dumped with compact separators so
+    # the line stays small (~8 KB); the 4-decimal figures plus the full
+    # scale/skew/shuffle diagnostics ride the line above and
+    # BENCH_LOCAL_r{N}.json, unchanged from previous rounds.
     slowest = dict(
         sorted(queries.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -711,6 +715,7 @@ def main() -> None:
         for name, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:10]
         if name in shuffle_bytes
     }
+    last_point = ingest["points"][-1] if ingest.get("points") else {}
     print(
         json.dumps(
             {
@@ -720,6 +725,7 @@ def main() -> None:
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
                 "n_queries": len(queries),
+                "queries": {k: round(v, 2) for k, v in queries.items()},
                 "slowest": slowest,
                 "py_worker_cold_warm": cold_warm,
                 "scale_ratio_100x": {
@@ -733,7 +739,11 @@ def main() -> None:
                     k: v["recall_permille_mean"]
                     for k, v in ann_curve.items()
                 },
-                "ingest": ingest,
+                "ingest": {
+                    "amortization": ingest.get("amortization"),
+                    "files_per_sec_max_batch": last_point.get("files_per_sec"),
+                    "g5_speedup": ingest.get("two_table_g5", {}).get("speedup"),
+                },
                 "pipeline": {
                     "wall_sec": pipeline["wall_sec"],
                     "tokens_per_sec": pipeline["tokens_per_sec"],
@@ -741,7 +751,8 @@ def main() -> None:
                     "scale_tokens_ratio": pipeline["scale"]["tokens_ratio"],
                 },
                 "shuffle_bytes_top10": shuffle_top,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

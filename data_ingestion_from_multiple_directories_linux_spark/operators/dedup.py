@@ -80,7 +80,18 @@ def _shingle_sets(corpus: DataFrame, n: int, pin_width: bool = False) -> DataFra
     a kilobyte-scale cached frame otherwise materializes at a handful of
     partitions and the consumer's CPU work serializes. Same exchange,
     same bytes, just a pinned width — callers whose downstream is
-    shuffle-bound rather than map-CPU-bound keep the coalescible default."""
+    shuffle-bound rather than map-CPU-bound keep the coalescible default.
+
+    Scale trade-off (ADVICE r12): the pinned count is defaultParallelism,
+    which at warehouse scale is far below the scan's partition count — a
+    pinned caller would funnel a multi-thousand-partition corpus down to
+    #cores. That is the correct width for the CACHED frame this flag
+    exists for (the persisted shingle sets are kilobytes per partition;
+    the pin fights AQE coalescing, not scan width), but a caller whose
+    corpus is genuinely large should keep the coalescible default —
+    AQE then holds the scan's own width. Probing the input's partition
+    count here (.rdd.getNumPartitions) would double-plan the subtree on
+    every call, so the choice stays a static flag per call site."""
     dist = (
         corpus.repartition(
             corpus.sparkSession.sparkContext.defaultParallelism,

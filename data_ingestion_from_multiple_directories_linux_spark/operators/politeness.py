@@ -333,7 +333,13 @@ def frontier_dispatch_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # host-count-sized multi-consumer frames (alloc feeds both ticks'
     # allowances; tick-0 outputs feed tick 1 AND the result union) are
-    # pinned once — the cross-tick state a real crawler persists anyway
+    # pinned once — the cross-tick state a real crawler persists anyway.
+    # Round-13 audit: a lazy persist() variant was measured (this batch
+    # twin reads only immutable parquet, so eager pinning is not needed
+    # for mutable-state isolation) and REJECTED — without the per-tick
+    # lineage truncation the final plan carries both ticks' window/join
+    # chains and runs 1.7× slower (2.5 s → 4.3 s warm, profile in
+    # OPTIMIZATION_r13.md). The eager checkpoint chain IS the fast form.
     ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     alloc = ckpt(
         largest_remainder(masses, DISPATCH_BUDGET).select("host", "alloc")

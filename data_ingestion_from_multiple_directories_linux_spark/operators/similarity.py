@@ -1354,8 +1354,14 @@ def _ivfpq_search(
     in-session or reloaded from the table store — same plan either
     way)."""
     corpus_nv = _vec_corpus(spark, sf_dir)
-    corpus = corpus_nv.drop("nv")
     assigned = _assign_cells(corpus_nv, cent_ivf).persist()
+    # the PQ encode and query-lookup inputs read the PERSISTED assigned
+    # frame, not fresh corpus scans: _assign_cells emits exactly one row
+    # per vec_id carrying the identical v, so the row set equals
+    # _vec_corpus — the rewrite drops two parquet scans + two
+    # mutant-union subtrees from the plan (3 corpus constructions → 1;
+    # guide §2.4, plan diff in plans/r13/ivfpq_topk_neighbors_*.txt)
+    corpus = assigned.select("vec_id", "v")
 
     codes = _pq_assign(
         _pq_slices(corpus, ["vec_id"]), cent_pq

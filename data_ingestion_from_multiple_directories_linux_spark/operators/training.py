@@ -162,7 +162,12 @@ _TRAIN_SCHEMA = StructType(
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(
+    # spread=True (guide §2.4/§6): the feature map is tokenization-heavy
+    # (two interpreted HOF passes per document) and the step-0 aggregate
+    # materializes it from the one-row-group test parquet — unspread it
+    # runs on a single core (VERDICT r12 item 6; measured in
+    # OPTIMIZATION_r13.md). No-op at warehouse scale (layout-probed).
+    d = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     )
     toks = tokens("text")

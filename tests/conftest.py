@@ -19,11 +19,17 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     import tempfile
 
-    # Small core count: test speed, not throughput. Warehouse in a temp
-    # dir so catalog tables (bucketing tests) never pollute the repo.
+    # Small core count: test speed, not throughput — but the whole-surface
+    # corpus sweeps (test_oracle_parity) submit 8 concurrent queries, and
+    # at local[4] they serialize on executor slots; 8 slots keep the
+    # suite inside the driver's pytest budget (VERDICT r12 item 4).
+    # shuffle_partitions stays at 4: plan/partition assertions
+    # (test_scale_techniques AQE coalescing) pin against it.
+    # Warehouse in a temp dir so catalog tables (bucketing tests) never
+    # pollute the repo.
     return get_spark(
         app_name="engine-tests",
-        cpus=4,
+        cpus=8,
         shuffle_partitions=4,
         extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_")},
     )
@@ -32,3 +38,28 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def query_plans(spark):
+    """One COLD plan-construction pass over every registered query,
+    shared by the whole-registry plan/smoke assertions (three tests
+    previously re-constructed all ~200 plans each — ~57 s apiece, the
+    pytest-budget fix of VERDICT r12 item 4). Returns
+    ``{name: (columns, executed-plan string)}``.
+
+    Serial, with the DataFrame cache cleared after each query: every
+    plan is built against an empty cache (the _cold_cache discipline of
+    test_plans.py), and a query's persist() cannot leak an
+    InMemoryTableScan substitution into a later query's plan. Iterative
+    operators run their eager checkpoint jobs during construction —
+    that cost is paid once here instead of once per consuming test."""
+    import __spark_entry__ as entry_mod
+
+    out: dict[str, tuple[list[str], str]] = {}
+    spark.catalog.clearCache()
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_SMALL)
+        out[name] = (df.columns, df._jdf.queryExecution().executedPlan().toString())
+        spark.catalog.clearCache()
+    return out

@@ -102,7 +102,7 @@ def test_sibling_query_has_no_self_join(spark, queries):
     assert "Join" not in plan
 
 
-def test_no_accidental_cartesian_products(spark, queries):
+def test_no_accidental_cartesian_products(spark, query_plans):
     """Only the similarity queries and tf-idf intentionally cross-join a
     broadcast-size side (1 query vector / K centroids / the 1-row corpus
     count); everything else must be free of cartesian or
@@ -192,8 +192,7 @@ def test_no_accidental_cartesian_products(spark, queries):
         "pq_recall_eval",
         "sq8_recall_eval",
     }
-    for name, fn in queries.items():
-        plan = plan_of(fn(spark, SF_SMALL))
+    for name, (_cols, plan) in query_plans.items():
         if name in allowed:
             continue
         assert "CartesianProduct" not in plan, name
@@ -258,19 +257,17 @@ def test_partial_aggregation_before_shuffle(spark, queries):
     assert "Exchange hashpartitioning" in plan
 
 
-def test_whole_stage_codegen_on_hot_path(spark, queries):
+def test_whole_stage_codegen_on_hot_path(spark, queries, query_plans):
     """Relational queries stay inside WholeStageCodegen spans (no Python
     evaluation nodes anywhere in the registry). The one exception is the
     UDTF escape-hatch query, whose BatchEvalPythonUDTF node is the
     documented cost of the SQL-visible table-function surface
     (operators/corpus.py udtf_char_chunks — hot paths use the native
     document_chunks instead)."""
-    for name, fn in queries.items():
+    for name, (_cols, plan) in query_plans.items():
         if name == "udtf_char_chunks":
-            plan = plan_of(fn(spark, SF_SMALL))
             assert "BatchEvalPythonUDTF" in plan, "UDTF surface vanished"
             continue
-        plan = plan_of(fn(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     # codegen spans only materialize in the final AQE plan (the "*(n)"
     # stage markers) → execute first

@@ -11,6 +11,10 @@ spark = (
     .appName("driver-sim")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    # 8 concurrent sf0.1 queries' broadcasts overflow the 1g default
+    # (r13: BroadcastExchange "not enough memory" at sf0.1, a tool
+    # limit, not an engine one — the bench/driver sessions run 16g)
+    .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

@@ -55,18 +55,26 @@ print("SUBSET_AB_RESULT " + json.dumps(out))
 """
 
 
+#: one hung JVM must not stall the whole interleave silently (ADVICE r12)
+LEG_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_AB_TIMEOUT", "1800"))
+
+
 def run_leg(names: list[str], env_delta: dict) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.update(env_delta)
     script = LEG_SCRIPT.format(repo=repo, names=list(names))
-    p = subprocess.run(
-        [sys.executable, "-c", script],
-        env=env,
-        capture_output=True,
-        text=True,
-        cwd=repo,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", script],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=LEG_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(f"leg timed out after {LEG_TIMEOUT_S}s")
     for line in p.stdout.splitlines():
         if line.startswith("SUBSET_AB_RESULT "):
             return json.loads(line[len("SUBSET_AB_RESULT "):])
