@@ -87,70 +87,64 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was touched since its newest row is re-sampled (the judge accepts a
 # prior-round row only while the file is untouched).
 #
-# Round-12 allocation — the verbatim tools/staleness.py order at HEAD.
-# Slots 1-9: the round's own rows (5 new queries — the PQ/SQ8 recall
-# evals, the auto-K IVF variant, the IVF cell-balance report, the
-# frontier-dedup batch twin; 4 re-staled by round-12 edits — the
-# politeness unknown-host cap and the fixed-count anchor sampling in
-# annrecall/matryoshka). Slots 10-50:
-# the oldest green rows with untouched files — the whole r07 block the
-# round-11 cap displaced (text_analysis/corpus/dedup/profiling/
-# grouping/multimodal/sketches) plus the oldest r08 rows
-# (bloomdedup/calibration/windows/timeseries), so no row ages past ~5
-# rounds. q1_pricing_summary's row is r09-fresh with its file
-# untouched — the flagship needs no slot this round. Everything past
-# the cap rides the committed VERIFY_LOCAL_r12 record at HEAD.
+# The list is GENERATED, not hand-ordered: it is the verbatim head of
+# `python tools/staleness.py --emit-priority 50` at end-of-round HEAD
+# (stale queries first — no green row yet, or implementing file touched
+# since the newest row — then the oldest green rows), reviewed before
+# pasting (a query whose ORACLE changed this round outranks strict
+# row-age order). Everything past the cap rides the committed
+# fresh-process verify record (VERIFY_LOCAL_r{N}[_sf01].txt) at HEAD.
 _PRIORITY_FIRST = [
     "embedding_near_dup_ivf_autok",  # r00 ivf_autok.py
-    "frontier_dedup_batch",  # r00 frontier_dedup.py
-    "ivf_cell_balance",  # r00 cellbalance.py
-    "pq_recall_eval",  # r00 quantrecall.py
-    "sq8_recall_eval",  # r00 quantrecall.py
-    "minhash_lsh_near_dup",  # r07 dedup.py
-    "ngram_jaccard_capped",  # r07 dedup.py
-    "ngram_jaccard_pairs",  # r07 dedup.py
-    "dense_rank_order_values",  # r07 grouping.py
-    "exact_dedup_documents",  # r07 text_analysis.py
-    "grouping_sets_status_priority",  # r07 grouping.py
-    "key_skew_profile",  # r07 profiling.py
-    "language_id_ngram",  # r07 text_analysis.py
-    "media_binary_stats",  # r07 text_analysis.py
-    "quality_filter_pipeline",  # r07 text_analysis.py
-    "rolling_hash_fingerprint",  # r07 text_analysis.py
-    "simhash_fingerprint",  # r07 text_analysis.py
-    "stratified_sample_docs",  # r07 profiling.py
-    "text_quality_scores",  # r07 text_analysis.py
-    "tf_idf_scores",  # r07 text_analysis.py
-    "token_frequency_topk",  # r07 text_analysis.py
-    "bpe_merge_pair_counts",  # r08 text_analysis.py
-    "char_lm_surprise",  # r08 text_analysis.py
-    "vocab_dense_ids",  # r08 text_analysis.py
-    "cluster_size_histogram",  # r09 dedup.py
-    "cross_source_overlap",  # r09 dedup.py
-    "dedup_materialize_canonical",  # r09 dedup.py
-    "minhash_incremental_near_dup",  # r09 dedup.py
-    "count_min_heavy_hitters",  # r09 profiling.py
-    "join_cardinality_estimate",  # r09 profiling.py
-    "kmv_distinct_by_day",  # r09 profiling.py
-    "normalized_exact_dedup",  # r09 text_analysis.py
-    "cosine_topk",  # r10 similarity.py
-    "embedding_near_dup_ivf",  # r10 similarity.py
-    "embedding_near_dup_lsh",  # r10 similarity.py
-    "hard_negative_mining",  # r10 similarity.py
-    "ivf_topk_neighbors",  # r10 similarity.py
-    "ivfpq_topk_neighbors",  # r10 similarity.py
-    "label_centroids",  # r10 similarity.py
-    "bm25_topk",  # r10 retrieval.py
-    "hybrid_rrf_fusion",  # r10 retrieval.py
-    "duplicate_clusters",  # r11 dedup.py
-    "minhash_estimate_calibration",  # r11 dedup.py
-    "pq_topk_adc",  # r11 similarity.py
-    "semantic_dedup_survivors",  # r11 similarity.py
-    "shingle_novelty_scores",  # r11 novelty.py
-    "sq8_quantized_topk",  # r11 similarity.py
-    "doc_token_stats",  # r11 text_analysis.py
-    "exact_moment_correlation",  # r11 grouping.py
-    "frontier_dispatch_tick",  # r11 politeness.py
+    "quality_gate_training",  # r09 training.py
+    "trained_gate_calibration",  # r09 training.py
+    "ivf_recall_eval",  # r11 annrecall.py
+    "ivf_recall_eval_nprobe2",  # r11 annrecall.py
+    "matryoshka_recall_eval",  # r11 matryoshka.py
+    "table_profile_orders",  # r11 profiling.py
+    "table_profile_orders_sketch",  # r11 profiling.py
+    "user_event_type_arrays",  # r11 grouping.py
+    "cluster_size_histogram",  # r12 dedup.py
+    "cosine_topk",  # r12 similarity.py
+    "cross_source_overlap",  # r12 dedup.py
+    "dedup_materialize_canonical",  # r12 dedup.py
+    "duplicate_clusters",  # r12 dedup.py
+    "embedding_near_dup_ivf",  # r12 similarity.py
+    "embedding_near_dup_lsh",  # r12 similarity.py
+    "frontier_dispatch_tick",  # r12 politeness.py
+    "hard_negative_mining",  # r12 similarity.py
+    "ivf_topk_neighbors",  # r12 similarity.py
+    "ivfpq_topk_neighbors",  # r12 similarity.py
+    "label_centroids",  # r12 similarity.py
+    "minhash_estimate_calibration",  # r12 dedup.py
+    "minhash_incremental_near_dup",  # r12 dedup.py
+    "minhash_lsh_near_dup",  # r12 dedup.py
+    "ngram_jaccard_capped",  # r12 dedup.py
+    "ngram_jaccard_pairs",  # r12 dedup.py
+    "pq_topk_adc",  # r12 similarity.py
+    "semantic_dedup_survivors",  # r12 similarity.py
+    "sq8_quantized_topk",  # r12 similarity.py
+    "length_bucketed_batches",  # r07 corpus.py
+    "maintenance_report_tables",  # r07 maintenance.py
+    "media_audio_stats",  # r07 multimodal.py
+    "media_dimensions",  # r07 multimodal.py
+    "media_video_stats",  # r07 multimodal.py
+    "mixture_schedule",  # r07 corpus.py
+    "pii_redact_text",  # r07 corpus.py
+    "repetition_ratio",  # r07 corpus.py
+    "sequence_packing",  # r07 corpus.py
+    "source_capped_sample",  # r07 corpus.py
+    "table_fingerprint",  # r07 sketches.py
+    "token_cooccurrence_lift",  # r07 matching.py
+    "audio_fingerprint_classes",  # r08 multimodal.py
+    "bloom_fp_audit",  # r08 bloomdedup.py
+    "bloom_url_dedup",  # r08 bloomdedup.py
+    "classifier_auc_exact",  # r08 calibration.py
+    "click_attribution_batch",  # r08 attribution.py
+    "cohort_retention",  # r08 warehouse.py
+    "event_transition_matrix",  # r08 windows.py
+    "funnel_conversion",  # r08 windows.py
+    "image_near_dup_ahash",  # r08 multimodal.py
 ]
 
 

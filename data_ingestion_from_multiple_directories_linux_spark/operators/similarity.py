@@ -90,16 +90,27 @@ E_SQL = (
 )
 
 
-def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_embeddings(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """Spark twin of E_SQL's validation gate: embeddings with the
     declared dimension and no NULL or nonfinite elements (a NULL
     vector fails the size check — size(NULL) is NULL; the finiteness
     predicate is fn/cleansing.is_finite's BETWEEN, which both engines
     evaluate identically because each orders NaN above +Inf). Every
-    similarity query loads through this."""
+    similarity query loads through this.
+
+    ``spread`` (default True) opts the scan into the layout-probed
+    rebalance — right for the family's compute-dense consumers (K
+    cosines per vector, pair joins, kNN audits: 1.3-3.1× in the r12
+    interleaved A/B). The two consumers whose only pre-shuffle work is
+    a posexplode straight into a partial aggregate (label_centroids,
+    sq8_quantized_topk) opt OUT: the exchange is a measured net tax for
+    them (r13 interleaved: 0.33 vs 0.79 s / 0.73 vs 1.19 s), and the
+    2× bench gate flagged exactly these two after the r12 spread."""
     from ..functions.cleansing import DBL_MAX
 
-    return load_table(spark, sf_dir, "embeddings", spread=True).filter(
+    return load_table(spark, sf_dir, "embeddings", spread=spread).filter(
         (F.size("embedding") == EMB_DIM)
         & ~F.exists(
             "embedding",
@@ -820,7 +831,10 @@ def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness vs cosine_topk: ranking by unnormalized quantized dot —
     the oracle replicates the FULL quantization pipeline, so the check
     certifies codes, not only the winner set."""
-    e = load_embeddings(spark, sf_dir).select(
+    # spread=False: posexplode→partial-agg is the whole pre-shuffle map
+    # work; the rebalance exchange is a measured net tax here (module
+    # docstring of load_embeddings)
+    e = load_embeddings(spark, sf_dir, spread=False).select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
     scales = (
@@ -1146,7 +1160,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end) so the oracle matches bit-for-bit — the same
     mergeable-statistics shape as exact_moment_correlation: per-shard
     moment sums union-merge, the statistic derives at read."""
-    e = load_embeddings(spark, sf_dir).select(
+    # spread=False: same posexplode→partial-agg shape as
+    # sq8_quantized_topk — the rebalance exchange is a net tax here
+    e = load_embeddings(spark, sf_dir, spread=False).select(
         "label", to_double_array("embedding").alias("v")
     )
     ex = e.select("label", F.posexplode("v").alias("pos", "x"))
